@@ -1,0 +1,54 @@
+"""Pipeline configuration.
+
+Defaults are tuned for the sandbox (single node, 8–32 CPUs) but every knob
+that matters at 100 TB is explicit: blocking cap + salting bounds (skew),
+broadcast limits (small-side joins), join partitions (shuffle width), and
+the driver/distributed switch for connected components.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    # --- blocking (stages/pairs.py) ---
+    # Max posting-list length of a trigram before it is salted into buckets.
+    # A block of m refs yields m(m-1)/2 candidate pairs; cap bounds that.
+    block_cap: int = 64
+    # Trigrams hotter than block_cap * salt_factor_max are dropped from
+    # blocking entirely (logged in metrics). Such trigrams appear in a large
+    # fraction of the corpus and carry no discriminative signal; any true
+    # match also shares rarer trigrams, so recall is preserved (this is the
+    # stoplist analogue of the reference's "pathological datasets" note,
+    # README.md:15-17 — except we log instead of slowing down).
+    salt_factor_max: int = 16
+    # --- exact pair scoring ---
+    # Score = |trigrams(a) ∩ trigrams(b)| over the FULL trigram sets
+    # (identical to the reference find score, storage.c:527-563), computed by
+    # re-joining candidate pairs with per-doc trigram sets — never from the
+    # (capped, salted) blocking output.
+    min_matches: int = 5  # absolute floor on shared trigrams
+    min_matches_rel: float = 0.55  # floor as fraction of min(|T(a)|,|T(b)|)
+    # If the per-doc trigram sets needed for scoring fit under this many
+    # bytes, broadcast them via ray.put instead of a 2-sided hash join.
+    broadcast_limit_bytes: int = 256 << 20
+    # --- shuffles ---
+    join_partitions: int = 32
+    # --- clustering ---
+    # Below this many edges, connected components run as driver-side
+    # union-find (exact, one pass); above it, distributed hash-min label
+    # propagation in O(log n) groupby/join rounds (ICDE 2013, see PAPERS.md).
+    uf_driver_limit: int = 2_000_000
+    max_cc_rounds: int = 50
+    # --- misc ---
+    seed: int = 42
+
+    def digest(self) -> str:
+        return hashlib.md5(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:12]
+
+
+DEFAULT = ERConfig()

@@ -1,0 +1,135 @@
+"""The trigram index as Ray Data stages — the reference Map's verbs.
+
+PUT    → :func:`build_postings` (batch; first-put-wins dedup available via
+         :func:`dedup_first_put`)                 [storage.c:398-473]
+FIND   → :func:`find`                              [storage.c:477-580]
+DELETE → :func:`delete`                            [storage.c:584-612]
+stats  → :func:`stats`                             [storage.c:616-621]
+save   → :func:`save` / load → :func:`load`        [storage.c:299-377, 210-266]
+
+The index IS a dataset of postings rows (ref, trigram:uint16, weight:uint32),
+checkpointed as partitioned Parquet instead of the reference's mmap image.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from blurrily_ray.functions.normalize import normalize_string
+from blurrily_ray.functions.trigram import NUM_TRIGRAMS, tokenize
+from blurrily_ray.stages.tokenize import postings_from_docs
+
+LIMIT_DEFAULT = 10  # defaults.rb:6
+LIMIT_RANGE = (1, 1024)  # defaults.rb:7
+
+
+def dedup_first_put(docs, *, ref_col: str = "ref", seq_col: str = "seq"):
+    """First-put-wins semantics (storage.c:408; map_spec.rb:43-47): keep the
+    row with the smallest ``seq`` per ref. ``seq`` is the caller's put order.
+    One groupby shuffle; skip when refs are known unique.
+    """
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(seq_col, kind="stable").head(1)
+
+    return docs.groupby(ref_col).map_groups(first, batch_format="pandas")
+
+
+def build_postings(docs, *, ref_col: str = "ref", text_col: str = "text",
+                   weight_col: str | None = None):
+    """docs → postings. If ``weight_col`` is given, a non-zero value there
+    overrides the default length weight (storage.h:60-68, storage.c:409)."""
+    if weight_col is None:
+        return postings_from_docs(docs, ref_col=ref_col, text_col=text_col)
+
+    from blurrily_ray.stages.tokenize import _docsets_batch, postings_from_docsets
+
+    def batch_with_override(b: pa.Table) -> pa.Table:
+        out = _docsets_batch(b, ref_col, text_col)
+        ov = pc.cast(b[weight_col], pa.uint32()).to_numpy(zero_copy_only=False)
+        w = out["weight"].to_numpy(zero_copy_only=False)
+        w = np.where(ov > 0, ov, w).astype(np.uint32)  # 0 ⇒ default length
+        return out.set_column(out.schema.get_field_index("weight"),
+                              "weight", pa.array(w, type=pa.uint32()))
+
+    return postings_from_docsets(
+        docs.map_batches(batch_with_override, batch_format="pyarrow"))
+
+
+def needle_mask(needle: str) -> tuple[np.ndarray, int]:
+    """Boolean mask over the 21,952 trigram codes for a query needle."""
+    codes = tokenize(normalize_string(needle))
+    mask = np.zeros(NUM_TRIGRAMS, dtype=bool)
+    mask[codes] = True
+    return mask, len(codes)
+
+
+def find(postings, needle: str, limit: int = LIMIT_DEFAULT):
+    """Reference find (storage.c:477-580): gather postings of the needle's
+    trigrams, count distinct shared trigrams per ref, rank by
+    (matches DESC, weight ASC) — we additionally fix ref ASC so distributed
+    runs are deterministic (the reference's qsort is unstable there).
+
+    The needle side is tiny (L+1 codes) → broadcast as a closure mask; the
+    gather is a vectorized filter, no shuffle until the final (small) groupby.
+    Returns a Dataset with columns (ref, matches, weight).
+    """
+    if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
+        raise ValueError(f"limit must be in {LIMIT_RANGE}")
+    mask, _ = needle_mask(needle)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        tri = batch["trigram"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(mask[tri]))
+
+    from ray.data.aggregate import Count, Min
+
+    hits = postings.map_batches(gather, batch_format="pyarrow")
+    agg = hits.groupby("ref").aggregate(
+        Count(alias_name="matches"), Min("weight", alias_name="weight"))
+    return agg.sort(["matches", "weight", "ref"],
+                    descending=[True, False, False]).limit(limit)
+
+
+def find_triples(postings, needle: str, limit: int = LIMIT_DEFAULT) -> list[list]:
+    """find() materialized to the reference's [[ref, matches, weight], ...]."""
+    out = find(postings, needle, limit).take_all()
+    return [[r["ref"], int(r["matches"]), int(r["weight"])] for r in out]
+
+
+def delete(postings, refs):
+    """Anti-join against a tombstone set (storage.c:584-612). The tombstone
+    side is broadcast (small); for huge tombstone sets use a hash join."""
+    tomb = set(refs)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        keep = ~np.isin(np.asarray(batch["ref"]), list(tomb))
+        return batch.filter(pa.array(keep))
+
+    return postings.map_batches(drop, batch_format="pyarrow")
+
+
+def stats(postings) -> dict:
+    """{references, trigrams} totals (storage.c:616-621)."""
+    n_postings = postings.count()
+    if n_postings == 0:
+        return {"references": 0, "trigrams": 0}
+    return {"references": len(postings.unique("ref")),
+            "trigrams": int(n_postings)}
+
+
+def save(postings, path: str) -> str:
+    """Checkpoint the index as Parquet + manifest (atomic, resumable)."""
+    from blurrily_ray.state.checkpoint import write_checkpoint
+
+    return write_checkpoint(postings, path, kind="postings")
+
+
+def load(path: str):
+    from blurrily_ray.state.checkpoint import read_checkpoint
+
+    return read_checkpoint(path)

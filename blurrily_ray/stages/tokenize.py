@@ -1,0 +1,91 @@
+"""Document assembly, normalization and trigram-explode stages.
+
+All stages are ``map_batches`` over zero-copy Arrow batches; the only
+shuffle is the one ``groupby(conv_id)`` needed to assemble multi-turn
+documents (turns of one conversation may span input blocks/files).
+
+Dataset shapes:
+
+- transcripts:  (conv_id, turn_idx, role, text, tool, ts)  [input_hint]
+- docs:         (ref, text)           one row per document/conversation
+- docsets:      (ref, norm, ntri, weight, tris:list<uint16>)
+- postings:     (ref, trigram:uint16, weight:uint32)   the inverted index
+                rows — the Ray-native analogue of the reference's
+                trigram_map_t posting lists (storage.c:47-75).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from blurrily_ray.functions.normalize import normalize_array
+from blurrily_ray.functions.trigram import explode_batch
+
+
+def assemble_docs(transcripts, *, id_col: str = "conv_id", order_col: str = "turn_idx",
+                  text_col: str = "text"):
+    """transcripts → docs: concatenate each conversation's turns in stable
+    ``turn_idx`` order, space-separated (FIXTURES.md §1 — the normalizer
+    collapses whitespace, so a single space is the canonical joiner).
+
+    One shuffle (groupby conv_id). Per-group work is a sort of 2–8 rows.
+    """
+
+    def one_conv(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_col, kind="stable")
+        return pd.DataFrame({
+            "ref": [df[id_col].iloc[0]],
+            "text": [" ".join(df[text_col].astype(str))],
+        })
+
+    return transcripts.select_columns([id_col, order_col, text_col]) \
+        .groupby(id_col).map_groups(one_conv, batch_format="pandas")
+
+
+def _docsets_batch(batch: pa.Table, ref_col: str, text_col: str) -> pa.Table:
+    norm = normalize_array(batch[text_col])
+    doc_idx, codes, lengths = explode_batch(norm)
+    n = len(batch)
+    counts = np.bincount(doc_idx, minlength=n) if len(doc_idx) else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    tris = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(codes, type=pa.uint16()))
+    return pa.table({
+        "ref": batch[ref_col],
+        "norm": norm,
+        "ntri": pa.array(counts.astype(np.uint32), type=pa.uint32()),
+        "weight": pa.array(lengths.astype(np.uint32), type=pa.uint32()),
+        "tris": tris,
+    })
+
+
+def docsets_from_docs(docs, *, ref_col: str = "ref", text_col: str = "text"):
+    """docs → docsets: normalize + tokenize, one row per doc with its
+    distinct sorted trigram codes. ``weight`` defaults to the normalized
+    length exactly like the reference (storage.c:409). Pure map — no shuffle.
+    """
+    return docs.map_batches(lambda b: _docsets_batch(b, ref_col, text_col),
+                            batch_format="pyarrow")
+
+
+def _flatten_batch(batch: pa.Table) -> pa.Table:
+    tris = batch["tris"].combine_chunks()
+    counts = np.diff(tris.offsets.to_numpy())  # diff is slice-safe
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    return pa.table({
+        "ref": batch["ref"].take(pa.array(idx)),
+        "trigram": tris.flatten(),  # flatten() honors any slice offset
+        "weight": batch["weight"].take(pa.array(idx)),
+    })
+
+
+def postings_from_docsets(docsets):
+    """docsets → postings: explode the per-doc trigram sets to rows. Pure map."""
+    return docsets.map_batches(_flatten_batch, batch_format="pyarrow")
+
+
+def postings_from_docs(docs, **kwargs):
+    return postings_from_docsets(docsets_from_docs(docs, **kwargs))
