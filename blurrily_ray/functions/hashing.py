@@ -1,0 +1,52 @@
+"""Stable, cross-process/cross-engine hashing primitives.
+
+Everything here is md5-derived so the exact same values are reproducible in
+NumPy, plain Python and DuckDB SQL (``md5(...)``) — which lets the driver's
+DuckDB oracle recompute our minhashes/fingerprints bit-for-bit. Never use
+Python's builtin ``hash`` (salted per process) or NumPy RNG state here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def stable_u64(s: str) -> int:
+    """First 8 bytes of md5(s) as an unsigned big-endian integer."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def stable_u64_array(strings) -> np.ndarray:
+    """Vectorized-ish stable_u64 over an iterable of strings → uint64."""
+    return np.fromiter((stable_u64(s) for s in strings), dtype=np.uint64)
+
+
+def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-shift parameters for num_perm
+    permutations over the Mersenne prime 2^61-1. Derived from md5(seed,i)
+    so DuckDB can regenerate them (scripts embed the literals instead)."""
+    a = np.empty(num_perm, dtype=np.uint64)
+    b = np.empty(num_perm, dtype=np.uint64)
+    for i in range(num_perm):
+        a[i] = stable_u64(f"minhash-a-{seed}-{i}") % (MERSENNE61 - 1) + 1
+        b[i] = stable_u64(f"minhash-b-{seed}-{i}") % MERSENNE61
+    return a, b
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Signature of one set: min((a*h + b) mod p) per permutation.
+
+    ``hashes``: uint64 element hashes (already reduced mod p).
+    Uses Python ints for the multiply to avoid 64-bit overflow; num_perm and
+    set sizes are small enough that object-mode math here is not a hot path —
+    the vectorized batch variant lives in stages/dedup.py.
+    """
+    h = hashes.astype(object)
+    out = np.empty(len(a), dtype=np.uint64)
+    for i in range(len(a)):
+        out[i] = int(min((int(a[i]) * x + int(b[i])) % MERSENNE61 for x in h)) if len(h) else 0
+    return out

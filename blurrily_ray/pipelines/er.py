@@ -1,0 +1,88 @@
+"""Flagship pipeline: transcripts → entity clusters.
+
+read_parquet(transcripts)
+  → assemble_docs            (one groupby: turns → conversation docs)
+  → docsets_from_docs        (map: normalize + trigram sets, zero-copy Arrow)
+  → trigram_histogram        (combiner + tiny groupby: exact skew stats)
+  → blocking_keys            (map: rarest-trigram emissions)
+  → candidate_pairs          (salted groupby: bounded blocks → distinct pairs)
+  → score_pairs              (broadcast or hash join: exact shared-trigram score)
+  → threshold_edges          (map filter)
+  → connected_components     (driver union-find / distributed hash-min)
+  → clusters (ref, cluster_id)
+
+Every materialized stage can checkpoint under ``checkpoint_dir`` with a
+lineage manifest; a resumed run skips stages whose (config, input) lineage
+matches (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from blurrily_ray.config import DEFAULT, ERConfig
+from blurrily_ray.stages.cluster import connected_components
+from blurrily_ray.stages.pairs import (
+    blocking_keys,
+    candidate_pairs,
+    key_histogram,
+    score_pairs,
+    threshold_edges,
+    trigram_histogram,
+)
+from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+from blurrily_ray.state.checkpoint import run_stage
+from blurrily_ray.state.metrics import Metrics
+
+
+def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
+           checkpoint_dir: str | None = None,
+           metrics: Metrics | None = None,
+           cc_mode: str = "auto",
+           score_mode: str = "auto"):
+    """Run entity resolution; returns dict with 'clusters' (Dataset of
+    (ref, cluster_id)), 'edges', and 'skew' stats."""
+    metrics = metrics or Metrics()
+
+    def ckpt(name, fn):
+        if checkpoint_dir is None:
+            return fn()
+        lineage = {"config": cfg.digest(), "stage": name}
+        return run_stage(name, os.path.join(checkpoint_dir, name), fn,
+                         lineage=lineage)
+
+    with metrics.timeit("assemble_docs"):
+        docs = assemble_docs(transcripts)
+    with metrics.timeit("docsets"):
+        docsets = ckpt("docsets", lambda: docsets_from_docs(docs))
+        docsets = docsets.materialize()  # reused by 4 downstream stages
+    with metrics.timeit("histogram"):
+        hist = trigram_histogram(docsets)
+    with metrics.timeit("blocking"):
+        keys = blocking_keys(docsets, hist, cfg).materialize()
+        khist = key_histogram(keys)
+    with metrics.timeit("pairs"):
+        pairs, skew = candidate_pairs(keys, khist, cfg)
+        metrics.stage("pairs", **skew)
+    with metrics.timeit("scoring"):
+        scored = score_pairs(pairs, docsets, cfg, mode=score_mode)
+        edges = ckpt("edges", lambda: threshold_edges(scored, cfg))
+        if checkpoint_dir is None:
+            # edges are consumed ≥2× (count + clustering); pin the small
+            # result instead of re-executing the whole upstream lineage
+            edges = edges.materialize()
+    with metrics.timeit("clustering"):
+        clusters = ckpt("clusters", lambda: connected_components(
+            edges, docsets, cfg, mode=cc_mode))
+    if checkpoint_dir is not None:
+        metrics.save(os.path.join(checkpoint_dir, "metrics.json"))
+    return {"clusters": clusters, "edges": edges, "skew": skew,
+            "metrics": metrics}
+
+
+def run_er_from_paths(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
+    ts = ray.data.read_parquet(transcripts_path,
+                               columns=["conv_id", "turn_idx", "text"])
+    return run_er(ts, cfg, **kw)

@@ -1,0 +1,133 @@
+"""End-to-end entity-resolution tests (FIXTURES.md §6 gates)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from blurrily_ray.config import ERConfig
+from blurrily_ray.pipelines.er import run_er_from_paths
+from blurrily_ray.sources.synth import ensure_transcripts, generate
+from blurrily_ray.stages.cluster import connected_components, pairwise_f1
+
+
+@pytest.fixture(scope="module")
+def sf0001_paths():
+    return ensure_transcripts(0.001)
+
+
+@pytest.fixture(scope="module")
+def er_result(sf0001_paths):
+    res = run_er_from_paths(sf0001_paths["transcripts"])
+    clusters = {r["ref"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    return res, clusters
+
+
+def truth_map(paths):
+    return {r["conv_id"]: r["entity_id"]
+            for r in pq.read_table(paths["ground_truth"]).to_pylist()}
+
+
+def test_f1_gate(er_result, sf0001_paths):
+    _, clusters = er_result
+    f1 = pairwise_f1(clusters, truth_map(sf0001_paths))
+    assert f1["f1"] >= 0.99, f1
+
+
+def test_every_conv_labeled(er_result, sf0001_paths):
+    _, clusters = er_result
+    assert set(clusters) == set(truth_map(sf0001_paths))
+
+
+def test_determinism(er_result, sf0001_paths):
+    _, clusters = er_result
+    res2 = run_er_from_paths(sf0001_paths["transcripts"])
+    clusters2 = {r["ref"]: r["cluster_id"] for r in res2["clusters"].take_all()}
+    assert clusters == clusters2
+
+
+def test_synth_deterministic():
+    t1 = generate(0.001)["transcripts"]
+    t2 = generate(0.001)["transcripts"]
+    assert t1.equals(t2)
+
+
+def test_transitivity_and_singletons():
+    edges = ray.data.from_items(
+        [{"a": "x1", "b": "x2"}, {"a": "x2", "b": "x3"}])
+    nodes = ray.data.from_items(
+        [{"ref": r} for r in ["x1", "x2", "x3", "lone"]])
+    out = {r["ref"]: r["cluster_id"]
+           for r in connected_components(edges, nodes).take_all()}
+    assert out["x1"] == out["x2"] == out["x3"] == "x1"
+    assert out["lone"] == "lone"
+
+
+def test_distributed_cc_matches_driver():
+    # star + 3-chain + singleton: exercises >1 propagation round
+    edges = ray.data.from_items(
+        [{"a": "s0", "b": "s1"}, {"a": "s0", "b": "s2"}, {"a": "s0", "b": "s3"},
+         {"a": "c1", "b": "c2"}, {"a": "c2", "b": "c3"}])
+    nodes = ray.data.from_items(
+        [{"ref": r} for r in ["s0", "s1", "s2", "s3", "c1", "c2", "c3", "z"]])
+    cfg = ERConfig(join_partitions=2, max_cc_rounds=10)
+    drv = {r["ref"]: r["cluster_id"]
+           for r in connected_components(edges, nodes, cfg, mode="driver").take_all()}
+    dist = {r["ref"]: r["cluster_id"]
+            for r in connected_components(edges, nodes, cfg, mode="distributed").take_all()}
+    assert drv == dist
+    assert drv["c3"] == "c1" and drv["s3"] == "s0" and drv["z"] == "z"
+
+
+def test_salting_preserves_pairs(sf0001_paths):
+    """Forcing tiny block_cap (heavy salting) must yield the same candidate
+    pair set as uncapped blocking — salting bounds block size, not recall."""
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, trigram_histogram)
+    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"],
+                               columns=["conv_id", "turn_idx", "text"])
+    docsets = docsets_from_docs(assemble_docs(ts)).materialize()
+    hist = trigram_histogram(docsets)
+    keys = blocking_keys(docsets, hist, ERConfig(), max_keys_per_doc=10).materialize()
+    khist = key_histogram(keys)
+
+    big = ERConfig(block_cap=10_000, salt_factor_max=10_000)
+    small = ERConfig(block_cap=4, salt_factor_max=10_000)
+    p_big, s_big = candidate_pairs(keys, khist, big)
+    p_small, s_small = candidate_pairs(keys, khist, small)
+    set_big = {(r["a"], r["b"]) for r in p_big.take_all()}
+    set_small = {(r["a"], r["b"]) for r in p_small.take_all()}
+    assert s_big["keys_salted"] == 0 and s_small["keys_salted"] > 0
+    assert s_small["keys_dropped"] == 0
+    assert set_big == set_small
+
+
+def test_resume_from_checkpoint(tmp_path, sf0001_paths):
+    ckpt = str(tmp_path / "er_run")
+    res1 = run_er_from_paths(sf0001_paths["transcripts"], checkpoint_dir=ckpt)
+    c1 = {r["ref"]: r["cluster_id"] for r in res1["clusters"].take_all()}
+    # second run resumes: all stages skipped, identical output
+    res2 = run_er_from_paths(sf0001_paths["transcripts"], checkpoint_dir=ckpt)
+    c2 = {r["ref"]: r["cluster_id"] for r in res2["clusters"].take_all()}
+    assert c1 == c2
+    # config change invalidates lineage → recompute still correct
+    res3 = run_er_from_paths(sf0001_paths["transcripts"], checkpoint_dir=ckpt,
+                             cfg=ERConfig(min_matches=6))
+    c3 = {r["ref"]: r["cluster_id"] for r in res3["clusters"].take_all()}
+    assert set(c3) == set(c1)
+
+
+def test_turn_invariant(sf0001_paths):
+    """input_hint per-row invariant: per-turn text passes through unmodified
+    and doc assembly respects stable turn ordering."""
+    from blurrily_ray.stages.tokenize import assemble_docs
+
+    tbl = pq.read_table(sf0001_paths["transcripts"])
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"])
+    docs = {r["ref"]: r["text"] for r in assemble_docs(ts).take_all()}
+    df = tbl.to_pandas()
+    for conv, g in df.groupby("conv_id"):
+        expected = " ".join(g.sort_values("turn_idx")["text"])
+        assert docs[conv] == expected
