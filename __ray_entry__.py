@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship ER pipeline at sf0.001; ``queries()`` exposes
+every implemented operator over the sf_dir tables (documents / embeddings /
+events) and the deterministic synthetic transcripts (BASELINE.json
+input_hint shape; /tmp-cached, seed 42); ``oracle_sql()`` returns the
+independent DuckDB re-implementations from blurrily_ray/oracles.py.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,236 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+FIND_NEEDLE = "customer query batch window"
+
+
+def _i64(ds):
+    """Cast every integer column to int64 so Ray results hash identically
+    to the BIGINT-typed oracle results."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, col in zip(batch.column_names, batch.columns):
+            if pa.types.is_integer(col.type) and col.type != pa.int64():
+                col = col.cast(pa.int64())
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _docs_postings(sf_dir: str):
+    from blurrily_ray.stages.index import build_postings
+
+    return build_postings(_docs(sf_dir), ref_col="doc_id", text_col="text")
+
+
+def _transcripts_path(sf_dir: str) -> str:
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+
+    return ensure_transcripts(sf_from_dir(sf_dir))["transcripts"]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: entity resolution over sf0.001 synthetic transcripts."""
+    from blurrily_ray.pipelines.er import run_er_from_paths
+
+    res = run_er_from_paths(_transcripts_path("/root/testdata/sf0.001"))
+    return res["clusters"]
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_normalize(sf_dir: str):
+    from blurrily_ray.functions.normalize import normalize_array
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": normalize_array(batch["text"])})
+
+    return _i64(_docs(sf_dir).map_batches(fn, batch_format="pyarrow"))
+
+
+def _q_postings(sf_dir: str):
+    return _i64(_docs_postings(sf_dir))
+
+
+def _q_stats(sf_dir: str):
+    from blurrily_ray.stages.index import stats
+
+    s = stats(_docs_postings(sf_dir))
+    return pa.table({"references": pa.array([s["references"]], pa.int64()),
+                     "trigrams": pa.array([s["trigrams"]], pa.int64())})
+
+
+def _q_find(sf_dir: str):
+    from blurrily_ray.stages.index import find
+
+    return _i64(find(_docs_postings(sf_dir), FIND_NEEDLE, 10))
+
+
+def _docs_edges(sf_dir: str):
+    from blurrily_ray.config import DEFAULT
+    from blurrily_ray.oracles import MAX_KEYS_PER_DOC
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, score_pairs,
+        threshold_edges, trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
+                                text_col="text").materialize()
+    hist = trigram_histogram(docsets)
+    keys = blocking_keys(docsets, hist, DEFAULT,
+                         max_keys_per_doc=MAX_KEYS_PER_DOC).materialize()
+    pairs, _ = candidate_pairs(keys, key_histogram(keys), DEFAULT)
+    return threshold_edges(score_pairs(pairs, docsets, DEFAULT), DEFAULT)
+
+
+def _q_pairs(sf_dir: str):
+    return _i64(_docs_edges(sf_dir).select_columns(["a", "b", "matches"]))
+
+
+def _q_er_clusters(sf_dir: str):
+    from blurrily_ray.pipelines.er import run_er_from_paths
+
+    return run_er_from_paths(_transcripts_path(sf_dir))["clusters"]
+
+
+def _q_dedup_exact(sf_dir: str):
+    from blurrily_ray.stages.dedup import exact_dedup
+
+    return _i64(exact_dedup(_docs(sf_dir)))
+
+
+def _q_token_count(sf_dir: str):
+    from blurrily_ray.stages.textstats import token_count
+
+    return _i64(token_count(_docs(sf_dir)))
+
+
+def _q_quality(sf_dir: str):
+    from blurrily_ray.stages.textstats import quality_stats
+
+    return _i64(quality_stats(_docs(sf_dir)))
+
+
+def _q_langid(sf_dir: str):
+    from blurrily_ray.stages.textstats import langid
+
+    return _i64(langid(_docs(sf_dir)))
+
+
+def _q_fingerprint(sf_dir: str):
+    from blurrily_ray.stages.textstats import fingerprint
+
+    return _i64(fingerprint(_docs(sf_dir)))
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from blurrily_ray.stages.dedup import minhash_dedup_pairs
+
+    return _i64(minhash_dedup_pairs(_docs(sf_dir)))
+
+
+def _q_simhash(sf_dir: str):
+    from blurrily_ray.stages.dedup import simhash
+
+    return _i64(simhash(_docs(sf_dir)))
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import knn_brute
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(knn_brute(emb, query_ids=range(10), k=10))
+
+
+def _q_embed_neardup(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(neardup_pairs(emb, threshold=0.4))
+
+
+def _q_sessionize(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return _i64(sessionize(ev, gap_minutes=30))
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing (decode is a deterministic STUB — no image libs
+    in this container); rows-only check, no SQL oracle."""
+    from blurrily_ray.stages.multimodal import (
+        attach_binary_payload, extract_image_features)
+
+    media = attach_binary_payload(_docs(sf_dir))
+    return _i64(extract_image_features(media).select_columns(
+        ["doc_id", "width", "height"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize_docs": _q_normalize,
+        "postings_docs": _q_postings,
+        "stats_docs": _q_stats,
+        "find_docs": _q_find,
+        "pairs_docs": _q_pairs,
+        "er_clusters": _q_er_clusters,
+        "dedup_exact_docs": _q_dedup_exact,
+        "token_count_docs": _q_token_count,
+        "quality_docs": _q_quality,
+        "langid_docs": _q_langid,
+        "fingerprint_docs": _q_fingerprint,
+        "minhash_pairs_docs": _q_minhash_pairs,
+        "simhash_docs": _q_simhash,
+        "knn_embeddings": _q_knn,
+        "embed_neardup": _q_embed_neardup,
+        "sessionize_events": _q_sessionize,
+        "image_features": _q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blurrily_ray import oracles
+    from blurrily_ray.sources.synth import ensure_transcripts
+
+    # the driver runs oracles at sf0.01 — make sure the synthetic
+    # transcripts parquet exists before DuckDB reads it
+    tpath = ensure_transcripts(0.01)["transcripts"]
+    return {
+        "normalize_docs": oracles.sql_normalize_docs(),
+        "postings_docs": oracles.sql_postings_docs(),
+        "stats_docs": oracles.sql_stats_docs(),
+        "find_docs": oracles.sql_find_docs(FIND_NEEDLE, 10),
+        "pairs_docs": oracles.sql_candidate_pairs_docs(),
+        "er_clusters": oracles.sql_er_clusters(tpath),
+        "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
+        "token_count_docs": oracles.sql_token_count_docs(),
+        "quality_docs": oracles.sql_quality_docs(),
+        "langid_docs": oracles.sql_langid_docs(),
+        "fingerprint_docs": oracles.sql_fingerprint_docs(),
+        "minhash_pairs_docs": oracles.sql_minhash_pairs_docs(),
+        "simhash_docs": oracles.sql_simhash_docs(),
+        "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
+        "embed_neardup": oracles.sql_embed_neardup(0.4),
+        "sessionize_events": oracles.sql_sessionize_events(30),
+        # image_features: multimodal stub — rows-only check by design
+    }

@@ -20,6 +20,13 @@ def stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
+def md5_num(s: str) -> int:
+    """md5 digest as a little-endian 128-bit integer — bit-identical to
+    DuckDB's ``md5_number()`` (verified empirically), so SQL oracles can
+    recompute every signature derived from this."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest(), "little")
+
+
 def stable_u64_array(strings) -> np.ndarray:
     """Vectorized-ish stable_u64 over an iterable of strings → uint64."""
     return np.fromiter((stable_u64(s) for s in strings), dtype=np.uint64)

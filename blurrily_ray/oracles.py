@@ -1,0 +1,289 @@
+"""DuckDB oracle SQL builders — the independent re-implementation of every
+operator in ANSI-ish SQL, used by the driver's correctness gate.
+
+Each builder returns a SQL string computing exactly what the matching Ray
+pipeline computes, over the same parquet tables (pre-registered views for
+the driver tables; read_parquet() for the synthesized transcripts). All
+outputs are integer / string columns only (see stages/textstats.py note);
+every hash is md5-based so both engines derive identical values.
+
+The normalization fragment assumes ASCII input (true for the driver's
+documents table and our synthesizer); the Python path additionally handles
+non-ASCII via NFKD folding, which SQL cannot express portably.
+"""
+
+from __future__ import annotations
+
+from blurrily_ray.config import DEFAULT, ERConfig
+from blurrily_ray.functions.hashing import MERSENNE61, minhash_params
+from blurrily_ray.functions.normalize import normalize_string
+from blurrily_ray.functions.trigram import tokenize
+from blurrily_ray.stages.dedup import (
+    JACCARD_THRESHOLD_DEN,
+    JACCARD_THRESHOLD_NUM,
+    NUM_BANDS,
+    NUM_PERM,
+    SHINGLE_NGRAM,
+    SIMHASH_BITS,
+)
+from blurrily_ray.stages.textstats import LANGID_NUM, STOPWORDS
+
+MAX_KEYS_PER_DOC = 40
+
+
+def _rel(cfg: ERConfig) -> tuple[int, int]:
+    from blurrily_ray.stages.pairs import rel_fraction
+
+    return rel_fraction(cfg)
+
+NORM = "trim(regexp_replace(lower({col}), '[^a-z]+', ' ', 'g'))"
+
+TOKS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+
+def _code_expr(pos: int) -> str:
+    mult = 28 ** (pos - 1)
+    return (f"{mult}*(CASE WHEN substr(tri,{pos},1) BETWEEN 'a' AND 'z' "
+            f"THEN ascii(substr(tri,{pos},1))-96 ELSE 0 END)")
+
+
+def postings_cte(src_sql: str) -> str:
+    """CTE chain: src (ref, text) → postings (ref, trigram, weight)."""
+    norm = NORM.format(col="text")
+    code = " + ".join(_code_expr(p) for p in (1, 2, 3))
+    return f"""
+src AS ({src_sql}),
+norm AS (SELECT ref, {norm} AS s FROM src),
+pad AS (SELECT ref, length(s) AS L, '**' || replace(s, ' ', '*') || '*' AS p FROM norm),
+win AS (SELECT ref, unnest(generate_series(1, L + 1)) AS i FROM pad),
+tri AS (SELECT win.ref, pad.L, substr(pad.p, CAST(win.i AS INT), 3) AS tri
+        FROM win JOIN pad ON win.ref = pad.ref),
+postings AS MATERIALIZED (SELECT DISTINCT ref, CAST({code} AS BIGINT) AS trigram,
+                    CAST(L AS BIGINT) AS weight FROM tri)"""
+
+
+DOCS_SRC = "SELECT doc_id AS ref, text FROM documents"
+
+
+def transcripts_src(path: str) -> str:
+    return (f"SELECT conv_id AS ref, string_agg(text, ' ' ORDER BY turn_idx) AS text "
+            f"FROM read_parquet('{path}') GROUP BY conv_id")
+
+
+def sql_normalize_docs() -> str:
+    return (f"SELECT doc_id, {NORM.format(col='text')} AS norm_text "
+            f"FROM documents")
+
+
+def sql_postings_docs() -> str:
+    return f"WITH {postings_cte(DOCS_SRC)} SELECT ref, trigram, weight FROM postings"
+
+
+def sql_stats_docs() -> str:
+    return (f"WITH {postings_cte(DOCS_SRC)} "
+            f"SELECT CAST(COUNT(DISTINCT ref) AS BIGINT) AS \"references\", "
+            f"CAST(COUNT(*) AS BIGINT) AS trigrams FROM postings")
+
+
+def sql_find_docs(needle: str, limit: int = 10) -> str:
+    codes = ", ".join(str(c) for c in tokenize(normalize_string(needle)))
+    return f"""WITH {postings_cte(DOCS_SRC)}
+SELECT ref, CAST(COUNT(*) AS BIGINT) AS matches, CAST(MIN(weight) AS BIGINT) AS weight
+FROM postings WHERE trigram IN ({codes})
+GROUP BY ref
+ORDER BY matches DESC, weight ASC, ref ASC LIMIT {limit}"""
+
+
+def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
+              max_keys: int = MAX_KEYS_PER_DOC) -> str:
+    """postings → thresholded candidate pair CTE chain (mirrors
+    stages/pairs.py: rarest-key blocking + stoplist + exact rescoring)."""
+    return f"""{postings_cte(src_sql)},
+ntri AS (SELECT ref, COUNT(*) AS ntri FROM postings GROUP BY ref),
+hist AS (SELECT trigram, COUNT(*) AS n FROM postings GROUP BY trigram),
+ranked AS (SELECT p.ref, p.trigram,
+           row_number() OVER (PARTITION BY p.ref ORDER BY h.n, p.trigram) AS rk
+           FROM postings p JOIN hist h USING (trigram)),
+keys AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
+khist AS (SELECT trigram, COUNT(*) AS n FROM keys GROUP BY trigram),
+keys_kept AS (SELECT k.ref, k.trigram FROM keys k JOIN khist h USING (trigram)
+              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
+         FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
+         WHERE k1.ref < k2.ref),
+score AS (SELECT c.a, c.b, COUNT(*) AS matches
+          FROM cand c JOIN postings p1 ON p1.ref = c.a
+                      JOIN postings p2 ON p2.ref = c.b AND p2.trigram = p1.trigram
+          GROUP BY c.a, c.b),
+edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
+          FROM score s JOIN ntri na ON na.ref = s.a JOIN ntri nb ON nb.ref = s.b
+          WHERE s.matches >= {cfg.min_matches}
+            AND s.matches * {_rel(cfg)[1]} >= {_rel(cfg)[0]} * LEAST(na.ntri, nb.ntri))"""
+
+
+def sql_candidate_pairs_docs(cfg: ERConfig = DEFAULT) -> str:
+    return f"WITH {pairs_cte(DOCS_SRC, cfg)} SELECT a, b, matches FROM edges"
+
+
+def sql_er_clusters(transcripts_path: str, cfg: ERConfig = DEFAULT) -> str:
+    """Full ER: blocking + scoring + threshold + transitive closure."""
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src)
+SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                   THEN n.ref ELSE MIN(r.d) END AS cluster_id
+FROM nodes n LEFT JOIN reach r ON r.s = n.ref
+GROUP BY n.ref"""
+
+
+def sql_exact_dedup_docs() -> str:
+    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def sql_token_count_docs() -> str:
+    return (f"SELECT doc_id, CAST(length({TOKS.format(col='text')}) AS BIGINT) "
+            f"AS n_tokens FROM documents")
+
+
+def _stoplist_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def sql_quality_docs() -> str:
+    toks = TOKS.format(col="text")
+    return f"""WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(ws) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_token_len,
+  CAST(length(list_filter(ws, x -> list_contains({_stoplist_sql()}, lower(x)))) AS BIGINT) AS n_stop,
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+FROM t"""
+
+
+def sql_langid_docs() -> str:
+    toks = TOKS.format(col="text")
+    return f"""WITH t AS (SELECT doc_id, {toks} AS ws FROM documents),
+c AS (SELECT doc_id, length(ws) AS n_tok,
+      length(list_filter(ws, x -> list_contains({_stoplist_sql()}, lower(x)))) AS n_stop FROM t)
+SELECT doc_id, CASE WHEN n_tok > 0 AND n_stop * {LANGID_NUM} >= n_tok
+                    THEN 'en' ELSE 'unknown' END AS lang_pred FROM c"""
+
+
+def sql_fingerprint_docs(ngram: int = 5) -> str:
+    toks = TOKS.format(col="text")
+    return f"""WITH w AS (SELECT doc_id, trim(text) AS t, {toks} AS ws FROM documents),
+small AS (SELECT doc_id, md5(t) AS fingerprint FROM w WHERE length(ws) < {ngram}),
+big AS (SELECT doc_id, MIN(md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {ngram - 1}), ' '))) AS fingerprint
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - {ngram - 1})) AS i
+              FROM w WHERE length(ws) >= {ngram})
+        GROUP BY doc_id)
+SELECT * FROM small UNION ALL SELECT * FROM big"""
+
+
+def _shingle_cte(src: str = "documents", id_col: str = "doc_id") -> str:
+    """src → sh (ref, h): distinct md5_number-mod-p shingle hashes over
+    word {SHINGLE_NGRAM}-grams of the lowered text."""
+    toks = TOKS.format(col=f"lower(text)")
+    n = SHINGLE_NGRAM
+    return f"""w AS (SELECT {id_col} AS ref, {toks} AS ws FROM {src}),
+shs AS (
+  SELECT ref, array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {n - 1}), ' ') AS s
+  FROM (SELECT ref, ws, unnest(generate_series(1, length(ws) - {n - 1})) AS i
+        FROM w WHERE length(ws) >= {n})
+  UNION ALL
+  SELECT ref, array_to_string(ws, ' ') AS s FROM w WHERE length(ws) BETWEEN 1 AND {n - 1}
+),
+sh AS (SELECT DISTINCT ref, CAST(md5_number(s) % {MERSENNE61} AS BIGINT) AS h FROM shs)"""
+
+
+def sql_minhash_pairs_docs(seed: int = 42) -> str:
+    """MinHash → LSH bands → exact-Jaccard verify (mirrors stages/dedup.py
+    minhash_dedup_pairs)."""
+    a, b = minhash_params(NUM_PERM, seed)
+    perm_rows = ", ".join(f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+                          for i in range(NUM_PERM))
+    rpb = NUM_PERM // NUM_BANDS
+    return f"""WITH {_shingle_cte()},
+perms(perm, pa, pb) AS (VALUES {perm_rows}),
+sigs AS (SELECT sh.ref, p.perm,
+         CAST(MIN((p.pa * sh.h::HUGEINT + p.pb) % {MERSENNE61}) AS BIGINT) AS sig
+         FROM sh, perms p GROUP BY sh.ref, p.perm),
+allrefs AS (SELECT DISTINCT ref FROM w),
+sigfull AS (SELECT r.ref, p.perm,
+            COALESCE(s.sig, 0) AS sig
+            FROM allrefs r CROSS JOIN perms p
+            LEFT JOIN sigs s ON s.ref = r.ref AND s.perm = p.perm),
+bkeys AS (SELECT ref, band,
+          md5('b' || CAST(band AS VARCHAR) || '|' ||
+              string_agg(CAST(sig AS VARCHAR), '-' ORDER BY perm)) AS bkey
+          FROM (SELECT ref, perm // {rpb} AS band, perm, sig FROM sigfull)
+          GROUP BY ref, band),
+cand AS (SELECT DISTINCT b1.ref AS a, b2.ref AS b
+         FROM bkeys b1 JOIN bkeys b2 ON b1.bkey = b2.bkey AND b1.ref < b2.ref),
+inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand c JOIN sh s1 ON s1.ref = c.a
+                      JOIN sh s2 ON s2.ref = c.b AND s2.h = s1.h
+          GROUP BY c.a, c.b),
+sizes AS (SELECT ref, COUNT(*) AS n FROM sh GROUP BY ref)
+SELECT c.a, c.b, CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes za ON za.ref = c.a JOIN sizes zb ON zb.ref = c.b
+WHERE COALESCE(i.n_inter, 0) * {JACCARD_THRESHOLD_DEN}
+      >= (za.n + zb.n - COALESCE(i.n_inter, 0)) * {JACCARD_THRESHOLD_NUM}
+  AND (za.n + zb.n - COALESCE(i.n_inter, 0)) > 0"""
+
+
+def sql_simhash_docs() -> str:
+    toks = TOKS.format(col="lower(text)")
+    return f"""WITH w AS (SELECT doc_id, {toks} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
+tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+th AS (SELECT doc_id, c, CAST(md5_number(tk) % {1 << SIMHASH_BITS} AS BIGINT) AS h FROM tc),
+bits AS (SELECT doc_id, CAST(j AS INT) AS j,
+         SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN c ELSE -c END) AS sgn
+         FROM th, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(j)
+         GROUP BY doc_id, j),
+vals AS (SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         FROM bits GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(v.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id"""
+
+
+def sql_knn_embeddings(n_queries: int = 10, k: int = 10) -> str:
+    return f"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+sims AS (SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(e.embedding, q.qe), 6) AS cos
+         FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+           FROM sims)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def sql_embed_neardup(threshold: float = 0.95) -> str:
+    return f"""SELECT e1.vec_id AS a, e2.vec_id AS b
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}"""
+
+
+def sql_sessionize_events(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+d AS (SELECT user_id, us,
+      CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > {gap_us}
+           THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (SELECT user_id, us,
+      SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS session_idx FROM d)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_idx"""

@@ -192,35 +192,58 @@ def candidate_pairs(keys_ds, key_hist: np.ndarray, cfg: ERConfig = DEFAULT):
 
     salted = keys_ds.map_batches(salt, batch_format="pyarrow")
 
-    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
-                              "b": pd.Series([], dtype=df["ref"].dtype)})
-        gu = int(df["gu"].iloc[0]); gv = int(df["gv"].iloc[0])
+    def pairgen_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """All (key, gu, gv) groups of one hash partition, vectorized: sort
+        once, slice group runs, emit pairs per run with numpy."""
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
+                                 "b": pd.Series([], dtype=df["ref"].dtype)})
+        df = df.sort_values(["key", "gu", "gv"], kind="stable")
+        keys = df["key"].to_numpy()
+        gus = df["gu"].to_numpy()
+        gvs = df["gv"].to_numpy()
         refs = df["ref"].to_numpy()
         buckets = df["bucket"].to_numpy()
-        if gu == gv:
-            members = np.unique(refs[buckets == gu])
-            if len(members) < 2:
-                return empty
-            ia, ib = np.triu_indices(len(members), k=1)
-            a, b = members[ia], members[ib]
-        else:
-            left = np.unique(refs[buckets == gu])
-            right = np.unique(refs[buckets == gv])
-            if len(left) == 0 or len(right) == 0:
-                return empty
-            a = np.repeat(left, len(right))
-            b = np.tile(right, len(left))
-            swap = a > b
-            a, b = np.where(swap, b, a), np.where(swap, a, b)
-        return pd.DataFrame({"a": a, "b": b})
+        boundary = np.nonzero((keys[1:] != keys[:-1]) | (gus[1:] != gus[:-1])
+                              | (gvs[1:] != gvs[:-1]))[0] + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(df)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            gu, gv = gus[s], gvs[s]
+            r, bk = refs[s:e], buckets[s:e]
+            if gu == gv:
+                members = np.unique(r[bk == gu])
+                if len(members) < 2:
+                    continue
+                ia, ib = np.triu_indices(len(members), k=1)
+                a, b = members[ia], members[ib]
+            else:
+                left = np.unique(r[bk == gu])
+                right = np.unique(r[bk == gv])
+                if len(left) == 0 or len(right) == 0:
+                    continue
+                a = np.repeat(left, len(right))
+                b = np.tile(right, len(left))
+                swap = a > b
+                a, b = np.where(swap, b, a), np.where(swap, a, b)
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
+                                 "b": pd.Series([], dtype=df["ref"].dtype)})
+        # local dedupe cuts shuffle volume before the global distinct
+        out = pd.DataFrame({"a": np.concatenate(out_a),
+                            "b": np.concatenate(out_b)})
+        return out.drop_duplicates()
 
-    raw_pairs = salted.groupby(["key", "gu", "gv"]).map_groups(
-        pairgen, batch_format="pandas")
-    from ray.data.aggregate import Count
+    from blurrily_ray.stages.common import partitioned_map
 
-    pairs = raw_pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="bkeys"))  # distinct pairs + co-blocking-key count
+    raw_pairs = partitioned_map(salted, ["key", "gu", "gv"],
+                                pairgen_partition, n_parts=cfg.join_partitions)
+    pairs = partitioned_map(raw_pairs, ["a", "b"],
+                            lambda df: df.drop_duplicates(),
+                            n_parts=cfg.join_partitions)
     return pairs, skew_stats
 
 
@@ -312,15 +335,27 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
     return j.map_batches(score_joined, batch_format="pyarrow")
 
 
+def rel_fraction(cfg: ERConfig) -> tuple[int, int]:
+    """min_matches_rel as an exact integer fraction (num, den) — the
+    threshold compare must be integer arithmetic so this engine and the
+    DECIMAL-typed SQL oracle agree at exact boundaries (0.55 * 100 is
+    55.000000000000004 in binary floats)."""
+    from fractions import Fraction
+
+    f = Fraction(cfg.min_matches_rel).limit_denominator(10_000)
+    return f.numerator, f.denominator
+
+
 def threshold_edges(scored, cfg: ERConfig = DEFAULT):
     """Keep pairs whose exact score clears both the absolute floor and the
     relative floor (fraction of the smaller trigram set)."""
+    num, den = rel_fraction(cfg)
 
     def keep(batch: pa.Table) -> pa.Table:
         m = batch["matches"].to_numpy(zero_copy_only=False)
         lo = np.minimum(batch["ntri_a"].to_numpy(zero_copy_only=False),
                         batch["ntri_b"].to_numpy(zero_copy_only=False))
-        ok = (m >= cfg.min_matches) & (m >= cfg.min_matches_rel * lo)
+        ok = (m >= cfg.min_matches) & (m * den >= num * lo)
         return batch.filter(pa.array(ok))
 
     return scored.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data curation over a documents table.
+
+Design rule for oracle-checkability: every operator's *output* is integers
+and strings only (counts, not ratios) — ratios are derived by consumers.
+Integer outputs hash identically between this engine and a DuckDB oracle;
+float ratios would be hostage to rounding-mode differences.
+
+All operators are vectorized map_batches stages (pandas str kernels /
+hashlib); no shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Fixed stopword list (also inlined into the SQL oracles — keep in sync).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+# lang-id heuristic: English iff stopwords are ≥ 2% of tokens (integer
+# comparison n_stop * 50 >= n_tokens so the oracle can reproduce it exactly).
+LANGID_NUM = 50
+
+_TOKEN_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^a-zA-Z0-9\s]")
+
+
+def _tokens(series: pd.Series) -> pd.Series:
+    return series.fillna("").str.findall(_TOKEN_RE)
+
+
+def token_count(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_tokens): whitespace-delimited token count."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_tokens": _tokens(df[text_col]).str.len().astype(np.int64),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def quality_stats(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_chars, n_tokens, sum_token_len, n_stop, n_punct) — the raw
+    counts behind length / punctuation / stopword quality ratios."""
+    stop = set(STOPWORDS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        text = df[text_col].fillna("")
+        toks = _tokens(text)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_chars": text.str.len().astype(np.int64),
+            "n_tokens": toks.str.len().astype(np.int64),
+            "sum_token_len": toks.map(lambda ws: sum(len(w) for w in ws)).astype(np.int64),
+            "n_stop": toks.map(lambda ws: sum(w.lower() in stop for w in ws)).astype(np.int64),
+            "n_punct": text.str.count(_PUNCT_RE).astype(np.int64),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def langid(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, lang_pred): stopword-density n-gram-free heuristic — 'en' iff
+    n_stop * LANGID_NUM >= n_tokens (and there is at least one token)."""
+    stop = set(STOPWORDS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df[text_col])
+        n_tok = toks.str.len().astype(np.int64)
+        n_stop = toks.map(lambda ws: sum(w.lower() in stop for w in ws)).astype(np.int64)
+        pred = np.where((n_tok > 0) & (n_stop * LANGID_NUM >= n_tok), "en", "unknown")
+        return pd.DataFrame({id_col: df[id_col], "lang_pred": pred})
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def fingerprint(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                ngram: int = 5):
+    """(id, fingerprint): document fingerprint = the minimum md5 hex digest
+    over all word ``ngram``-grams (winnowing-style min-sampling); documents
+    with fewer than ``ngram`` tokens hash their whole trimmed text."""
+
+    def fp(text: str) -> str:
+        words = _TOKEN_RE.findall(text or "")
+        if len(words) < ngram:
+            return hashlib.md5((text or "").strip().encode()).hexdigest()
+        return min(
+            hashlib.md5(" ".join(words[i:i + ngram]).encode()).hexdigest()
+            for i in range(len(words) - ngram + 1))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col],
+                             "fingerprint": df[text_col].map(fp)})
+
+    return docs.map_batches(fn, batch_format="pandas")

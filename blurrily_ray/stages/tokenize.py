@@ -30,18 +30,20 @@ def assemble_docs(transcripts, *, id_col: str = "conv_id", order_col: str = "tur
     ``turn_idx`` order, space-separated (FIXTURES.md §1 — the normalizer
     collapses whitespace, so a single space is the canonical joiner).
 
-    One shuffle (groupby conv_id). Per-group work is a sort of 2–8 rows.
+    One coarse hash-partitioned shuffle (stages/common.py): conversations
+    are hashed into ~64 partitions and each partition concatenates all its
+    conversations vectorized — never one UDF call per conversation.
     """
+    from blurrily_ray.stages.common import partitioned_map
 
-    def one_conv(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_col, kind="stable")
-        return pd.DataFrame({
-            "ref": [df[id_col].iloc[0]],
-            "text": [" ".join(df[text_col].astype(str))],
-        })
+    def all_convs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, order_col], kind="stable")
+        g = df.groupby(id_col, sort=False)[text_col].agg(" ".join)
+        return pd.DataFrame({"ref": g.index.to_numpy(), "text": g.to_numpy()})
 
-    return transcripts.select_columns([id_col, order_col, text_col]) \
-        .groupby(id_col).map_groups(one_conv, batch_format="pandas")
+    return partitioned_map(
+        transcripts.select_columns([id_col, order_col, text_col]),
+        [id_col], all_convs)
 
 
 def _docsets_batch(batch: pa.Table, ref_col: str, text_col: str) -> pa.Table:
