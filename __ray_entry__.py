@@ -93,20 +93,21 @@ def _q_find(sf_dir: str):
 
 
 def _docs_edges(sf_dir: str):
-    from blurrily_ray.config import DEFAULT
+    from blurrily_ray.config import ERConfig
     from blurrily_ray.oracles import MAX_KEYS_PER_DOC
     from blurrily_ray.stages.pairs import (
         blocking_keys, candidate_pairs, key_histogram, score_pairs,
         threshold_edges, trigram_histogram)
     from blurrily_ray.stages.tokenize import docsets_from_docs
 
+    cfg = ERConfig(blocking_mode="trigram")  # matches sql_candidate_pairs_docs
     docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
                                 text_col="text").materialize()
     hist = trigram_histogram(docsets)
-    keys = blocking_keys(docsets, hist, DEFAULT,
+    keys = blocking_keys(docsets, hist, cfg,
                          max_keys_per_doc=MAX_KEYS_PER_DOC).materialize()
-    pairs, _ = candidate_pairs(keys, key_histogram(keys), DEFAULT)
-    return threshold_edges(score_pairs(pairs, docsets, DEFAULT), DEFAULT)
+    pairs, _ = candidate_pairs(keys, key_histogram(keys), cfg)
+    return threshold_edges(score_pairs(pairs, docsets, cfg), cfg)
 
 
 def _q_pairs(sf_dir: str):

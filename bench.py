@@ -1,0 +1,150 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with num_cpus=$RAY_GRAFT_CPUS (default 32) and print
+ONE JSON line with per-query seconds.
+
+--scaling: run the headline ER job twice in FRESH processes at 8 and 32
+CPUs on identical input and report throughput at both plus scaling
+efficiency = (tp_32 / tp_8) / (32 / 8) — the sandbox stand-in for the
+north_rule's N → 4N-node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from blurrily_ray.pipelines.er import run_er_from_paths
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    paths = ensure_transcripts(sf)
+    n_turns = pq.ParquetFile(paths["transcripts"]).metadata.num_rows
+
+    queries: dict[str, float] = {}
+
+    # headline: full ER (blocking + salted pair-gen + exact scoring +
+    # threshold + connected components) over the transcript table
+    t0 = time.perf_counter()
+    res = run_er_from_paths(paths["transcripts"])
+    n_docs = res["clusters"].count()
+    er_sec = time.perf_counter() - t0
+    queries["er_full"] = round(er_sec, 3)
+
+    if os.environ.get("GRAFT_BENCH_ER_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "er_wall_sec", "value": round(er_sec, 3), "unit": "sec",
+            "queries": queries, "sf": sf, "num_cpus": num_cpus,
+            "turns": int(n_turns), "docs": int(n_docs),
+            "turns_per_sec": round(n_turns / er_sec, 1),
+        }
+
+    # index build + find over the documents table (reference verbs)
+    import ray.data as rd
+
+    from blurrily_ray.stages.index import build_postings, find_triples
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    postings = build_postings(docs, ref_col="doc_id", text_col="text").materialize()
+    queries["index_build"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    find_triples(postings, "customer query batch window", 10)
+    queries["find"] = round(time.perf_counter() - t0, 3)
+
+    from blurrily_ray.stages.dedup import minhash_dedup_pairs
+
+    t0 = time.perf_counter()
+    minhash_dedup_pairs(docs).count()
+    queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    from blurrily_ray.stages.simsearch import knn_brute
+
+    t0 = time.perf_counter()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    knn_brute(emb, query_ids=range(10), k=10).count()
+    queries["knn"] = round(time.perf_counter() - t0, 3)
+
+    from blurrily_ray.stages.windows import sessionize
+
+    t0 = time.perf_counter()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sessionize(ev).count()
+    queries["sessionize"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "er_wall_sec",
+        "value": round(er_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": int(n_turns),
+        "docs": int(n_docs),
+        "turns_per_sec": round(n_turns / er_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
+    # Scaling is measured on a larger synthetic input (default sf=0.3,
+    # ~540k turns) so per-stage fixed costs don't mask the compute scaling;
+    # both runs are fresh processes over the identical cached input.
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.3"))
+    from blurrily_ray.sources.synth import ensure_transcripts
+
+    ensure_transcripts(scaling_sf)  # generate once, shared by both children
+    results = {}
+    for n in cpus:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf:g}",
+                   GRAFT_BENCH_ER_ONLY="1")
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, timeout=1800)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    lo, hi = cpus
+    tp_lo = results[lo]["turns_per_sec"]
+    tp_hi = results[hi]["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": results[lo]["sf"],
+        "cpus_low": lo, "cpus_high": hi,
+        "turns_per_sec_low": tp_lo, "turns_per_sec_high": tp_hi,
+        "er_sec_low": results[lo]["value"], "er_sec_high": results[hi]["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

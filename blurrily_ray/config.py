@@ -16,6 +16,20 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class ERConfig:
     # --- blocking (stages/pairs.py) ---
+    # 'trigram': each doc's rarest single trigrams are the blocking keys
+    #   (reference-faithful; key space 28³ = 21,952 saturates at corpus
+    #   scale — every key goes hot and candidate volume turns quadratic).
+    # 'trigram_pair': blocking key = an ordered PAIR of the doc's
+    #   pair_rarest rarest trigrams (C(R,2) keys/doc; key space 28⁶/2 ≈
+    #   2.4·10⁸). Two docs collide only when they share BOTH trigrams of a
+    #   key, so collisions ≈ true matches — candidate volume stays linear
+    #   in the corpus. This is the 10^12-turn path.
+    blocking_mode: str = "trigram_pair"
+    # R rarest trigrams per doc → C(R,2) composite keys. R=10 keeps pair
+    # recall ≈ 1 for near-duplicate docs (their rare lists overlap ≫ 2)
+    # while random two-trigram collisions scale ~R⁴ — R=15 tripled the
+    # candidate count for zero extra recall on the synth corpus.
+    pair_rarest: int = 10
     # Max posting-list length of a trigram before it is salted into buckets.
     # A block of m refs yields m(m-1)/2 candidate pairs; cap bounds that.
     block_cap: int = 64

@@ -97,20 +97,34 @@ ORDER BY matches DESC, weight ASC, ref ASC LIMIT {limit}"""
 def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
               max_keys: int = MAX_KEYS_PER_DOC) -> str:
     """postings → thresholded candidate pair CTE chain (mirrors
-    stages/pairs.py: rarest-key blocking + stoplist + exact rescoring)."""
+    stages/pairs.py: rarest-key blocking + stoplist + exact rescoring).
+    Handles both blocking modes (config.py)."""
+    if cfg.blocking_mode == "trigram_pair":
+        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.pair_rarest}),
+comp AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
+         FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
+                                     AND k1.trigram < k2.trigram),
+khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
+keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
+              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
+         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+         WHERE k1.ref < k2.ref),"""
+    else:
+        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
+khist AS (SELECT trigram, COUNT(*) AS n FROM keysq GROUP BY trigram),
+keys_kept AS (SELECT k.ref, k.trigram FROM keysq k JOIN khist h USING (trigram)
+              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
+         FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
+         WHERE k1.ref < k2.ref),"""
     return f"""{postings_cte(src_sql)},
 ntri AS (SELECT ref, COUNT(*) AS ntri FROM postings GROUP BY ref),
 hist AS (SELECT trigram, COUNT(*) AS n FROM postings GROUP BY trigram),
 ranked AS (SELECT p.ref, p.trigram,
            row_number() OVER (PARTITION BY p.ref ORDER BY h.n, p.trigram) AS rk
            FROM postings p JOIN hist h USING (trigram)),
-keys AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
-khist AS (SELECT trigram, COUNT(*) AS n FROM keys GROUP BY trigram),
-keys_kept AS (SELECT k.ref, k.trigram FROM keys k JOIN khist h USING (trigram)
-              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
-         FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
-         WHERE k1.ref < k2.ref),
+{keys_part}
 score AS (SELECT c.a, c.b, COUNT(*) AS matches
           FROM cand c JOIN postings p1 ON p1.ref = c.a
                       JOIN postings p2 ON p2.ref = c.b AND p2.trigram = p1.trigram
@@ -121,7 +135,13 @@ edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
             AND s.matches * {_rel(cfg)[1]} >= {_rel(cfg)[0]} * LEAST(na.ntri, nb.ntri))"""
 
 
-def sql_candidate_pairs_docs(cfg: ERConfig = DEFAULT) -> str:
+TRIGRAM_MODE = ERConfig(blocking_mode="trigram")
+
+
+def sql_candidate_pairs_docs(cfg: ERConfig = TRIGRAM_MODE) -> str:
+    """documents is small (500 docs) — exercises the reference-faithful
+    single-trigram blocking incl. its salting; the scale pipeline
+    (er_clusters) uses trigram_pair mode."""
     return f"WITH {pairs_cte(DOCS_SRC, cfg)} SELECT a, b, matches FROM edges"
 
 

@@ -64,36 +64,49 @@ def _u64_of_refs(refs: np.ndarray) -> np.ndarray:
                        count=len(refs))
 
 
+def _sum_vector_rows(ds_vectors) -> np.ndarray:
+    """Stream fixed-size count vectors (one per input batch) to the driver
+    and sum — rows ≈ n_blocks, each 21,952 ints, so this is a combiner tree
+    with a driver root, never a data shuffle."""
+    hist = np.zeros(NUM_TRIGRAMS, dtype=np.int64)
+    for batch in ds_vectors.iter_batches(batch_size=256, batch_format="pyarrow"):
+        vecs = batch["v"].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        hist += flat.reshape(-1, NUM_TRIGRAMS).sum(axis=0)
+    return hist
+
+
 def trigram_histogram(docsets) -> np.ndarray:
     """Exact global trigram → doc-count histogram (21,952 bins).
 
-    Partial bincount inside map_batches (combiner), then one tiny groupby
-    over ≤ 21,952 × n_batches sparse rows — never a full-postings shuffle.
+    Per-batch bincount emits ONE fixed-size vector row (combiner); the
+    driver sums the ≤ n_blocks vectors. A Ray groupby here would shuffle
+    and sort millions of sparse rows for a histogram that fits in 172 KB.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         tris = batch["tris"].combine_chunks()
         codes = tris.flatten().to_numpy(zero_copy_only=False)
-        counts = np.bincount(codes, minlength=NUM_TRIGRAMS)
-        nz = np.nonzero(counts)[0]
-        return pa.table({"trigram": pa.array(nz.astype(np.int32)),
-                         "n": pa.array(counts[nz].astype(np.int64))})
+        counts = np.bincount(codes, minlength=NUM_TRIGRAMS).astype(np.int64)
+        return pa.table({"v": pa.array([counts], type=pa.list_(pa.int64()))})
 
-    from ray.data.aggregate import Sum
-
-    rows = docsets.map_batches(partial, batch_format="pyarrow") \
-        .groupby("trigram").aggregate(Sum("n", alias_name="n")).take_all()
-    hist = np.zeros(NUM_TRIGRAMS, dtype=np.int64)
-    for r in rows:
-        hist[int(r["trigram"])] = int(r["n"])
-    return hist
+    return _sum_vector_rows(
+        docsets.map_batches(partial, batch_size=4096, batch_format="pyarrow"))
 
 
 def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
                   max_keys_per_doc: int = 40):
     """docsets → (key:int32, ref) emissions: per doc, its globally-rarest
-    trigrams (all rare ones up to ``max_keys_per_doc``, rarest first)."""
+    trigrams (all rare ones up to ``max_keys_per_doc``, rarest first).
+
+    In ``trigram_pair`` mode the key is the composite of TWO of the doc's
+    ``cfg.pair_rarest`` rarest trigrams, encoded ``t1 * 21952 + t2``
+    (t1 < t2): C(R,2) keys per doc over a 28⁶/2 key space, so unrelated
+    docs almost never collide (config.py rationale). Keys are int64 in
+    both modes."""
     hist_ref = ray.put(hist)
+    pair_mode = cfg.blocking_mode == "trigram_pair"
+    n_sel = cfg.pair_rarest if pair_mode else max_keys_per_doc
 
     def emit(batch: pa.Table) -> pa.Table:
         h = _cached_get(hist_ref)
@@ -110,15 +123,20 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
             pos += c
             if c == 0:
                 continue
-            if c > max_keys_per_doc:
-                order = np.lexsort((k, f))[:max_keys_per_doc]
-                k = k[order]
+            if c > n_sel:
+                order = np.lexsort((k, f))[:n_sel]
+                k = np.sort(k[order])
+            if pair_mode:
+                if len(k) < 2:
+                    continue
+                ia, ib = np.triu_indices(len(k), k=1)
+                k = k[ia] * np.int64(NUM_TRIGRAMS) + k[ib]
             out_keys.append(k)
             out_idx.append(np.full(len(k), i, dtype=np.int64))
         if not out_keys:
-            return pa.table({"key": pa.array([], type=pa.int32()),
+            return pa.table({"key": pa.array([], type=pa.int64()),
                              "ref": pa.array([], type=batch["ref"].type)})
-        keys = np.concatenate(out_keys).astype(np.int32)
+        keys = np.concatenate(out_keys).astype(np.int64)
         idx = np.concatenate(out_idx)
         return pa.table({"key": pa.array(keys),
                          "ref": batch["ref"].take(pa.array(idx))})
@@ -126,51 +144,78 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
     return docsets.map_batches(emit, batch_format="pyarrow")
 
 
-def key_histogram(keys_ds) -> np.ndarray:
-    """Histogram of *emitted* blocking keys (same combiner pattern)."""
+def key_histogram(keys_ds):
+    """Sparse histogram of *emitted* blocking keys that can collide
+    (count ≥ 2): returns (keys:int64 sorted, counts:int64). Keys emitted
+    once can neither pair nor need salting, so they never reach the driver
+    — the result is sized by *collisions*, not by the key space (essential
+    in trigram_pair mode where the space is 2.4·10⁸)."""
+    from blurrily_ray.stages.common import partitioned_map
 
-    def partial(batch: pa.Table) -> pa.Table:
-        codes = batch["key"].to_numpy(zero_copy_only=False)
-        counts = np.bincount(codes, minlength=NUM_TRIGRAMS)
-        nz = np.nonzero(counts)[0]
-        return pa.table({"trigram": pa.array(nz.astype(np.int32)),
-                         "n": pa.array(counts[nz].astype(np.int64))})
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["key"].value_counts()
+        vc = vc[vc >= 2]
+        return pd.DataFrame({"key": vc.index.to_numpy(dtype=np.int64),
+                             "n": vc.to_numpy(dtype=np.int64)})
 
-    from ray.data.aggregate import Sum
+    kparts, nparts = [], []
+    for batch in partitioned_map(keys_ds, ["key"], count_part).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        kparts.append(batch["key"].to_numpy(zero_copy_only=False))
+        nparts.append(batch["n"].to_numpy(zero_copy_only=False))
+    if not kparts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = np.concatenate(kparts).astype(np.int64)
+    counts = np.concatenate(nparts).astype(np.int64)
+    order = np.argsort(keys)
+    return keys[order], counts[order]
 
-    rows = keys_ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("trigram").aggregate(Sum("n", alias_name="n")).take_all()
-    hist = np.zeros(NUM_TRIGRAMS, dtype=np.int64)
-    for r in rows:
-        hist[int(r["trigram"])] = int(r["n"])
-    return hist
+
+def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
+    """(sorted keys, per-key bucket counts s) for collidable keys:
+    s = 1 (plain), >1 (salted into s buckets), 0 (stoplisted / dropped).
+    Accepts the sparse (keys, counts) pair or a legacy dense array."""
+    if isinstance(key_hist, np.ndarray):  # dense 21,952-bin form
+        keys = np.nonzero(key_hist >= 2)[0].astype(np.int64)
+        counts = key_hist[keys]
+    else:
+        keys, counts = key_hist
+    cap = cfg.block_cap
+    s = np.ceil(counts / cap).astype(np.int64)
+    s[counts <= cap] = 1
+    dropped = counts > cap * cfg.salt_factor_max
+    s[dropped] = 0
+    stats = {
+        "keys_total": int(len(keys)),
+        "keys_salted": int((s > 1).sum()),
+        "keys_dropped": int(dropped.sum()),
+        "emissions_dropped": int(counts[dropped].sum()),
+    }
+    return keys, s, stats
 
 
-def candidate_pairs(keys_ds, key_hist: np.ndarray, cfg: ERConfig = DEFAULT):
+def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT):
     """(key, ref) emissions → distinct candidate (a, b) pairs, a < b.
 
     Returns (pairs_ds, skew_stats). Hot keys are salted into bucket pairs;
     super-hot keys are dropped and counted in skew_stats.
     """
-    cap = cfg.block_cap
-    salts = np.ceil(key_hist / cap).astype(np.int64)  # buckets per key
-    salts[key_hist <= cap] = 1
-    dropped = key_hist > cap * cfg.salt_factor_max
-    salts[dropped] = 0
-    skew_stats = {
-        "keys_total": int((key_hist > 0).sum()),
-        "keys_salted": int(((salts > 1)).sum()),
-        "keys_dropped": int(dropped.sum()),
-        "emissions_dropped": int(key_hist[dropped].sum()),
-    }
-    salts_ref = ray.put(salts)
+    plan_keys, plan_s, skew_stats = salt_plan(key_hist, cfg)
+    salts_ref = ray.put((plan_keys, plan_s))
 
     def salt(batch: pa.Table) -> pa.Table:
-        s_arr = _cached_get(salts_ref)
+        p_keys, p_s = _cached_get(salts_ref)
         keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         refs = batch["ref"]
-        s = s_arr[keys]
-        keep = s > 0
+        if len(p_keys) == 0:
+            keep = np.zeros(len(keys), dtype=bool)
+            s = keys[:0]
+        else:
+            idx = np.searchsorted(p_keys, keys)
+            idx[idx >= len(p_keys)] = 0
+            found = p_keys[idx] == keys
+            s = np.where(found, p_s[idx], 0)
+            keep = s > 0
         keys, s = keys[keep], s[keep]
         refs = refs.filter(pa.array(keep))
         bucket = (_u64_of_refs(np.asarray(refs)) % s.astype(np.uint64)).astype(np.int64)
@@ -183,7 +228,7 @@ def candidate_pairs(keys_ds, key_hist: np.ndarray, cfg: ERConfig = DEFAULT):
         gu = np.minimum(u, v)
         gv = np.maximum(u, v)
         return pa.table({
-            "key": pa.array(keys[ridx].astype(np.int32)),
+            "key": pa.array(keys[ridx]),
             "gu": pa.array(gu.astype(np.int32)),
             "gv": pa.array(gv.astype(np.int32)),
             "bucket": pa.array(u.astype(np.int32)),
@@ -247,22 +292,78 @@ def candidate_pairs(keys_ds, key_hist: np.ndarray, cfg: ERConfig = DEFAULT):
     return pairs, skew_stats
 
 
-def _docsets_lookup(docsets) -> dict:
-    """Driver-side {ref: (codes ndarray, ntri, weight)} for broadcast mode."""
-    lut = {}
-    for batch in docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
-            .iter_batches(batch_size=8192, batch_format="pyarrow"):
-        tris = batch["tris"].combine_chunks()
-        offsets = tris.offsets.to_numpy()
-        codes = tris.flatten().to_numpy(zero_copy_only=False)
-        refs = batch["ref"].to_pylist()
-        ntri = batch["ntri"].to_numpy(zero_copy_only=False)
-        wt = batch["weight"].to_numpy(zero_copy_only=False)
-        base = offsets[0]
-        for i, r in enumerate(refs):
-            lut[r] = (codes[offsets[i] - base:offsets[i + 1] - base],
-                      int(ntri[i]), int(wt[i]))
-    return lut
+_POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.uint16)
+_BITSET_BYTES = (NUM_TRIGRAMS + 7) // 8  # 2744
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a (n, _BITSET_BYTES) uint8 array via SWAR on
+    uint64 words — pure elementwise vector ops, no table gather."""
+    w = x.reshape(len(x), -1).view(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    w = w - ((w >> np.uint64(1)) & m1)
+    w = (w & m2) + ((w >> np.uint64(2)) & m2)
+    w = (w + (w >> np.uint64(4))) & m4
+    return ((w * h) >> np.uint64(56)).sum(axis=1).astype(np.int64)
+
+
+def _bitset_batch(batch: pa.Table) -> pa.Table:
+    """(ref, tris, …) → (ref, bits: fixed 2,744-byte bitset, ntri, weight).
+    Runs distributed inside map_batches; bit scatter via flat-index sort
+    (bitwise_or.at is an order of magnitude slower)."""
+    tris = batch["tris"].combine_chunks()
+    offsets = tris.offsets.to_numpy()
+    codes = tris.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(batch)
+    counts = np.diff(offsets)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = np.zeros(n * _BITSET_BYTES, dtype=np.uint8)
+    pos = row_idx * _BITSET_BYTES + (codes >> 3)
+    val = np.uint8(1) << (codes & 7).astype(np.uint8)
+    # codes are sorted & distinct per row → byte positions repeat at most
+    # 8×; fold with bitwise-or via 8 masked assignments
+    for _ in range(8):
+        first = np.ones(len(pos), dtype=bool)
+        first[1:] = pos[1:] != pos[:-1]
+        flat[pos[first]] |= val[first]
+        pos, val = pos[~first], val[~first]
+        if not len(pos):
+            break
+    return pa.table({
+        "ref": batch["ref"],
+        "bits": pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(_BITSET_BYTES), n, [None, pa.py_buffer(flat.tobytes())]),
+        "ntri": batch["ntri"].cast(pa.int64()),
+        "weight": batch["weight"].cast(pa.int64()),
+    })
+
+
+def _docsets_bitsets(docsets):
+    """Broadcast payload: per-doc trigram BITSETS (21,952 bits each) plus
+    ntri/weight arrays and a ref → row index map. Bitsets are built
+    DISTRIBUTED (map_batches); the driver only concatenates fixed-size
+    byte rows. Intersection size = popcount(AND) — vectorized byte ops."""
+    refs, ntris, wts, rows = [], [], [], []
+    ds = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
+        .map_batches(_bitset_batch, batch_format="pyarrow")
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        bits_col = batch["bits"].combine_chunks()
+        buf = np.frombuffer(bits_col.buffers()[1], dtype=np.uint8)
+        start = bits_col.offset * _BITSET_BYTES
+        rows.append(buf[start:start + len(batch) * _BITSET_BYTES]
+                    .reshape(len(batch), _BITSET_BYTES))
+        refs.extend(batch["ref"].to_pylist())
+        ntris.append(batch["ntri"].to_numpy(zero_copy_only=False))
+        wts.append(batch["weight"].to_numpy(zero_copy_only=False))
+    bits = np.concatenate(rows) if rows else np.zeros((0, _BITSET_BYTES), np.uint8)
+    index = {r: i for i, r in enumerate(refs)}
+    return (index, bits,
+            np.concatenate(ntris).astype(np.int64) if ntris else np.empty(0, np.int64),
+            np.concatenate(wts).astype(np.int64) if wts else np.empty(0, np.int64))
 
 
 def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
@@ -278,29 +379,27 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
         mode = "broadcast" if est <= cfg.broadcast_limit_bytes else "join"
 
     if mode == "broadcast":
-        lut_ref = ray.put(_docsets_lookup(docsets))
+        lut_ref = ray.put(_docsets_bitsets(docsets))
 
         def score(batch: pa.Table) -> pa.Table:
-            lut = _cached_get(lut_ref)
+            index, bits, ntri, wts = _cached_get(lut_ref)
             a = batch["a"].to_pylist()
             b = batch["b"].to_pylist()
-            m = np.empty(len(a), dtype=np.int64)
-            na = np.empty(len(a), dtype=np.int64)
-            nb = np.empty(len(a), dtype=np.int64)
-            wa = np.empty(len(a), dtype=np.int64)
-            wb = np.empty(len(a), dtype=np.int64)
-            for i in range(len(a)):
-                ca, nta, wta = lut[a[i]]
-                cb, ntb, wtb = lut[b[i]]
-                m[i] = np.intersect1d(ca, cb, assume_unique=True).size
-                na[i], nb[i], wa[i], wb[i] = nta, ntb, wta, wtb
+            ia = np.fromiter((index[x] for x in a), dtype=np.int64, count=len(a))
+            ib = np.fromiter((index[x] for x in b), dtype=np.int64, count=len(b))
+            m = _popcount_rows(np.bitwise_and(bits[ia], bits[ib]))
             return pa.table({
                 "a": batch["a"], "b": batch["b"],
-                "matches": pa.array(m), "ntri_a": pa.array(na),
-                "ntri_b": pa.array(nb), "weight_a": pa.array(wa),
-                "weight_b": pa.array(wb)})
+                "matches": pa.array(m),
+                "ntri_a": pa.array(ntri[ia]), "ntri_b": pa.array(ntri[ib]),
+                "weight_a": pa.array(wts[ia]), "weight_b": pa.array(wts[ib])})
 
-        return pairs.map_batches(score, batch_format="pyarrow")
+        # pairs arrive in a handful of big groupby output blocks; split so
+        # the scoring map has ≥ one task per core (block count = task count)
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        pairs = pairs.repartition(max(64, 4 * n_cpus))
+        return pairs.map_batches(score, batch_size=16384,
+                                 batch_format="pyarrow")
 
     # scale path: two-sided hash join on ref
     side = docsets.select_columns(["ref", "tris", "ntri", "weight"])

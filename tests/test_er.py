@@ -88,13 +88,16 @@ def test_salting_preserves_pairs(sf0001_paths):
 
     ts = ray.data.read_parquet(sf0001_paths["transcripts"],
                                columns=["conv_id", "turn_idx", "text"])
+    tri = ERConfig(blocking_mode="trigram")  # single-trigram keys go hot
     docsets = docsets_from_docs(assemble_docs(ts)).materialize()
     hist = trigram_histogram(docsets)
-    keys = blocking_keys(docsets, hist, ERConfig(), max_keys_per_doc=10).materialize()
+    keys = blocking_keys(docsets, hist, tri, max_keys_per_doc=10).materialize()
     khist = key_histogram(keys)
 
-    big = ERConfig(block_cap=10_000, salt_factor_max=10_000)
-    small = ERConfig(block_cap=4, salt_factor_max=10_000)
+    big = ERConfig(blocking_mode="trigram", block_cap=10_000,
+                   salt_factor_max=10_000)
+    small = ERConfig(blocking_mode="trigram", block_cap=4,
+                     salt_factor_max=10_000)
     p_big, s_big = candidate_pairs(keys, khist, big)
     p_small, s_small = candidate_pairs(keys, khist, small)
     set_big = {(r["a"], r["b"]) for r in p_big.take_all()}
