@@ -37,10 +37,11 @@ def write_checkpoint(ds, path: str, *, kind: str = "data",
                      lineage: dict | None = None) -> str:
     """Materialize ``ds`` at ``path`` atomically; returns ``path``."""
     tmp = f"{path}.tmp.{os.getpid()}"
-    for p in (tmp, path):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     data_dir = os.path.join(tmp, "data")
+    # write the new data BEFORE touching the old checkpoint: ``ds`` may be
+    # a lazy pipeline that reads from ``path`` itself (delete-and-resave)
     ds.write_parquet(data_dir)
     schema = [f for f in (pq.read_schema(f) for f in glob.glob(
         os.path.join(data_dir, "*.parquet"))[:1])]
@@ -54,6 +55,8 @@ def write_checkpoint(ds, path: str, *, kind: str = "data",
     }
     with open(os.path.join(tmp, MANIFEST), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    if os.path.exists(path):
+        shutil.rmtree(path)
     os.rename(tmp, path)  # the atomic commit (storage.c:371-374)
     return path
 

@@ -1,0 +1,188 @@
+"""Tests for the graft-added training-data operators (dedup, similarity
+search, text stats, sessionization, multimodal plumbing)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"},  # exact dup of 1
+        {"doc_id": 3, "text": "the quick brown fox leaps over the lazy dog"},  # near dup of 1
+        {"doc_id": 4, "text": "completely different content about ray data pipelines"},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": "short one"},
+        {"doc_id": 7, "text": "streaming execution moves blocks of arrow data "
+                              "through the object store with backpressure and spilling"},
+        {"doc_id": 8, "text": "streaming execution moves blocks of arrow data "
+                              "through the object store with compression and spilling"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(docs):
+    from blurrily_ray.stages.dedup import exact_dedup
+
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).take_all())
+    assert kept == [1, 3, 4, 5, 6, 7, 8]  # 2 deduped into 1
+
+
+def test_minhash_near_dup(docs):
+    from blurrily_ray.stages.dedup import minhash_dedup_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(docs).take_all()}
+    assert (1, 2) in pairs  # exact dup always survives
+    assert (7, 8) in pairs  # one-word-change near dup (Jaccard > 1/2)
+    assert (1, 3) not in pairs  # 1-word change in a 9-word doc: Jaccard 0.4 < gate
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_matches_bruteforce_jaccard(docs):
+    """LSH candidates that survive verification must carry the true
+    shingle-set Jaccard counts (checked against a direct computation)."""
+    from blurrily_ray.stages.dedup import _shingle_hashes, minhash_dedup_pairs
+
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    for r in minhash_dedup_pairs(docs).take_all():
+        sa = set(_shingle_hashes(texts[r["a"]]).tolist())
+        sb = set(_shingle_hashes(texts[r["b"]]).tolist())
+        assert r["n_inter"] == len(sa & sb)
+        assert r["n_union"] == len(sa | sb)
+        assert 2 * r["n_inter"] >= r["n_union"]
+
+
+def test_simhash_near_dup_close(docs):
+    from blurrily_ray.stages.dedup import simhash
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).take_all()}
+    assert h[1] == h[2]  # identical text → identical simhash
+    near = bin(h[1] ^ h[3]).count("1")
+    far = bin(h[1] ^ h[4]).count("1")
+    assert near < far  # near-dup is closer in hamming space
+    assert h[5] == 0
+
+
+def test_knn_and_neardup_embeddings():
+    from blurrily_ray.stages.simsearch import knn_brute, lsh_neardup_pairs, neardup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[7] = base[3] + 0.01 * rng.standard_normal(16).astype(np.float32)  # planted near-dup
+    emb = ray.data.from_items(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)])
+
+    knn = [r for r in knn_brute(emb, query_ids=[3], k=5).take_all()]
+    assert [r["rank"] for r in sorted(knn, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    assert all(r["neighbor_id"] != 3 for r in knn)  # self excluded
+    top = min(knn, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 7  # planted neighbor is rank 1
+
+    nd = {(r["a"], r["b"]) for r in neardup_pairs(emb, threshold=0.95).take_all()}
+    assert nd == {(3, 7)}
+
+    # LSH variant finds the planted pair too (same-bucket near-identical vecs)
+    lsh = {(r["a"], r["b"])
+           for r in lsh_neardup_pairs(emb, threshold=0.95, dim=16).take_all()}
+    assert (3, 7) in lsh
+
+
+def test_textstats(docs):
+    from blurrily_ray.stages.textstats import langid, quality_stats, token_count
+
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).take_all()}
+    assert tc[1] == 9 and tc[5] == 0 and tc[6] == 2
+
+    q = {r["doc_id"]: r for r in quality_stats(docs).take_all()}
+    assert q[1]["n_stop"] == 2  # 'the' twice
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["sum_token_len"] == sum(len(w) for w in
+                                        "the quick brown fox jumps over the lazy dog".split())
+    assert q[5]["n_chars"] == 0
+
+    lang = {r["doc_id"]: r["lang_pred"] for r in langid(docs).take_all()}
+    assert lang[1] == "en" and lang[5] == "unknown"
+
+
+def test_fingerprint(docs):
+    from blurrily_ray.stages.textstats import fingerprint
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).take_all()}
+    assert fp[1] == fp[2]  # identical docs → identical fingerprint
+    assert fp[6] == hashlib.md5(b"short one").hexdigest()  # <5 words → whole text
+    assert len(fp[1]) == 32
+
+
+def test_sessionize():
+    from datetime import datetime, timedelta
+
+    from blurrily_ray.stages.windows import sessionize
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    for u, offsets in [(1, [0, 5, 10, 120, 125]), (2, [0, 200])]:
+        for m in offsets:
+            rows.append({"user_id": u, "ts": t0 + timedelta(minutes=m)})
+    out = sessionize(ray.data.from_items(rows), gap_minutes=30).take_all()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r["session_idx"])
+    assert [r["n_events"] for r in u1] == [3, 2]  # gap at 10→120 splits
+    assert len(by_user[2]) == 2
+
+
+def test_multimodal_actor_pool(docs):
+    from blurrily_ray.stages.multimodal import (
+        attach_binary_payload, extract_image_features)
+
+    media = attach_binary_payload(docs)
+    out = extract_image_features(media, concurrency=(1, 2), batch_size=3).take_all()
+    assert len(out) == 8
+    for r in out:
+        assert 64 <= r["width"] <= 319 and len(r["feature"]) == 8
+    # deterministic: same payload → same features
+    a = {r["doc_id"]: tuple(r["feature"]) for r in out}
+    b = {r["doc_id"]: tuple(r["feature"])
+         for r in extract_image_features(attach_binary_payload(docs)).take_all()}
+    assert a == b
+
+
+def test_validators():
+    from blurrily_ray.functions.validators import (
+        ValidationError, check_db_name, check_limit, check_needle,
+        check_numeric_ref, check_weight)
+
+    check_needle("ok"); check_limit(10); check_numeric_ref(1)
+    check_weight(0); check_db_name("words_db")
+    for fn, bad in [(check_needle, ""), (check_needle, "a\tb"),
+                    (check_limit, 0), (check_limit, 2000),
+                    (check_numeric_ref, 0), (check_weight, -1),
+                    (check_db_name, "Nope"), (check_db_name, "")]:
+        with pytest.raises(ValidationError):
+            fn(bad)
+
+
+def test_index_group(tmp_path):
+    from blurrily_ray.namespaces import IndexGroup
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    docs = ray.data.from_items([{"ref": 123, "text": "london"}])
+    g.put_bulk("cities", docs)
+    assert g.find("cities", "london") == [[123, 7, 6]]
+    assert g.stats("cities") == {"references": 1, "trigrams": 7}
+    assert g.find("other", "london") == []  # lazy empty namespace
+    g.delete("cities", [123])
+    assert g.find("cities", "london") == []
+    g.clear("cities")
+    assert g.stats("cities") == {"references": 0, "trigrams": 0}
+    # isolation between names (map_group multi-db, integration_spec.rb:51-60)
+    g.put_bulk("a_db", ray.data.from_items([{"ref": 1, "text": "paris"}]))
+    g.put_bulk("b_db", ray.data.from_items([{"ref": 2, "text": "tokyo"}]))
+    assert g.find("a_db", "paris")[0][0] == 1
+    assert g.find("b_db", "paris") == []
