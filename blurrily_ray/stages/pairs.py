@@ -401,29 +401,35 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
         return pairs.map_batches(score, batch_size=16384,
                                  batch_format="pyarrow")
 
-    # scale path: two-sided hash join on ref
-    side = docsets.select_columns(["ref", "tris", "ntri", "weight"])
-    j = pairs.join(side.rename_columns({"ref": "a", "tris": "tris_a",
+    # scale path: two-sided hash join on ref. Arrow hash joins don't carry
+    # list payloads, so the trigram set travels as its fixed-size BITSET
+    # (plain binary, 2,744 bytes) and scoring stays popcount(AND).
+    side = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
+        .map_batches(_bitset_batch, batch_format="pyarrow") \
+        .map_batches(lambda t: t.set_column(
+            t.schema.get_field_index("bits"), "bits",
+            t["bits"].cast(pa.binary())), batch_format="pyarrow")
+    j = pairs.join(side.rename_columns({"ref": "a", "bits": "bits_a",
                                         "ntri": "ntri_a", "weight": "weight_a"}),
                    join_type="inner", on=("a",),
                    num_partitions=cfg.join_partitions)
-    j = j.join(side.rename_columns({"ref": "b", "tris": "tris_b",
+    j = j.join(side.rename_columns({"ref": "b", "bits": "bits_b",
                                     "ntri": "ntri_b", "weight": "weight_b"}),
                join_type="inner", on=("b",),
                num_partitions=cfg.join_partitions)
 
+    def _bits_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fixed = col.cast(pa.binary(_BITSET_BYTES))
+        buf = np.frombuffer(fixed.buffers()[1], dtype=np.uint8)
+        start = fixed.offset * _BITSET_BYTES
+        return buf[start:start + len(fixed) * _BITSET_BYTES] \
+            .reshape(len(fixed), _BITSET_BYTES)
+
     def score_joined(batch: pa.Table) -> pa.Table:
-        ta = batch["tris_a"].combine_chunks()
-        tb = batch["tris_b"].combine_chunks()
-        oa, ob = ta.offsets.to_numpy(), tb.offsets.to_numpy()
-        va = ta.flatten().to_numpy(zero_copy_only=False)
-        vb = tb.flatten().to_numpy(zero_copy_only=False)
-        m = np.empty(len(batch), dtype=np.int64)
-        ba, bb = oa[0], ob[0]
-        for i in range(len(batch)):
-            m[i] = np.intersect1d(va[oa[i] - ba:oa[i + 1] - ba],
-                                  vb[ob[i] - bb:ob[i + 1] - bb],
-                                  assume_unique=True).size
+        m = _popcount_rows(np.bitwise_and(_bits_matrix(batch["bits_a"]),
+                                          _bits_matrix(batch["bits_b"])))
         return pa.table({
             "a": batch["a"], "b": batch["b"], "matches": pa.array(m),
             "ntri_a": batch["ntri_a"].cast(pa.int64()),
