@@ -18,6 +18,9 @@ from typing import Any
 import pyarrow as pa
 
 FIND_NEEDLE = "customer query batch window"
+FIND_NEEDLES = ["customer query batch window", "custmer qeury bach windw",
+                "hash join", "vector scan filter", "ze row cop py arrow",
+                "table"]
 
 
 def _i64(ds):
@@ -90,6 +93,17 @@ def _q_find(sf_dir: str):
     from blurrily_ray.stages.index import find
 
     return _i64(find(_docs_postings(sf_dir), FIND_NEEDLE, 10))
+
+
+def _q_find_many(sf_dir: str):
+    from blurrily_ray.stages.index import find_many
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
+                                text_col="text")
+    out = find_many(docsets, FIND_NEEDLES, 10)
+    return _i64(out.select_columns(["needle", "rank", "ref", "matches",
+                                    "weight"]))
 
 
 def _docs_edges(sf_dir: str):
@@ -207,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_docs": _q_postings,
         "stats_docs": _q_stats,
         "find_docs": _q_find,
+        "find_many_docs": _q_find_many,
         "pairs_docs": _q_pairs,
         "er_clusters": _q_er_clusters,
         "dedup_exact_docs": _q_dedup_exact,
@@ -235,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_docs": oracles.sql_postings_docs(),
         "stats_docs": oracles.sql_stats_docs(),
         "find_docs": oracles.sql_find_docs(FIND_NEEDLE, 10),
+        "find_many_docs": oracles.sql_find_many_docs(FIND_NEEDLES, 10),
         "pairs_docs": oracles.sql_candidate_pairs_docs(),
         "er_clusters": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),

@@ -47,19 +47,21 @@ def _code_expr(pos: int) -> str:
             f"THEN ascii(substr(tri,{pos},1))-96 ELSE 0 END)")
 
 
-def postings_cte(src_sql: str) -> str:
-    """CTE chain: src (ref, text) → postings (ref, trigram, weight)."""
+def postings_cte(src_sql: str, prefix: str = "") -> str:
+    """CTE chain: src (ref, text) → postings (ref, trigram, weight).
+    ``prefix`` renames every CTE so two chains can coexist in one query."""
     norm = NORM.format(col="text")
     code = " + ".join(_code_expr(p) for p in (1, 2, 3))
+    x = prefix
     return f"""
-src AS ({src_sql}),
-norm AS (SELECT ref, {norm} AS s FROM src),
-pad AS (SELECT ref, length(s) AS L, '**' || replace(s, ' ', '*') || '*' AS p FROM norm),
-win AS (SELECT ref, unnest(generate_series(1, L + 1)) AS i FROM pad),
-tri AS (SELECT win.ref, pad.L, substr(pad.p, CAST(win.i AS INT), 3) AS tri
-        FROM win JOIN pad ON win.ref = pad.ref),
-postings AS MATERIALIZED (SELECT DISTINCT ref, CAST({code} AS BIGINT) AS trigram,
-                    CAST(L AS BIGINT) AS weight FROM tri)"""
+{x}src AS ({src_sql}),
+{x}norm AS (SELECT ref, {norm} AS s FROM {x}src),
+{x}pad AS (SELECT ref, length(s) AS L, '**' || replace(s, ' ', '*') || '*' AS p FROM {x}norm),
+{x}win AS (SELECT ref, unnest(generate_series(1, L + 1)) AS i FROM {x}pad),
+{x}tri AS (SELECT {x}win.ref, {x}pad.L, substr({x}pad.p, CAST({x}win.i AS INT), 3) AS tri
+        FROM {x}win JOIN {x}pad ON {x}win.ref = {x}pad.ref),
+{x}postings AS MATERIALIZED (SELECT DISTINCT ref, CAST({code} AS BIGINT) AS trigram,
+                    CAST(L AS BIGINT) AS weight FROM {x}tri)"""
 
 
 DOCS_SRC = "SELECT doc_id AS ref, text FROM documents"
@@ -92,6 +94,23 @@ SELECT ref, CAST(COUNT(*) AS BIGINT) AS matches, CAST(MIN(weight) AS BIGINT) AS 
 FROM postings WHERE trigram IN ({codes})
 GROUP BY ref
 ORDER BY matches DESC, weight ASC, ref ASC LIMIT {limit}"""
+
+
+def sql_find_many_docs(needles: list[str], limit: int = 10) -> str:
+    """Batch find: every needle scored against the documents index, ranked
+    (matches DESC, weight ASC, ref ASC), top ``limit`` per needle."""
+    values = ", ".join("('" + n.replace("'", "''") + "')" for n in needles)
+    return f"""WITH {postings_cte(DOCS_SRC)},
+{postings_cte(f"SELECT needle AS ref, needle AS text FROM (VALUES {values}) AS v(needle)", "n")},
+hits AS (SELECT np.ref AS needle, p.ref, COUNT(*) AS matches,
+                MIN(p.weight) AS weight
+         FROM npostings np JOIN postings p USING (trigram)
+         GROUP BY np.ref, p.ref),
+ranked AS (SELECT needle, ref, matches, weight,
+           CAST(row_number() OVER (PARTITION BY needle
+                ORDER BY matches DESC, weight ASC, ref ASC) AS BIGINT) AS rank
+           FROM hits)
+SELECT needle, rank, ref, matches, weight FROM ranked WHERE rank <= {limit}"""
 
 
 def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,

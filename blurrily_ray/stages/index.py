@@ -95,6 +95,78 @@ def find(postings, needle: str, limit: int = LIMIT_DEFAULT):
                     descending=[True, False, False]).limit(limit)
 
 
+def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT):
+    """Batch FIND: score every needle against every doc in one scan.
+
+    The reference server answers FINDs one at a time over a mmap index
+    (server.rb event loop); here Q needle bitsets broadcast once and each
+    docsets batch answers all Q needles vectorized (popcount of AND),
+    emitting batch-local top-k merged by a tiny per-needle groupby — the
+    same partial-top-k pattern as simsearch.knn_brute.
+    Returns (needle, ref, matches, weight) with the reference ordering
+    (matches DESC, weight ASC, ref ASC) as rank ≤ limit per needle.
+    """
+    import pandas as pd
+    import ray
+
+    from blurrily_ray.functions.normalize import normalize_string
+    from blurrily_ray.functions.trigram import NUM_TRIGRAMS
+    from blurrily_ray.stages.pairs import (
+        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_rows)
+
+    if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
+        raise ValueError(f"limit must be in {LIMIT_RANGE}")
+    qbits = np.zeros((len(needles), _BITSET_BYTES), dtype=np.uint8)
+    for qi, needle in enumerate(needles):
+        for code in tokenize(normalize_string(needle)):
+            qbits[qi, code >> 3] |= 1 << (code & 7)
+    q_ref = ray.put((list(needles), qbits))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        names, qb = _cached_get(q_ref)
+        bt = _bitset_batch(batch)
+        buf = np.frombuffer(bt["bits"].combine_chunks().buffers()[1],
+                            dtype=np.uint8).reshape(-1, _BITSET_BYTES)
+        wts = bt["weight"].to_numpy(zero_copy_only=False)
+        refs = bt["ref"]
+        r_vals = np.asarray(refs)
+        if r_vals.dtype == object:
+            r_vals = r_vals.astype(str)  # lexsort needs a sortable dtype
+        out = []
+        for qi, name in enumerate(names):
+            m = _popcount_rows(np.bitwise_and(buf, qb[qi]))
+            hit = np.nonzero(m > 0)[0]
+            if len(hit) > limit:
+                # batch-local top-k must use the SAME total order as the
+                # final merge (matches DESC, weight ASC, ref ASC)
+                order = np.lexsort((r_vals[hit], wts[hit], -m[hit]))[:limit]
+                hit = hit[order]
+            out.append(pa.table({
+                "needle": pa.array([name] * len(hit), type=pa.string()),
+                "ref": refs.take(pa.array(hit)),
+                "matches": pa.array(m[hit].astype(np.int64), type=pa.int64()),
+                "weight": pa.array(wts[hit].astype(np.int64), type=pa.int64()),
+            }))
+        if out:
+            return pa.concat_tables(out)
+        return pa.table({
+            "needle": pa.array([], type=pa.string()),
+            "ref": pa.array([], type=batch["ref"].type),
+            "matches": pa.array([], type=pa.int64()),
+            "weight": pa.array([], type=pa.int64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["matches", "weight", "ref"],
+                            ascending=[False, True, True],
+                            kind="stable").head(limit)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return docsets.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("needle").map_groups(merge, batch_format="pandas")
+
+
 def find_triples(postings, needle: str, limit: int = LIMIT_DEFAULT) -> list[list]:
     """find() materialized to the reference's [[ref, matches, weight], ...]."""
     out = find(postings, needle, limit).take_all()

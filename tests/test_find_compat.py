@@ -113,3 +113,27 @@ def test_save_load_roundtrip(tmp_path):  # map_spec.rb:219-269 analogue
     ix2 = load(path)
     assert find_triples(ix2, "london")[0] == [123, 7, 6]
     assert stats(ix2) == stats(ix)
+
+
+def test_find_many_matches_single_find():
+    """Batch find over docsets must equal per-needle find over postings."""
+    import ray.data
+
+    from blurrily_ray.stages.index import find_many
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    puts = [("london", 123, 0), ("london city airport", 124, 0),
+            ("lon", 125, 0), ("paris", 7, 0)]
+    rows = [{"ref": r, "text": t, "w": w, "seq": i}
+            for i, (t, r, w) in enumerate(puts)]
+    docs = ray.data.from_items(rows)
+    docsets = docsets_from_docs(docs).materialize()
+    postings = make_index(puts)
+    out = find_many(docsets, ["london", "paris", "zzz"], 10).take_all()
+    by_needle = {}
+    for r in sorted(out, key=lambda r: (r["needle"], r["rank"])):
+        by_needle.setdefault(r["needle"], []).append(
+            [r["ref"], r["matches"], r["weight"]])
+    assert by_needle["london"] == find_triples(postings, "london")
+    assert by_needle["paris"] == find_triples(postings, "paris")
+    assert "zzz" not in by_needle  # no shared trigram with any doc
