@@ -64,11 +64,17 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         keys = blocking_keys(docsets, hist, cfg).materialize()
         khist = key_histogram(keys)
     with metrics.timeit("pairs"):
-        pairs, skew = candidate_pairs(keys, khist, cfg)
+        # duplicates (one per shared blocking key) are scored rather than
+        # pre-shuffled away: scores are identical, the thresholded edge set
+        # is tiny, so dedupe happens after threshold (distinct_pairs doc)
+        pairs, skew = candidate_pairs(keys, khist, cfg, distinct=False)
         metrics.stage("pairs", **skew)
     with metrics.timeit("scoring"):
+        from blurrily_ray.stages.pairs import distinct_pairs
+
         scored = score_pairs(pairs, docsets, cfg, mode=score_mode)
-        edges = ckpt("edges", lambda: threshold_edges(scored, cfg))
+        edges = ckpt("edges", lambda: distinct_pairs(
+            threshold_edges(scored, cfg), cfg))
         if checkpoint_dir is None:
             # edges are consumed ≥2× (count + clustering); pin the small
             # result instead of re-executing the whole upstream lineage

@@ -194,8 +194,10 @@ def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
     return keys, s, stats
 
 
-def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT):
-    """(key, ref) emissions → distinct candidate (a, b) pairs, a < b.
+def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
+                    distinct: bool = True):
+    """(key, ref) emissions → candidate (a, b) pairs, a < b (globally
+    distinct when ``distinct``, else deduped only within partitions).
 
     Returns (pairs_ds, skew_stats). Hot keys are salted into bucket pairs;
     super-hot keys are dropped and counted in skew_stats.
@@ -286,10 +288,24 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT):
 
     raw_pairs = partitioned_map(salted, ["key", "gu", "gv"],
                                 pairgen_partition, n_parts=cfg.join_partitions)
-    pairs = partitioned_map(raw_pairs, ["a", "b"],
-                            lambda df: df.drop_duplicates(),
-                            n_parts=cfg.join_partitions)
-    return pairs, skew_stats
+    if distinct:
+        raw_pairs = distinct_pairs(raw_pairs, cfg)
+    return raw_pairs, skew_stats
+
+
+def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
+    """Global (a, b) dedupe — one coarse hash-partitioned shuffle.
+
+    A pair appears once per shared blocking key, so raw pair volume is
+    duplicate-heavy; when the next stage is score → threshold it is MUCH
+    cheaper to score duplicates (scores are identical) and dedupe the tiny
+    thresholded edge set instead — run_er does exactly that via
+    candidate_pairs(distinct=False)."""
+    from blurrily_ray.stages.common import partitioned_map
+
+    return partitioned_map(pairs, ["a", "b"],
+                           lambda df: df.drop_duplicates(),
+                           n_parts=cfg.join_partitions)
 
 
 _POPCNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -360,10 +376,16 @@ def _docsets_bitsets(docsets):
         ntris.append(batch["ntri"].to_numpy(zero_copy_only=False))
         wts.append(batch["weight"].to_numpy(zero_copy_only=False))
     bits = np.concatenate(rows) if rows else np.zeros((0, _BITSET_BYTES), np.uint8)
-    index = {r: i for i, r in enumerate(refs)}
-    return (index, bits,
-            np.concatenate(ntris).astype(np.int64) if ntris else np.empty(0, np.int64),
-            np.concatenate(wts).astype(np.int64) if wts else np.empty(0, np.int64))
+    ntri = np.concatenate(ntris).astype(np.int64) if ntris else np.empty(0, np.int64)
+    wt = np.concatenate(wts).astype(np.int64) if wts else np.empty(0, np.int64)
+    # sorted-array index instead of a python dict: a dict of 10⁵–10⁶ refs
+    # costs seconds to unpickle in EVERY worker; numpy arrays come out of
+    # the object store zero-copy
+    ref_arr = np.asarray(refs)
+    if ref_arr.dtype == object:
+        ref_arr = ref_arr.astype(str)
+    order = np.argsort(ref_arr)
+    return (ref_arr[order], bits[order], ntri[order], wt[order])
 
 
 def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
@@ -382,11 +404,13 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
         lut_ref = ray.put(_docsets_bitsets(docsets))
 
         def score(batch: pa.Table) -> pa.Table:
-            index, bits, ntri, wts = _cached_get(lut_ref)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            ia = np.fromiter((index[x] for x in a), dtype=np.int64, count=len(a))
-            ib = np.fromiter((index[x] for x in b), dtype=np.int64, count=len(b))
+            ref_sorted, bits, ntri, wts = _cached_get(lut_ref)
+            a = np.asarray(batch["a"])
+            b = np.asarray(batch["b"])
+            if a.dtype == object:
+                a, b = a.astype(str), b.astype(str)
+            ia = np.searchsorted(ref_sorted, a)
+            ib = np.searchsorted(ref_sorted, b)
             m = _popcount_rows(np.bitwise_and(bits[ia], bits[ib]))
             return pa.table({
                 "a": batch["a"], "b": batch["b"],
