@@ -124,7 +124,13 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf:g}",
                    GRAFT_BENCH_ER_ONLY="1")
-        out = subprocess.run([sys.executable, __file__], env=env,
+        # pin the whole process tree (workers, raylet, object store) to n
+        # cores — otherwise the low-CPU run borrows idle cores for Ray
+        # system work and the comparison stops modeling an n-core NODE
+        cmd = [sys.executable, __file__]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{n - 1}"] + cmd
+        out = subprocess.run(cmd, env=env,
                              capture_output=True, text=True, timeout=1800)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[n] = json.loads(line)

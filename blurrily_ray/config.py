@@ -39,7 +39,7 @@ class ERConfig:
     # match also shares rarer trigrams, so recall is preserved (this is the
     # stoplist analogue of the reference's "pathological datasets" note,
     # README.md:15-17 — except we log instead of slowing down).
-    salt_factor_max: int = 16
+    salt_factor_max: int = 4
     # --- exact pair scoring ---
     # Score = |trigrams(a) ∩ trigrams(b)| over the FULL trigram sets
     # (identical to the reference find score, storage.c:527-563), computed by

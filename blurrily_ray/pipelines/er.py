@@ -60,21 +60,34 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         docsets = docsets.materialize()  # reused by 4 downstream stages
     with metrics.timeit("histogram"):
         hist = trigram_histogram(docsets)
+    with metrics.timeit("bitsets"):
+        # one broadcast serves blocking (ref → surrogate id), scoring
+        # (bitsets) and the final ref restoration
+        import ray as _ray
+
+        from blurrily_ray.stages.pairs import _docsets_bitsets
+
+        lut_ref = _ray.put(_docsets_bitsets(docsets))
     with metrics.timeit("blocking"):
-        keys = blocking_keys(docsets, hist, cfg).materialize()
+        keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref).materialize()
         khist = key_histogram(keys)
     with metrics.timeit("pairs"):
-        # duplicates (one per shared blocking key) are scored rather than
-        # pre-shuffled away: scores are identical, the thresholded edge set
-        # is tiny, so dedupe happens after threshold (distinct_pairs doc)
         pairs, skew = candidate_pairs(keys, khist, cfg, distinct=False)
         metrics.stage("pairs", **skew)
     with metrics.timeit("scoring"):
-        from blurrily_ray.stages.pairs import distinct_pairs
+        if score_mode in ("auto", "broadcast"):
+            # fused dedupe+score+threshold: one (a,b)-hash shuffle on int64
+            # surrogate ids, each distinct pair scored exactly once
+            from blurrily_ray.stages.pairs import score_pairs_fused
 
-        scored = score_pairs(pairs, docsets, cfg, mode=score_mode)
-        edges = ckpt("edges", lambda: distinct_pairs(
-            threshold_edges(scored, cfg), cfg))
+            edges = ckpt("edges", lambda: score_pairs_fused(
+                pairs, cfg=cfg, lut_ref=lut_ref, surrogate=True))
+        else:
+            from blurrily_ray.stages.pairs import distinct_pairs
+
+            scored = score_pairs(distinct_pairs(pairs, cfg), docsets, cfg,
+                                 mode=score_mode)
+            edges = ckpt("edges", lambda: threshold_edges(scored, cfg))
         if checkpoint_dir is None:
             # edges are consumed ≥2× (count + clustering); pin the small
             # result instead of re-executing the whole upstream lineage

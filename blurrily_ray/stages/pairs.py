@@ -48,16 +48,26 @@ _GET_CACHE: dict = {}
 
 def _cached_get(ref):
     """ray.get with a per-worker memo — broadcast objects are fetched and
-    deserialized once per worker process, not once per batch."""
+    deserialized once per worker process, not once per batch. Keeps a few
+    entries so interleaved stages sharing a worker pool don't thrash."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _GET_CACHE:
-        _GET_CACHE.clear()
+        if len(_GET_CACHE) >= 8:
+            _GET_CACHE.clear()
         _GET_CACHE[key] = ray.get(ref)
     return _GET_CACHE[key]
 
 
 def _u64_of_refs(refs: np.ndarray) -> np.ndarray:
-    """Stable per-ref bucket hash (md5-based, process-independent)."""
+    """Stable per-ref bucket hash (process-independent). Vectorized bit-mix
+    for integer refs (the surrogate-id path); md5 for strings."""
+    refs = np.asarray(refs)
+    if np.issubdtype(refs.dtype, np.integer):
+        h = refs.astype(np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
     from blurrily_ray.functions.hashing import stable_u64
 
     return np.fromiter((stable_u64(str(r)) for r in refs), dtype=np.uint64,
@@ -95,7 +105,7 @@ def trigram_histogram(docsets) -> np.ndarray:
 
 
 def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
-                  max_keys_per_doc: int = 40):
+                  max_keys_per_doc: int = 40, *, lut_ref=None):
     """docsets → (key:int32, ref) emissions: per doc, its globally-rarest
     trigrams (all rare ones up to ``max_keys_per_doc``, rarest first).
 
@@ -133,11 +143,23 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
                 k = k[ia] * np.int64(NUM_TRIGRAMS) + k[ib]
             out_keys.append(k)
             out_idx.append(np.full(len(k), i, dtype=np.int64))
+        ref_type = pa.int64() if lut_ref is not None else batch["ref"].type
         if not out_keys:
             return pa.table({"key": pa.array([], type=pa.int64()),
-                             "ref": pa.array([], type=batch["ref"].type)})
+                             "ref": pa.array([], type=ref_type)})
         keys = np.concatenate(out_keys).astype(np.int64)
         idx = np.concatenate(out_idx)
+        if lut_ref is not None:
+            # surrogate-id path: emit each doc's row index in the broadcast
+            # sorted-ref array instead of its (string) ref — every
+            # downstream shuffle/dedupe then runs on int64 keys
+            ref_sorted = _cached_get(lut_ref)[0]
+            r = np.asarray(batch["ref"].combine_chunks())
+            if r.dtype == object:
+                r = r.astype(str)
+            ref_ids = np.searchsorted(ref_sorted, r)
+            return pa.table({"key": pa.array(keys),
+                             "ref": pa.array(ref_ids[idx].astype(np.int64))})
         return pa.table({"key": pa.array(keys),
                          "ref": batch["ref"].take(pa.array(idx))})
 
@@ -160,7 +182,7 @@ def key_histogram(keys_ds):
 
     kparts, nparts = [], []
     for batch in partitioned_map(keys_ds, ["key"], count_part).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         kparts.append(batch["key"].to_numpy(zero_copy_only=False))
         nparts.append(batch["n"].to_numpy(zero_copy_only=False))
     if not kparts:
@@ -366,13 +388,15 @@ def _docsets_bitsets(docsets):
     refs, ntris, wts, rows = [], [], [], []
     ds = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
         .map_batches(_bitset_batch, batch_format="pyarrow")
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    # batch_size=None → whole blocks, no re-slicing copies on the driver
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         bits_col = batch["bits"].combine_chunks()
         buf = np.frombuffer(bits_col.buffers()[1], dtype=np.uint8)
         start = bits_col.offset * _BITSET_BYTES
         rows.append(buf[start:start + len(batch) * _BITSET_BYTES]
                     .reshape(len(batch), _BITSET_BYTES))
-        refs.extend(batch["ref"].to_pylist())
+        r = np.asarray(batch["ref"].combine_chunks())
+        refs.append(r.astype(str) if r.dtype == object else r)
         ntris.append(batch["ntri"].to_numpy(zero_copy_only=False))
         wts.append(batch["weight"].to_numpy(zero_copy_only=False))
     bits = np.concatenate(rows) if rows else np.zeros((0, _BITSET_BYTES), np.uint8)
@@ -381,11 +405,12 @@ def _docsets_bitsets(docsets):
     # sorted-array index instead of a python dict: a dict of 10⁵–10⁶ refs
     # costs seconds to unpickle in EVERY worker; numpy arrays come out of
     # the object store zero-copy
-    ref_arr = np.asarray(refs)
-    if ref_arr.dtype == object:
-        ref_arr = ref_arr.astype(str)
+    ref_arr = (np.concatenate(refs) if refs
+               else np.empty(0, dtype=np.int64))
     order = np.argsort(ref_arr)
-    return (ref_arr[order], bits[order], ntri[order], wt[order])
+    # indirection instead of permuting the 1 GB bits array: surrogate id i
+    # = position in ref_sorted; bits row = perm[i]
+    return (ref_arr[order], bits, ntri, wt, order.astype(np.int64))
 
 
 def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
@@ -404,13 +429,13 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
         lut_ref = ray.put(_docsets_bitsets(docsets))
 
         def score(batch: pa.Table) -> pa.Table:
-            ref_sorted, bits, ntri, wts = _cached_get(lut_ref)
+            ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
             a = np.asarray(batch["a"])
             b = np.asarray(batch["b"])
             if a.dtype == object:
                 a, b = a.astype(str), b.astype(str)
-            ia = np.searchsorted(ref_sorted, a)
-            ib = np.searchsorted(ref_sorted, b)
+            ia = perm[np.searchsorted(ref_sorted, a)]
+            ib = perm[np.searchsorted(ref_sorted, b)]
             m = _popcount_rows(np.bitwise_and(bits[ia], bits[ib]))
             return pa.table({
                 "a": batch["a"], "b": batch["b"],
@@ -473,6 +498,61 @@ def rel_fraction(cfg: ERConfig) -> tuple[int, int]:
 
     f = Fraction(cfg.min_matches_rel).limit_denominator(10_000)
     return f.numerator, f.denominator
+
+
+def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
+                      lut_ref=None, surrogate: bool = False):
+    """Fused dedupe + exact score + threshold in ONE hash-partitioned pass.
+
+    Raw candidate pairs (duplicated once per shared blocking key) are
+    hash-partitioned by (a, b) — so all duplicates land together — and each
+    partition is deduped, scored against the broadcast bitsets and
+    thresholded in a single vectorized function. Compared to running the
+    stages separately this removes two materialization barriers and scores
+    each distinct pair exactly once. Returns thresholded edges."""
+    import ray as _ray
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    if lut_ref is None:
+        lut_ref = _ray.put(_docsets_bitsets(docsets))
+    num, den = rel_fraction(cfg)
+
+    CHUNK = 16384  # bound the (chunk × 2744 B) AND intermediate per task
+
+    def fused(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        if surrogate:
+            ia, ib = perm[a], perm[b]  # surrogate id → bits row
+        else:
+            if a.dtype == object:
+                a, b = a.astype(str), b.astype(str)
+            ia = perm[np.searchsorted(ref_sorted, a)]
+            ib = perm[np.searchsorted(ref_sorted, b)]
+        m = np.empty(len(df), dtype=np.int64)
+        for s in range(0, len(df), CHUNK):
+            e = s + CHUNK
+            m[s:e] = _popcount_rows(np.bitwise_and(bits[ia[s:e]],
+                                                   bits[ib[s:e]]))
+        lo = np.minimum(ntri[ia], ntri[ib])
+        keep = (m >= cfg.min_matches) & (m * den >= num * lo)
+        out_a = df["a"].to_numpy()[keep]
+        out_b = df["b"].to_numpy()[keep]
+        if surrogate:  # restore real refs on the (tiny) surviving edges
+            out_a = ref_sorted[out_a]
+            out_b = ref_sorted[out_b]
+        return pd.DataFrame({
+            "a": out_a, "b": out_b,
+            "matches": m[keep], "ntri_a": ntri[ia][keep],
+            "ntri_b": ntri[ib][keep], "weight_a": wts[ia][keep],
+            "weight_b": wts[ib][keep]})
+
+    n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    return partitioned_map(raw_pairs, ["a", "b"], fused,
+                           n_parts=max(cfg.join_partitions, 8 * n_cpus))
 
 
 def threshold_edges(scored, cfg: ERConfig = DEFAULT):
