@@ -59,9 +59,9 @@ def _transcripts_path(sf_dir: str) -> str:
 
 def entry() -> Any:
     """Flagship: entity resolution over sf0.001 synthetic transcripts."""
-    from blurrily_ray.pipelines.er import run_er_from_paths
+    from blurrily_ray.pipelines.er import run_er_grouped
 
-    res = run_er_from_paths(_transcripts_path("/root/testdata/sf0.001"))
+    res = run_er_grouped(_transcripts_path("/root/testdata/sf0.001"))
     return res["clusters"]
 
 
@@ -114,7 +114,7 @@ def _docs_edges(sf_dir: str):
         threshold_edges, trigram_histogram)
     from blurrily_ray.stages.tokenize import docsets_from_docs
 
-    cfg = ERConfig(blocking_mode="trigram")  # matches sql_candidate_pairs_docs
+    cfg = ERConfig(blocking_mode="trigram", min_cokeys=1)  # = sql_candidate_pairs_docs
     docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
                                 text_col="text").materialize()
     hist = trigram_histogram(docsets)
@@ -129,9 +129,9 @@ def _q_pairs(sf_dir: str):
 
 
 def _q_er_clusters(sf_dir: str):
-    from blurrily_ray.pipelines.er import run_er_from_paths
+    from blurrily_ray.pipelines.er import run_er_grouped
 
-    return run_er_from_paths(_transcripts_path(sf_dir))["clusters"]
+    return run_er_grouped(_transcripts_path(sf_dir))["clusters"]
 
 
 def _q_dedup_exact(sf_dir: str):

@@ -36,7 +36,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     import pyarrow.parquet as pq
 
-    from blurrily_ray.pipelines.er import run_er_from_paths
+    from blurrily_ray.pipelines.er import run_er_grouped
     from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
 
     sf = sf_from_dir(sf_dir)
@@ -48,7 +48,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # headline: full ER (blocking + salted pair-gen + exact scoring +
     # threshold + connected components) over the transcript table
     t0 = time.perf_counter()
-    res = run_er_from_paths(paths["transcripts"])
+    # synth transcripts are conversation-contiguous → no bulk-text shuffle
+    res = run_er_grouped(paths["transcripts"])
     n_docs = res["clusters"].count()
     er_sec = time.perf_counter() - t0
     queries["er_full"] = round(er_sec, 3)
@@ -76,6 +77,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     find_triples(postings, "customer query batch window", 10)
     queries["find"] = round(time.perf_counter() - t0, 3)
+
+    # batched find throughput: 256 needles in one scan (the reference
+    # answers ~1-2 ms per FIND single-threaded — README.md:15-17)
+    from blurrily_ray.stages.index import find_many
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(docs, ref_col="doc_id",
+                                text_col="text").materialize()
+    needles = [f"needle {i} customer query batch window part {i % 7}"
+               for i in range(256)]
+    t0 = time.perf_counter()
+    find_many(docsets, needles, 10).count()
+    dt = time.perf_counter() - t0
+    queries["find_many_256"] = round(dt, 3)
+    queries["find_ms_per_needle"] = round(1000 * dt / len(needles), 3)
 
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 
@@ -151,6 +167,8 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        cpus = tuple(int(x) for x in
+                     os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+        print(json.dumps(run_scaling(SF_DIR, cpus)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

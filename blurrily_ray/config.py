@@ -25,11 +25,13 @@ class ERConfig:
     #   key, so collisions ≈ true matches — candidate volume stays linear
     #   in the corpus. This is the 10^12-turn path.
     blocking_mode: str = "trigram_pair"
-    # R rarest trigrams per doc → C(R,2) composite keys. R=10 keeps pair
-    # recall ≈ 1 for near-duplicate docs (their rare lists overlap ≫ 2)
-    # while random two-trigram collisions scale ~R⁴ — R=15 tripled the
-    # candidate count for zero extra recall on the synth corpus.
-    pair_rarest: int = 10
+    # R rarest trigrams per doc → C(R,2) composite keys. Tuned with
+    # min_cokeys: R=12 keeps ≥2 shared composite keys for true matches even
+    # when typo-noise crowds the rare lists (small corpora), while random
+    # two-trigram collisions (which scale ~R⁴) are filtered by min_cokeys.
+    # Measured: R=15 → 3× candidates for zero extra recall; R=8 → recall
+    # loss at small scale.
+    pair_rarest: int = 12
     # Max posting-list length of a trigram before it is salted into buckets.
     # A block of m refs yields m(m-1)/2 candidate pairs; cap bounds that.
     block_cap: int = 64
@@ -40,6 +42,13 @@ class ERConfig:
     # stoplist analogue of the reference's "pathological datasets" note,
     # README.md:15-17 — except we log instead of slowing down).
     salt_factor_max: int = 4
+    # Candidates must co-occur under at least this many blocking keys to be
+    # exact-scored. In trigram_pair mode a true match shares ~C(8,2) ≈ 30
+    # composite keys while random collisions share 1 — requiring 2 removes
+    # ~90% of scoring work with negligible recall cost. Set 1 to disable
+    # (the reference-faithful single-trigram mode uses 1: short strings may
+    # legitimately share a single blocking trigram).
+    min_cokeys: int = 2
     # --- exact pair scoring ---
     # Score = |trigrams(a) ∩ trigrams(b)| over the FULL trigram sets
     # (identical to the reference find score, storage.c:527-563), computed by

@@ -126,17 +126,19 @@ comp AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
 khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
 keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
               WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
+cand AS (SELECT k1.ref AS a, k2.ref AS b
          FROM keys_kept k1 JOIN keys_kept k2 USING (key)
-         WHERE k1.ref < k2.ref),"""
+         WHERE k1.ref < k2.ref
+         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     else:
         keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
 khist AS (SELECT trigram, COUNT(*) AS n FROM keysq GROUP BY trigram),
 keys_kept AS (SELECT k.ref, k.trigram FROM keysq k JOIN khist h USING (trigram)
               WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT DISTINCT k1.ref AS a, k2.ref AS b
+cand AS (SELECT k1.ref AS a, k2.ref AS b
          FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
-         WHERE k1.ref < k2.ref),"""
+         WHERE k1.ref < k2.ref
+         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     return f"""{postings_cte(src_sql)},
 ntri AS (SELECT ref, COUNT(*) AS ntri FROM postings GROUP BY ref),
 hist AS (SELECT trigram, COUNT(*) AS n FROM postings GROUP BY trigram),
@@ -154,7 +156,7 @@ edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
             AND s.matches * {_rel(cfg)[1]} >= {_rel(cfg)[0]} * LEAST(na.ntri, nb.ntri))"""
 
 
-TRIGRAM_MODE = ERConfig(blocking_mode="trigram")
+TRIGRAM_MODE = ERConfig(blocking_mode="trigram", min_cokeys=1)
 
 
 def sql_candidate_pairs_docs(cfg: ERConfig = TRIGRAM_MODE) -> str:

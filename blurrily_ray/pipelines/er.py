@@ -41,7 +41,8 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
            checkpoint_dir: str | None = None,
            metrics: Metrics | None = None,
            cc_mode: str = "auto",
-           score_mode: str = "auto"):
+           score_mode: str = "auto",
+           assume_grouped: bool = False):
     """Run entity resolution; returns dict with 'clusters' (Dataset of
     (ref, cluster_id)), 'edges', and 'skew' stats."""
     metrics = metrics or Metrics()
@@ -54,7 +55,7 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
                          lineage=lineage)
 
     with metrics.timeit("assemble_docs"):
-        docs = assemble_docs(transcripts)
+        docs = assemble_docs(transcripts, assume_grouped=assume_grouped)
     with metrics.timeit("docsets"):
         docsets = ckpt("docsets", lambda: docsets_from_docs(docs))
         docsets = docsets.materialize()  # reused by 4 downstream stages
@@ -105,3 +106,9 @@ def run_er_from_paths(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
     ts = ray.data.read_parquet(transcripts_path,
                                columns=["conv_id", "turn_idx", "text"])
     return run_er(ts, cfg, **kw)
+
+
+def run_er_grouped(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
+    """run_er over a transcript table whose conversations are contiguous in
+    file order (the natural write layout) — bulk text never shuffles."""
+    return run_er_from_paths(transcripts_path, cfg, assume_grouped=True, **kw)

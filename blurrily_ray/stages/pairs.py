@@ -325,8 +325,13 @@ def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
     candidate_pairs(distinct=False)."""
     from blurrily_ray.stages.common import partitioned_map
 
-    return partitioned_map(pairs, ["a", "b"],
-                           lambda df: df.drop_duplicates(),
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        if cfg.min_cokeys > 1:
+            counts = df.groupby(["a", "b"], sort=False).size()
+            return counts[counts >= cfg.min_cokeys].reset_index()[["a", "b"]]
+        return df.drop_duplicates()
+
+    return partitioned_map(pairs, ["a", "b"], dedupe,
                            n_parts=cfg.join_partitions)
 
 
@@ -521,8 +526,23 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
     CHUNK = 16384  # bound the (chunk × 2744 B) AND intermediate per task
 
     def fused(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates()
         ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
+        # output a/b dtype: restored refs in surrogate mode, input otherwise
+        ab_dtype = ref_sorted.dtype if surrogate else df["a"].dtype
+        if cfg.min_cokeys > 1:
+            # keep pairs co-occurring under >= min_cokeys blocking keys
+            # (all occurrences of a pair hash to this partition)
+            counts = df.groupby(["a", "b"], sort=False).size()
+            counts = counts[counts >= cfg.min_cokeys]
+            df = counts.reset_index()[["a", "b"]]
+        else:
+            df = df.drop_duplicates()
+        if len(df) == 0:
+            cols = {"a": pd.Series([], dtype=ab_dtype),
+                    "b": pd.Series([], dtype=ab_dtype)}
+            for c in ["matches", "ntri_a", "ntri_b", "weight_a", "weight_b"]:
+                cols[c] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
         a = df["a"].to_numpy()
         b = df["b"].to_numpy()
         if surrogate:

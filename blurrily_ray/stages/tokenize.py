@@ -25,14 +25,22 @@ from blurrily_ray.functions.trigram import explode_batch
 
 
 def assemble_docs(transcripts, *, id_col: str = "conv_id", order_col: str = "turn_idx",
-                  text_col: str = "text"):
+                  text_col: str = "text", assume_grouped: bool = False):
     """transcripts → docs: concatenate each conversation's turns in stable
     ``turn_idx`` order, space-separated (FIXTURES.md §1 — the normalizer
     collapses whitespace, so a single space is the canonical joiner).
 
-    One coarse hash-partitioned shuffle (stages/common.py): conversations
-    are hashed into ~64 partitions and each partition concatenates all its
-    conversations vectorized — never one UDF call per conversation.
+    Default path: one coarse hash-partitioned shuffle (stages/common.py);
+    each partition concatenates all its conversations vectorized — never
+    one UDF call per conversation.
+
+    ``assume_grouped=True``: when each conversation's turns are CONTIGUOUS
+    in file row order (how transcript tables are naturally written), the
+    bulk text never shuffles — every block assembles its interior
+    conversations locally and only the ≤2 conversations touching block
+    boundaries go through the (tiny) shuffle. At 100 TB this is the
+    difference between moving the corpus once and not moving it at all;
+    results are identical either way.
     """
     from blurrily_ray.stages.common import partitioned_map
 
@@ -41,9 +49,41 @@ def assemble_docs(transcripts, *, id_col: str = "conv_id", order_col: str = "tur
         g = df.groupby(id_col, sort=False)[text_col].agg(" ".join)
         return pd.DataFrame({"ref": g.index.to_numpy(), "text": g.to_numpy()})
 
-    return partitioned_map(
-        transcripts.select_columns([id_col, order_col, text_col]),
-        [id_col], all_convs)
+    ts = transcripts.select_columns([id_col, order_col, text_col])
+    if not assume_grouped:
+        return partitioned_map(ts, [id_col], all_convs)
+
+    def split_batch(df: pd.DataFrame) -> pd.DataFrame:
+        """Assemble interior conversations; pass boundary turns through raw
+        (is_doc=0) for the small cross-block fix-up shuffle."""
+        if len(df) == 0:
+            return pd.DataFrame({"ref": pd.Series([], dtype=object),
+                                 "text": pd.Series([], dtype=object),
+                                 "turn_idx": pd.Series([], dtype="int64"),
+                                 "is_doc": pd.Series([], dtype="int64")})
+        ids = df[id_col]
+        edge = (ids == ids.iloc[0]) | (ids == ids.iloc[-1])
+        interior = all_convs(df[~edge]) if (~edge).any() else \
+            pd.DataFrame({"ref": [], "text": []})
+        out = pd.DataFrame({
+            "ref": interior["ref"], "text": interior["text"]})
+        out["turn_idx"] = np.int64(-1)
+        out["is_doc"] = np.int64(1)
+        frag = pd.DataFrame({
+            "ref": df.loc[edge, id_col].to_numpy(),
+            "text": df.loc[edge, text_col].to_numpy(),
+            "turn_idx": df.loc[edge, order_col].to_numpy(dtype=np.int64),
+            "is_doc": np.int64(0)})
+        return pd.concat([out, frag], ignore_index=True)
+
+    mixed = ts.map_batches(split_batch, batch_size=None,
+                       batch_format="pandas").materialize()
+    docs = mixed.filter(expr="is_doc == 1").select_columns(["ref", "text"])
+    frags = mixed.filter(expr="is_doc == 0") \
+        .rename_columns({"ref": id_col, "turn_idx": order_col})
+    fixed = partitioned_map(frags.select_columns([id_col, order_col, "text"]),
+                            [id_col], all_convs, n_parts=16)
+    return docs.union(fixed)
 
 
 def _docsets_batch(batch: pa.Table, ref_col: str, text_col: str) -> pa.Table:

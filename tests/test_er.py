@@ -134,3 +134,21 @@ def test_turn_invariant(sf0001_paths):
     for conv, g in df.groupby("conv_id"):
         expected = " ".join(g.sort_values("turn_idx")["text"])
         assert docs[conv] == expected
+
+
+def test_assemble_grouped_matches_default(sf0001_paths):
+    """assume_grouped fast path (no bulk-text shuffle) must produce exactly
+    the same documents as the general shuffle path."""
+    from blurrily_ray.stages.tokenize import assemble_docs
+
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"],
+                               columns=["conv_id", "turn_idx", "text"])
+    base = {r["ref"]: r["text"] for r in assemble_docs(ts).take_all()}
+    fast = {r["ref"]: r["text"]
+            for r in assemble_docs(ts, assume_grouped=True).take_all()}
+    assert base == fast
+    # robust to tiny blocks (every conv is a boundary conv somewhere)
+    tiny = ts.repartition(40)
+    fast2 = {r["ref"]: r["text"]
+             for r in assemble_docs(tiny, assume_grouped=True).take_all()}
+    assert base == fast2
