@@ -44,6 +44,37 @@ def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 x (Mersenne reduction, branch-free)."""
+    p = np.uint64(MERSENNE61)
+    x = (x >> np.uint64(61)) + (x & p)
+    x = (x >> np.uint64(61)) + (x & p)
+    return np.where(x >= p, x - p, x)
+
+
+def mulmod61(a, h: np.ndarray) -> np.ndarray:
+    """(a * h) mod (2^61 - 1), fully vectorized in uint64 — the 128-bit
+    product is split 31/30 bits so every partial fits 64 bits:
+
+      a = a1·2^31 + a0,  h = h1·2^31 + h0   (a, h < 2^61)
+      a·h = a1·h1·2^62 + (a1·h0 + a0·h1)·2^31 + a0·h0,  2^62 ≡ 2 (mod p)
+
+    This replaces the per-element Python-int loop in minhash/simhash paths.
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    h = np.asarray(h, dtype=np.uint64)
+    mask31 = np.uint64((1 << 31) - 1)
+    a1, a0 = a >> np.uint64(31), a & mask31
+    h1, h0 = h >> np.uint64(31), h & mask31
+    hi = _mod61(a1 * h1 * np.uint64(2))          # a1·h1·2^62 mod p
+    mid = _mod61(a1 * h0 + a0 * h1)              # < 2^62, fits
+    # mid·2^31 mod p: split mid 30/31 so the shifted halves fit
+    m1, m0 = mid >> np.uint64(30), mid & np.uint64((1 << 30) - 1)
+    mid = _mod61(m1 + (m0 << np.uint64(31)))     # 2^61 ≡ 1
+    lo = _mod61(a0 * h0)
+    return _mod61(hi + mid + lo)
+
+
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Signature of one set: min((a*h + b) mod p) per permutation.
 

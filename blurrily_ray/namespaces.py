@@ -22,6 +22,39 @@ from blurrily_ray.stages.index import build_postings, delete, find_triples, stat
 from blurrily_ray.state.checkpoint import checkpoint_valid, read_checkpoint, write_checkpoint
 
 
+def _drop_existing_refs(postings, existing):
+    """Anti-semi-join: drop postings rows whose ref is already indexed.
+
+    The existing-ref set is broadcast once (ray.put of a sorted array) —
+    refs are ≪ postings rows; at billions of refs swap for a hash anti-join.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    refs = existing.unique("ref")
+    if not refs:
+        return postings
+    arr = np.sort(np.asarray(refs))
+    if arr.dtype == object:
+        arr = arr.astype(str)
+    ref_obj = ray.put(arr)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        from blurrily_ray.stages.pairs import _cached_get
+
+        existing_sorted = _cached_get(ref_obj)
+        r = np.asarray(batch["ref"])
+        if r.dtype == object:
+            r = r.astype(str)
+        idx = np.searchsorted(existing_sorted, r)
+        idx[idx >= len(existing_sorted)] = 0
+        keep = existing_sorted[idx] != r
+        return batch.filter(pa.array(keep))
+
+    return postings.map_batches(drop, batch_format="pyarrow")
+
+
 class IndexGroup:
     """A directory of named trigram indexes (load-or-create per name)."""
 
@@ -41,10 +74,16 @@ class IndexGroup:
         return self._cache[name]
 
     def put_bulk(self, name: str, docs, **kw) -> None:
-        """Batch PUT: build (or extend by union) the named index."""
+        """Batch PUT: build (or extend) the named index.
+
+        First-put-wins (storage.c:408 returns 0 for an existing ref;
+        map_spec.rb:43-47): incoming rows whose ref already exists in the
+        index are dropped before the union, so re-putting a ref never
+        duplicates its postings."""
         postings = build_postings(docs, **kw)
         existing = self.db(name)
         if existing is not None:
+            postings = _drop_existing_refs(postings, existing)
             postings = existing.union(postings)
         self.save(name, postings)
 

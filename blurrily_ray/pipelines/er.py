@@ -47,10 +47,17 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
     (ref, cluster_id)), 'edges', and 'skew' stats."""
     metrics = metrics or Metrics()
 
+    if checkpoint_dir is not None:
+        from blurrily_ray.state.checkpoint import input_fingerprint
+
+        in_digest = input_fingerprint(transcripts)
+
     def ckpt(name, fn):
         if checkpoint_dir is None:
             return fn()
-        lineage = {"config": cfg.digest(), "stage": name}
+        # lineage includes the INPUT identity: rerunning with the same
+        # config but different transcripts must invalidate the checkpoint
+        lineage = {"config": cfg.digest(), "stage": name, "input": in_digest}
         return run_stage(name, os.path.join(checkpoint_dir, name), fn,
                          lineage=lineage)
 

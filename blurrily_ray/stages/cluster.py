@@ -26,6 +26,7 @@ import pyarrow as pa
 import ray
 
 from blurrily_ray.config import DEFAULT, ERConfig
+from blurrily_ray.stages.common import join_partitions_cap
 from blurrily_ray.stages.pairs import _cached_get
 
 
@@ -57,14 +58,29 @@ def _driver_union_find(edges) -> dict:
     return {x: find(x) for x in parent}
 
 
+def _hash_col(arr) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a column (int or string)."""
+    v = np.asarray(arr)
+    if np.issubdtype(v.dtype, np.integer):
+        h = v.astype(np.uint64, copy=True)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
+    # pandas hash_array: stable across processes (fixed siphash key),
+    # vectorized C path — no per-row Python
+    return pd.util.hash_array(v, categorize=False)
+
+
 def _checksum(labels) -> int:
-    """Order-independent distributed checksum of (node, label) pairs."""
-    from blurrily_ray.functions.hashing import stable_u64
+    """Order-independent distributed checksum of (node, label) pairs —
+    vectorized mix + xor-sum per batch, one tiny row to the driver each."""
 
     def part(batch: pa.Table) -> pa.Table:
-        tot = 0
-        for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
-            tot = (tot + stable_u64(f"{n}\t{l}")) % (1 << 63)
+        hn = _hash_col(batch["node"].to_numpy(zero_copy_only=False))
+        hl = _hash_col(batch["label"].to_numpy(zero_copy_only=False))
+        mixed = hn * np.uint64(0x9E3779B97F4A7C15) ^ hl
+        tot = int(mixed.sum(dtype=np.uint64)) & ((1 << 63) - 1)
         return pa.table({"s": pa.array([tot], type=pa.int64())})
 
     parts = labels.map_batches(part, batch_format="pyarrow").take_all()
@@ -83,10 +99,19 @@ def _distributed_hash_min(edges, nodes, cfg: ERConfig) -> "ray.data.Dataset":
     from ray.data.aggregate import Min
 
     prev_sum = _checksum(labels)
+    converged = False
     for _round in range(cfg.max_cc_rounds):
-        msgs = edges_sym.join(
+        # propagation edges = the original graph PLUS the current label
+        # pointers (label(n) → n). The pointer edges make this round
+        # deliver label(label(n)) to n — pointer jumping — so deep chains
+        # converge in O(log diameter) rounds instead of O(diameter)
+        # (the shortcutting idea of the ICDE 2013 CC algorithm).
+        lab_edges = labels.map_batches(
+            lambda t: pa.table({"src": t["label"], "dst": t["node"]}),
+            batch_format="pyarrow")
+        msgs = edges_sym.union(lab_edges).join(
             labels.rename_columns({"node": "src"}), join_type="inner",
-            on=("src",), num_partitions=cfg.join_partitions) \
+            on=("src",), num_partitions=join_partitions_cap(cfg.join_partitions)) \
             .select_columns(["dst", "label"]) \
             .rename_columns({"dst": "node"})
         labels_new = labels.union(msgs).groupby("node").aggregate(
@@ -94,8 +119,16 @@ def _distributed_hash_min(edges, nodes, cfg: ERConfig) -> "ray.data.Dataset":
         new_sum = _checksum(labels_new)
         labels = labels_new
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"distributed CC hit max_cc_rounds={cfg.max_cc_rounds} without "
+            "checksum convergence — labels may be partially propagated; "
+            "raise max_cc_rounds", RuntimeWarning, stacklevel=2)
     return labels.rename_columns({"node": "ref", "label": "cluster_id"})
 
 

@@ -47,6 +47,18 @@ def hash_str(s: str) -> int:
     return h
 
 
+def join_partitions_cap(requested: int) -> int:
+    """Cap a join's num_partitions at the cluster CPU count. Ray's hash
+    shuffle join spawns one aggregator actor per partition; requesting far
+    more partitions than CPUs (e.g. 32-way joins on an 8-CPU node, chained)
+    can deadlock the actor pool. Empirically n_partitions ≤ n_cpus is safe
+    even with two chained joins."""
+    import ray
+
+    n = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(requested, n))
+
+
 def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
                     batch_format: str = "pandas"):
     """Apply ``fn(partition_df) -> df`` where each partition contains all

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 
 from blurrily_ray.functions.hashing import MERSENNE61, md5_num, minhash_params
+from blurrily_ray.stages.common import join_partitions_cap
 from blurrily_ray.stages.pairs import _cached_get
 
 _TOKEN_RE = re.compile(r"\S+")
@@ -71,24 +72,29 @@ def minhash_signatures(docs, *, id_col: str = "doc_id", text_col: str = "text",
                        num_perm: int = NUM_PERM, seed: int = 42):
     """(id, sig: list<int64>) MinHash signatures over word-shingle sets.
 
-    The (a*h+b) mod p math runs in Python ints per doc (exact, matches the
-    DuckDB HUGEINT oracle); a 128-bit-split vectorized mulmod is the drop-in
-    for the 10^12-scale path.
+    The (a*h+b) mod p math is the 128-bit-split vectorized mulmod
+    (functions/hashing.mulmod61): all docs of a batch are flattened into one
+    hash array and each permutation is one vector op + a segment-min
+    (np.minimum.reduceat) — no per-doc per-perm Python loop. Values are
+    bit-identical to the DuckDB HUGEINT oracle.
     """
+    from blurrily_ray.functions.hashing import _mod61, mulmod61
+
     a, b = minhash_params(num_perm, seed)
-    a_list = [int(x) for x in a]
-    b_list = [int(x) for x in b]
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in df[text_col]:
-            hs = [int(h) for h in _shingle_hashes(text)]
-            if not hs:
-                sigs.append([0] * num_perm)
-                continue
-            sigs.append([min((ai * h + bi) % MERSENNE61 for h in hs)
-                         for ai, bi in zip(a_list, b_list)])
-        return pd.DataFrame({id_col: df[id_col], "sig": sigs})
+        per_doc = [_shingle_hashes(t) for t in df[text_col]]
+        counts = np.array([len(h) for h in per_doc], dtype=np.int64)
+        sig_mat = np.zeros((len(df), num_perm), dtype=np.int64)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            flat = (np.concatenate([per_doc[i] for i in nz])
+                    .astype(np.uint64))
+            starts = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            for j in range(num_perm):
+                v = _mod61(mulmod61(a[j], flat) + np.uint64(b[j]))
+                sig_mat[nz, j] = np.minimum.reduceat(v, starts).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col], "sig": list(sig_mat)})
 
     return docs.map_batches(fn, batch_format="pandas")
 
@@ -143,35 +149,140 @@ def lsh_candidate_pairs(sigs, *, id_col: str = "doc_id",
     return partitioned_map(raw, ["a", "b"], lambda df: df.drop_duplicates())
 
 
+def _shingle_blob_table(docs, id_col: str, text_col: str):
+    """docs → (ref, shb: binary blob of the sorted distinct u64 shingle
+    hashes, nsh). Built DISTRIBUTED in map_batches — blobs are plain binary
+    so they survive Ray's Arrow hash joins (list payloads do not)."""
+
+    def build(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        blobs = [_shingle_hashes(t).tobytes() for t in texts]
+        return pa.table({
+            "ref": batch[id_col],
+            "shb": pa.array(blobs, type=pa.binary()),
+            "nsh": pa.array([len(b) // 8 for b in blobs], type=pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        build, batch_format="pyarrow")
+
+
+def _intersect_counts(pair_idx_a, ha_flat, pair_idx_b, hb_flat, n_pairs):
+    """Vectorized per-pair set-intersection counts: each side's hashes are
+    distinct within a pair, so a (pair, hash) value appearing twice in the
+    concatenation appears once per side → one lexsort, no per-pair loop."""
+    all_k = np.concatenate([pair_idx_a, pair_idx_b])
+    all_h = np.concatenate([ha_flat, hb_flat])
+    order = np.lexsort((all_h, all_k))
+    sk, sh = all_k[order], all_h[order]
+    dup = (sk[1:] == sk[:-1]) & (sh[1:] == sh[:-1])
+    return np.bincount(sk[1:][dup], minlength=n_pairs).astype(np.int64)
+
+
+def _blob_arrays(col) -> tuple[np.ndarray, np.ndarray]:
+    """Binary column of u64 blobs → (flat u64 values, element counts)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    blobs = col.to_pylist()
+    counts = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+    flat = (np.frombuffer(b"".join(blobs), dtype=np.uint64)
+            if counts.sum() else np.empty(0, np.uint64))
+    return flat, counts
+
+
+def _jaccard_filter(df: pd.DataFrame) -> pd.DataFrame:
+    keep = (df["n_inter"] * JACCARD_THRESHOLD_DEN
+            >= df["n_union"] * JACCARD_THRESHOLD_NUM) & (df["n_union"] > 0)
+    return df[keep]
+
+
 def verify_jaccard(pairs, docs, *, id_col: str = "doc_id",
-                   text_col: str = "text"):
+                   text_col: str = "text", mode: str = "auto",
+                   broadcast_limit_bytes: int = 256 << 20):
     """Exact shingle-set Jaccard for candidate pairs →
     (a, b, n_inter, n_union), keeping pairs with
     inter * DEN >= union * NUM (default Jaccard ≥ 1/2).
-    Broadcast of the shingle-set lookup (small side); swap for the hash-join
-    path in stages/pairs.score_pairs at corpus scale."""
-    lut = {}
-    for batch in docs.select_columns([id_col, text_col]).iter_batches(
-            batch_size=4096, batch_format="pandas"):
-        for i, t in zip(batch[id_col], batch[text_col]):
-            lut[i] = _shingle_hashes(t)
-    lut_ref = ray.put(lut)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        lu = _cached_get(lut_ref)
-        inter = np.empty(len(df), dtype=np.int64)
-        union = np.empty(len(df), dtype=np.int64)
-        for k, (x, y) in enumerate(zip(df["a"], df["b"])):
-            sa, sb = lu[x], lu[y]
-            ninter = np.intersect1d(sa, sb, assume_unique=True).size
-            inter[k] = ninter
-            union[k] = sa.size + sb.size - ninter
-        out = df.assign(n_inter=inter, n_union=union)
-        keep = (out["n_inter"] * JACCARD_THRESHOLD_DEN
-                >= out["n_union"] * JACCARD_THRESHOLD_NUM) & (out["n_union"] > 0)
-        return out[keep]
+    Same broadcast-or-join duality as stages/pairs.score_pairs: the shingle
+    sets are built DISTRIBUTED as binary blobs; mode='broadcast' ships the
+    concatenated arrays once via ray.put (no Python dict, no driver
+    per-doc loop), mode='join' attaches blobs via two hash joins (the
+    corpus-scale path). Scoring is one vectorized lexsort per batch."""
+    side = _shingle_blob_table(docs, id_col, text_col)
 
-    return pairs.map_batches(score, batch_format="pandas")
+    if mode == "auto":
+        est = docs.count() * 400  # ~bytes/doc of shingle hashes, rough
+        mode = "broadcast" if est <= broadcast_limit_bytes else "join"
+
+    if mode == "broadcast":
+        refs, flats, counts = [], [], []
+        for batch in side.iter_batches(batch_size=None, batch_format="pyarrow"):
+            f, c = _blob_arrays(batch["shb"])
+            flats.append(f)
+            counts.append(c)
+            r = np.asarray(batch["ref"].combine_chunks())
+            refs.append(r.astype(str) if r.dtype == object else r)
+        ref_arr = np.concatenate(refs) if refs else np.empty(0, np.int64)
+        cnt = (np.concatenate(counts) if counts
+               else np.empty(0, np.int64))
+        flat = (np.concatenate(flats) if flats else np.empty(0, np.uint64))
+        order = np.argsort(ref_arr, kind="stable")
+        starts_unordered = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        lut_ref = ray.put((ref_arr[order], flat,
+                           starts_unordered[order], cnt[order]))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            ref_sorted, fl, starts, cn = _cached_get(lut_ref)
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+            if a.dtype == object:
+                a, b = a.astype(str), b.astype(str)
+            ia = np.searchsorted(ref_sorted, a)
+            ib = np.searchsorted(ref_sorted, b)
+            idx_a = np.repeat(np.arange(len(df)), cn[ia])
+            idx_b = np.repeat(np.arange(len(df)), cn[ib])
+            ha = fl[_concat_slices(starts[ia], cn[ia])]
+            hb = fl[_concat_slices(starts[ib], cn[ib])]
+            inter = _intersect_counts(idx_a, ha, idx_b, hb, len(df))
+            union = cn[ia] + cn[ib] - inter
+            return _jaccard_filter(df.assign(n_inter=inter, n_union=union))
+
+        return pairs.map_batches(score, batch_format="pandas")
+
+    # scale path: attach blobs via two hash joins, score per batch
+    j = pairs.join(side.rename_columns({"ref": "a", "shb": "shb_a",
+                                        "nsh": "nsh_a"}),
+                   join_type="inner", on=("a",), num_partitions=join_partitions_cap(32))
+    j = j.join(side.rename_columns({"ref": "b", "shb": "shb_b",
+                                    "nsh": "nsh_b"}),
+               join_type="inner", on=("b",), num_partitions=join_partitions_cap(32))
+
+    def score_joined(batch: pa.Table) -> pa.Table:
+        ha, ca = _blob_arrays(batch["shb_a"])
+        hb, cb = _blob_arrays(batch["shb_b"])
+        n = len(batch)
+        idx_a = np.repeat(np.arange(n), ca)
+        idx_b = np.repeat(np.arange(n), cb)
+        inter = _intersect_counts(idx_a, ha, idx_b, hb, n)
+        union = ca + cb - inter
+        out = pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "n_inter": pa.array(inter), "n_union": pa.array(union)})
+        keep = (inter * JACCARD_THRESHOLD_DEN >= union * JACCARD_THRESHOLD_NUM) \
+            & (union > 0)
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(score_joined, batch_format="pyarrow")
+
+
+def _concat_slices(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Index array selecting flat[starts[i] : starts[i]+counts[i]] for all i
+    concatenated — vectorized gather indices."""
+    from blurrily_ray.functions.trigram import _concat_ranges
+
+    if int(counts.sum()) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.repeat(starts, counts) + _concat_ranges(counts)
 
 
 def minhash_dedup_pairs(docs, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -187,25 +298,31 @@ def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     is 1 iff the count-weighted majority of token-hash bits j is 1 (ties →
     0). Token hash = md5_number mod 2^60 (60 bits → fits int64)."""
 
-    def one(text: str) -> int:
-        words = _TOKEN_RE.findall((text or "").lower())
-        if not words:
-            return 0
-        acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-        from collections import Counter
-
-        for w, c in Counter(words).items():
-            h = md5_num(w) % (1 << SIMHASH_BITS)
-            for j in range(SIMHASH_BITS):
-                acc[j] += c if (h >> j) & 1 else -c
-        out = 0
-        for j in range(SIMHASH_BITS):
-            if acc[j] > 0:
-                out |= 1 << j
-        return out
-
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: df[id_col],
-                             "simhash": df[text_col].map(one).astype(np.int64)})
+        """Vectorized: md5 once per DISTINCT token in the batch, then the
+        60-bit accumulate/sign runs as numpy matrix ops (no per-token
+        per-bit Python loop)."""
+        tok_lists = [_TOKEN_RE.findall((t or "").lower()) for t in df[text_col]]
+        counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        if counts.sum() == 0:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "simhash": np.zeros(len(df), dtype=np.int64)})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in tok_lists if t])
+        doc_idx = np.repeat(np.arange(len(df)), counts)
+        # md5 per DISTINCT token only (corpora repeat tokens heavily)
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        mod = 1 << SIMHASH_BITS
+        h = np.fromiter((md5_num(w) % mod for w in uniq), dtype=np.uint64,
+                        count=len(uniq))
+        bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1                      # (n_uniq, 60) in {-1, +1}
+        acc = np.zeros((len(df), SIMHASH_BITS), dtype=np.int64)
+        np.add.at(acc, doc_idx, contrib[inv])
+        out = ((acc > 0).astype(np.uint64)
+               << np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :]).sum(
+                   axis=1, dtype=np.uint64).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col], "simhash": out})
 
     return docs.map_batches(fn, batch_format="pandas")

@@ -175,11 +175,27 @@ def find_triples(postings, needle: str, limit: int = LIMIT_DEFAULT) -> list[list
 
 def delete(postings, refs):
     """Anti-join against a tombstone set (storage.c:584-612). The tombstone
-    side is broadcast (small); for huge tombstone sets use a hash join."""
-    tomb = set(refs)
+    side is a sorted array broadcast ONCE via ray.put (fetched per worker,
+    not shipped per task); for huge tombstone sets use a hash join."""
+    import ray
+
+    from blurrily_ray.stages.pairs import _cached_get
+
+    tomb = np.sort(np.unique(np.asarray(list(refs))))
+    if tomb.dtype == object:
+        tomb = tomb.astype(str)
+    tomb_ref = ray.put(tomb)
 
     def drop(batch: pa.Table) -> pa.Table:
-        keep = ~np.isin(np.asarray(batch["ref"]), list(tomb))
+        t = _cached_get(tomb_ref)
+        r = np.asarray(batch["ref"])
+        if r.dtype == object:
+            r = r.astype(str)
+        if len(t) == 0:
+            return batch
+        idx = np.searchsorted(t, r)
+        idx[idx >= len(t)] = 0
+        keep = t[idx] != r
         return batch.filter(pa.array(keep))
 
     return postings.map_batches(drop, batch_format="pyarrow")

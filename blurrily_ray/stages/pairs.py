@@ -41,6 +41,7 @@ import pyarrow as pa
 import ray
 
 from blurrily_ray.config import DEFAULT, ERConfig
+from blurrily_ray.stages.common import join_partitions_cap
 from blurrily_ray.functions.trigram import NUM_TRIGRAMS, _concat_ranges
 
 _GET_CACHE: dict = {}
@@ -263,10 +264,20 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
 
     def pairgen_partition(df: pd.DataFrame) -> pd.DataFrame:
         """All (key, gu, gv) groups of one hash partition, vectorized: sort
-        once, slice group runs, emit pairs per run with numpy."""
+        once, slice group runs, emit pairs per run with numpy.
+
+        Output rows are (a, b, n) where ``n`` counts how many blocking keys
+        of THIS partition generated the pair. Salting guarantees a pair is
+        generated at most once per key, so summing ``n`` across partitions
+        recovers the exact global co-key count (the min_cokeys predicate the
+        DuckDB oracle computes with GROUP BY ... HAVING COUNT(*)). A plain
+        (a, b) drop_duplicates here would silently collapse the same pair
+        arising under two different keys hashed into one partition and
+        undercount co-keys."""
         if len(df) == 0:
             return pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
-                                 "b": pd.Series([], dtype=df["ref"].dtype)})
+                                 "b": pd.Series([], dtype=df["ref"].dtype),
+                                 "n": pd.Series([], dtype="int64")})
         df = df.sort_values(["key", "gu", "gv"], kind="stable")
         keys = df["key"].to_numpy()
         gus = df["gu"].to_numpy()
@@ -300,11 +311,17 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
             out_b.append(b)
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
-                                 "b": pd.Series([], dtype=df["ref"].dtype)})
-        # local dedupe cuts shuffle volume before the global distinct
+                                 "b": pd.Series([], dtype=df["ref"].dtype),
+                                 "n": pd.Series([], dtype="int64")})
+        # collapse per-partition duplicates into a COUNT (not a distinct):
+        # cuts shuffle volume while preserving the exact co-key multiplicity
         out = pd.DataFrame({"a": np.concatenate(out_a),
                             "b": np.concatenate(out_b)})
-        return out.drop_duplicates()
+        g = out.groupby(["a", "b"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["a", "b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     from blurrily_ray.stages.common import partitioned_map
 
@@ -318,18 +335,19 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
 def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
     """Global (a, b) dedupe — one coarse hash-partitioned shuffle.
 
-    A pair appears once per shared blocking key, so raw pair volume is
-    duplicate-heavy; when the next stage is score → threshold it is MUCH
-    cheaper to score duplicates (scores are identical) and dedupe the tiny
-    thresholded edge set instead — run_er does exactly that via
-    candidate_pairs(distinct=False)."""
+    Input rows carry a per-partition co-key count ``n`` (pairgen_partition);
+    the global co-key count of a pair is the SUM of its ``n`` values, which
+    the min_cokeys predicate uses. Rows without ``n`` (other pair sources)
+    count 1 each."""
     from blurrily_ray.stages.common import partitioned_map
 
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"] if "n" in df.columns else pd.Series(
+            np.ones(len(df), dtype=np.int64), index=df.index)
         if cfg.min_cokeys > 1:
-            counts = df.groupby(["a", "b"], sort=False).size()
+            counts = df.assign(_n=n).groupby(["a", "b"], sort=False)["_n"].sum()
             return counts[counts >= cfg.min_cokeys].reset_index()[["a", "b"]]
-        return df.drop_duplicates()
+        return df[["a", "b"]].drop_duplicates()
 
     return partitioned_map(pairs, ["a", "b"], dedupe,
                            n_parts=cfg.join_partitions)
@@ -466,11 +484,11 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
     j = pairs.join(side.rename_columns({"ref": "a", "bits": "bits_a",
                                         "ntri": "ntri_a", "weight": "weight_a"}),
                    join_type="inner", on=("a",),
-                   num_partitions=cfg.join_partitions)
+                   num_partitions=join_partitions_cap(cfg.join_partitions))
     j = j.join(side.rename_columns({"ref": "b", "bits": "bits_b",
                                     "ntri": "ntri_b", "weight": "weight_b"}),
                join_type="inner", on=("b",),
-               num_partitions=cfg.join_partitions)
+               num_partitions=join_partitions_cap(cfg.join_partitions))
 
     def _bits_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
@@ -529,14 +547,16 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
         ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
         # output a/b dtype: restored refs in surrogate mode, input otherwise
         ab_dtype = ref_sorted.dtype if surrogate else df["a"].dtype
+        # per-partition co-key counts ``n`` from pairgen_partition sum to
+        # the exact global co-key count (all copies of a pair hash here)
+        n = df["n"] if "n" in df.columns else pd.Series(
+            np.ones(len(df), dtype=np.int64), index=df.index)
         if cfg.min_cokeys > 1:
-            # keep pairs co-occurring under >= min_cokeys blocking keys
-            # (all occurrences of a pair hash to this partition)
-            counts = df.groupby(["a", "b"], sort=False).size()
+            counts = df.assign(_n=n).groupby(["a", "b"], sort=False)["_n"].sum()
             counts = counts[counts >= cfg.min_cokeys]
             df = counts.reset_index()[["a", "b"]]
         else:
-            df = df.drop_duplicates()
+            df = df[["a", "b"]].drop_duplicates()
         if len(df) == 0:
             cols = {"a": pd.Series([], dtype=ab_dtype),
                     "b": pd.Series([], dtype=ab_dtype)}

@@ -38,11 +38,11 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
               id_col: str = "vec_id", vec_col: str = "embedding"):
     """(query_id, rank, neighbor_id): exact cosine top-k for each query id,
     self excluded, ties broken by neighbor id ascending, rank 1-based."""
-    qset = set(int(q) for q in query_ids)
+    qarr = np.unique(np.fromiter((int(q) for q in query_ids), dtype=np.int64))
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, list(qset))
+        keep = np.isin(ids, qarr)
         return batch.filter(pa.array(keep))
 
     qrows = embeddings.map_batches(pick, batch_format="pyarrow").take_all()

@@ -46,20 +46,45 @@ def token_count(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(fn, batch_format="pandas")
 
 
+def _token_arrays(toks: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Series of token lists → (flat token array, per-row counts)."""
+    counts = toks.str.len().to_numpy(dtype=np.int64)
+    flat = (np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            if counts.sum() else np.empty(0, dtype=object))
+    return flat, counts
+
+
+def _segment_sum(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flattened ragged array — one bincount, no lambda."""
+    out = np.zeros(len(counts), dtype=np.int64)
+    if len(values):
+        seg = np.repeat(np.arange(len(counts)), counts)
+        out = np.bincount(seg, weights=values,
+                          minlength=len(counts)).astype(np.int64)
+    return out
+
+
 def quality_stats(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, n_chars, n_tokens, sum_token_len, n_stop, n_punct) — the raw
-    counts behind length / punctuation / stopword quality ratios."""
-    stop = set(STOPWORDS)
+    counts behind length / punctuation / stopword quality ratios.
+    Token-level counts run on ONE flattened array per batch (vectorized
+    pandas/numpy kernels, no per-row lambdas)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         text = df[text_col].fillna("")
         toks = _tokens(text)
+        flat, counts = _token_arrays(toks)
+        fs = pd.Series(flat, dtype=object)
+        tok_len = fs.str.len().to_numpy(dtype=np.float64) if len(fs) \
+            else np.empty(0)
+        is_stop = fs.str.lower().isin(STOPWORDS).to_numpy(dtype=np.float64) \
+            if len(fs) else np.empty(0)
         return pd.DataFrame({
             id_col: df[id_col],
             "n_chars": text.str.len().astype(np.int64),
-            "n_tokens": toks.str.len().astype(np.int64),
-            "sum_token_len": toks.map(lambda ws: sum(len(w) for w in ws)).astype(np.int64),
-            "n_stop": toks.map(lambda ws: sum(w.lower() in stop for w in ws)).astype(np.int64),
+            "n_tokens": counts,
+            "sum_token_len": _segment_sum(tok_len, counts),
+            "n_stop": _segment_sum(is_stop, counts),
             "n_punct": text.str.count(_PUNCT_RE).astype(np.int64),
         })
 
@@ -69,12 +94,13 @@ def quality_stats(docs, *, id_col: str = "doc_id", text_col: str = "text"):
 def langid(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, lang_pred): stopword-density n-gram-free heuristic — 'en' iff
     n_stop * LANGID_NUM >= n_tokens (and there is at least one token)."""
-    stop = set(STOPWORDS)
-
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(df[text_col])
-        n_tok = toks.str.len().astype(np.int64)
-        n_stop = toks.map(lambda ws: sum(w.lower() in stop for w in ws)).astype(np.int64)
+        flat, n_tok = _token_arrays(toks)
+        fs = pd.Series(flat, dtype=object)
+        is_stop = fs.str.lower().isin(STOPWORDS).to_numpy(dtype=np.float64) \
+            if len(fs) else np.empty(0)
+        n_stop = _segment_sum(is_stop, n_tok)
         pred = np.where((n_tok > 0) & (n_stop * LANGID_NUM >= n_tok), "en", "unknown")
         return pd.DataFrame({id_col: df[id_col], "lang_pred": pred})
 
@@ -91,9 +117,13 @@ def fingerprint(docs, *, id_col: str = "doc_id", text_col: str = "text",
         words = _TOKEN_RE.findall(text or "")
         if len(words) < ngram:
             return hashlib.md5((text or "").strip().encode()).hexdigest()
+        # byte-wise digest order == hex order (each byte maps to two fixed
+        # hex chars monotonically) — hex-encode only the winner. The md5
+        # per n-gram itself is irreducible: the fingerprint IS the min md5.
+        md5 = hashlib.md5
         return min(
-            hashlib.md5(" ".join(words[i:i + ngram]).encode()).hexdigest()
-            for i in range(len(words) - ngram + 1))
+            md5(" ".join(words[i:i + ngram]).encode()).digest()
+            for i in range(len(words) - ngram + 1)).hex()
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: df[id_col],

@@ -2,8 +2,10 @@
 
 The reference has no streaming constructs (SURVEY.md §2.4); this is a
 graft-added operator a training-data pipeline needs (per-user activity
-sessionization for behavioral filtering). One groupby(user) shuffle;
-per-group work is a sort of that user's events.
+sessionization for behavioral filtering). One coarse hash-partitioned
+shuffle (stages/common.partitioned_map — NOT a per-user map_groups, whose
+~35 ms/group invocation overhead dominates at millions of users); each
+partition sessionizes ALL of its users in one vectorized pass.
 """
 
 from __future__ import annotations
@@ -22,20 +24,41 @@ def sessionize(events, gap_minutes: int = 30, *, user_col: str = "user_id",
     """
     gap_us = gap_minutes * 60_000_000
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="stable")
-        us = df[ts_col].astype("datetime64[us]").astype(np.int64)
-        new_session = np.ones(len(us), dtype=bool)
-        new_session[1:] = np.diff(us) > gap_us
-        sid = np.cumsum(new_session)
-        g = pd.DataFrame({"sid": sid, "us": us}).groupby("sid")["us"]
+    def all_users(df: pd.DataFrame) -> pd.DataFrame:
+        """Sessionize every user of the partition in one vectorized pass:
+        sort by (user, ts); a session starts at each user change or gap
+        breach; session stats come from reduceat over run boundaries."""
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=df[user_col].dtype),
+                "session_idx": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "start_us": pd.Series([], dtype="int64"),
+                "end_us": pd.Series([], dtype="int64")})
+        df = df.sort_values([user_col, ts_col], kind="stable")
+        users = df[user_col].to_numpy()
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new_sess = np.ones(len(df), dtype=bool)
+        new_sess[1:] = (users[1:] != users[:-1]) | (np.diff(us) > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate((starts[1:], [len(df)]))
+        # per-user 1-based session index: global cumsum minus the value at
+        # each user's first session
+        gsid = np.cumsum(new_sess)
+        user_first = np.ones(len(df), dtype=bool)
+        user_first[1:] = users[1:] != users[:-1]
+        base = np.repeat(gsid[user_first], np.diff(
+            np.concatenate((np.nonzero(user_first)[0], [len(df)]))))
+        sidx = (gsid - base + 1)[starts]
         return pd.DataFrame({
-            "user_id": df[user_col].iloc[0],
-            "session_idx": g.min().index.to_numpy(dtype=np.int64),
-            "n_events": g.size().to_numpy(dtype=np.int64),
-            "start_us": g.min().to_numpy(dtype=np.int64),
-            "end_us": g.max().to_numpy(dtype=np.int64),
+            "user_id": users[starts],
+            "session_idx": sidx.astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            "start_us": us[starts],
+            "end_us": us[ends - 1],  # ts-sorted within session
         })
 
-    return events.select_columns([user_col, ts_col]) \
-        .groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from blurrily_ray.stages.common import partitioned_map
+
+    return partitioned_map(events.select_columns([user_col, ts_col]),
+                           [user_col], all_users)

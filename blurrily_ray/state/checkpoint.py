@@ -92,6 +92,35 @@ def read_checkpoint(path: str):
     return ray.data.read_parquet(os.path.join(path, "data"))
 
 
+def input_fingerprint(ds) -> str:
+    """Cheap content-identity digest of a Dataset's input: source file
+    paths + sizes + mtimes when it reads files, else row count + schema.
+    Recorded in stage lineage so a checkpoint is invalidated when the
+    INPUT changes, not just the config (same-config different-data reruns
+    must not silently reuse stale checkpoints)."""
+    import hashlib
+
+    h = hashlib.md5()
+    files = []
+    try:
+        files = sorted(ds.input_files() or [])
+    except Exception:
+        files = []
+    if files:
+        for f in files:
+            h.update(f.encode())
+            local = f[7:] if f.startswith("file://") else f
+            try:
+                st = os.stat(local)
+                h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            except OSError:
+                pass
+    else:
+        h.update(str(ds.count()).encode())
+        h.update(str(ds.schema()).encode())
+    return h.hexdigest()[:16]
+
+
 def run_stage(name: str, path: str, fn: Callable[[], Any], *,
               lineage: dict | None = None, force: bool = False):
     """Resume primitive: return the checkpointed Dataset for ``name`` if its

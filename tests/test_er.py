@@ -79,6 +79,63 @@ def test_distributed_cc_matches_driver():
     assert drv["c3"] == "c1" and drv["s3"] == "s0" and drv["z"] == "z"
 
 
+def test_cokey_count_partition_invariant(sf0001_paths):
+    """min_cokeys must count co-blocking-keys EXACTLY, independent of how
+    keys hash into pair-gen partitions. Regression: a partition-local (a,b)
+    drop_duplicates collapsed same-pair-different-key rows, undercounting
+    co-keys — with join_partitions=1 every duplicate collapsed and every
+    true edge was dropped by min_cokeys=2."""
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, score_pairs_fused,
+        trigram_histogram)
+    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"],
+                               columns=["conv_id", "turn_idx", "text"])
+    docsets = docsets_from_docs(assemble_docs(ts)).materialize()
+    hist = trigram_histogram(docsets)
+
+    def edges_with(n_parts):
+        cfg = ERConfig(join_partitions=n_parts, min_cokeys=2)
+        keys = blocking_keys(docsets, hist, cfg).materialize()
+        pairs, _ = candidate_pairs(keys, key_histogram(keys), cfg,
+                                   distinct=False)
+        out = score_pairs_fused(pairs, docsets, cfg)
+        return {(r["a"], r["b"]) for r in out.take_all()}
+
+    one = edges_with(1)
+    many = edges_with(32)
+    assert len(one) > 0
+    assert one == many
+
+
+def test_distributed_cc_deep_chain():
+    """A 12-node chain (diameter 11) must converge well within the round cap
+    — pointer jumping gives O(log diameter) rounds — and match the driver
+    union-find exactly."""
+    n = 12
+    names = [f"n{i:02d}" for i in range(n)]
+    edges = ray.data.from_items(
+        [{"a": names[i], "b": names[i + 1]} for i in range(n - 1)])
+    nodes = ray.data.from_items([{"ref": r} for r in names + ["solo"]])
+    cfg = ERConfig(join_partitions=2, max_cc_rounds=8)
+    drv = {r["ref"]: r["cluster_id"]
+           for r in connected_components(edges, nodes, cfg, mode="driver").take_all()}
+    dist = {r["ref"]: r["cluster_id"]
+            for r in connected_components(edges, nodes, cfg, mode="distributed").take_all()}
+    assert drv == dist
+    assert dist[names[-1]] == names[0] and dist["solo"] == "solo"
+
+
+def test_distributed_cc_warns_on_round_cap():
+    edges = ray.data.from_items(
+        [{"a": f"m{i}", "b": f"m{i + 1}"} for i in range(6)])
+    nodes = ray.data.from_items([{"ref": f"m{i}"} for i in range(7)])
+    cfg = ERConfig(join_partitions=2, max_cc_rounds=1)
+    with pytest.warns(RuntimeWarning, match="max_cc_rounds"):
+        connected_components(edges, nodes, cfg, mode="distributed").take_all()
+
+
 def test_salting_preserves_pairs(sf0001_paths):
     """Forcing tiny block_cap (heavy salting) must yield the same candidate
     pair set as uncapped blocking — salting bounds block size, not recall."""

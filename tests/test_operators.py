@@ -186,3 +186,18 @@ def test_index_group(tmp_path):
     g.put_bulk("b_db", ray.data.from_items([{"ref": 2, "text": "tokyo"}]))
     assert g.find("a_db", "paris")[0][0] == 1
     assert g.find("b_db", "paris") == []
+
+
+def test_index_group_first_put_wins(tmp_path):
+    """Re-putting an existing ref is a no-op (storage.c:408 returns 0;
+    map_spec.rb:43-47 'does not store duplicate references'): find must not
+    double-count matches and stats must not inflate."""
+    from blurrily_ray.namespaces import IndexGroup
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    g.put_bulk("db", ray.data.from_items([{"ref": 123, "text": "london"}]))
+    # second put of the same ref (even with different text) is ignored
+    g.put_bulk("db", ray.data.from_items([{"ref": 123, "text": "london"},
+                                          {"ref": 456, "text": "paris"}]))
+    assert g.find("db", "london") == [[123, 7, 6]]
+    assert g.stats("db") == {"references": 2, "trigrams": 7 + 6}
