@@ -57,8 +57,17 @@ class ERConfig:
     min_matches: int = 5  # absolute floor on shared trigrams
     min_matches_rel: float = 0.55  # floor as fraction of min(|T(a)|,|T(b)|)
     # If the per-doc trigram sets needed for scoring fit under this many
-    # bytes, broadcast them via ray.put instead of a 2-sided hash join.
-    broadcast_limit_bytes: int = 256 << 20
+    # bytes, broadcast them via ray.put (workers map the plasma object
+    # zero-copy, so the per-worker cost is one shared mapping); above it
+    # run_er switches to the partitioned scorer actor pool
+    # (stages/scorer.py) — no corpus-sized broadcast, no driver
+    # materialization. 2 GiB ≈ 7·10⁵ docs of bitsets; beyond that the
+    # driver-side LUT build is the real bottleneck, hence the shards.
+    broadcast_limit_bytes: int = 2 << 30
+    # Number of hash(ref) bitset shards backing the scorer actor pool.
+    # Size so one shard (~2.8 KB/doc) fits comfortably in an actor heap:
+    # at 10^9 docs and 4 GB/actor that is ~1024 shards.
+    score_shards: int = 32
     # --- shuffles ---
     join_partitions: int = 32
     # --- clustering ---

@@ -68,14 +68,44 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         docsets = docsets.materialize()  # reused by 4 downstream stages
     with metrics.timeit("histogram"):
         hist = trigram_histogram(docsets)
-    with metrics.timeit("bitsets"):
-        # one broadcast serves blocking (ref → surrogate id), scoring
-        # (bitsets) and the final ref restoration
-        import ray as _ray
 
-        from blurrily_ray.stages.pairs import _docsets_bitsets
+    # scoring-mode dispatch: 'auto' honors broadcast_limit_bytes — below it
+    # the per-doc bitsets broadcast once (fastest at sandbox scale); above
+    # it the partitioned scorer actor pool streams pairs against Parquet
+    # bitset shards and NOTHING corpus-sized ever touches the driver.
+    from blurrily_ray.stages.pairs import _BITSET_BYTES
 
-        lut_ref = _ray.put(_docsets_bitsets(docsets))
+    if score_mode == "auto":
+        est = docsets.count() * (_BITSET_BYTES + 64)
+        score_mode = "broadcast" if est <= cfg.broadcast_limit_bytes \
+            else "sharded"
+        metrics.stage("score_dispatch", mode=score_mode, est_bytes=est)
+
+    lut_ref = None
+    if score_mode == "broadcast":
+        with metrics.timeit("bitsets"):
+            # one broadcast serves blocking (ref → surrogate id), scoring
+            # (bitsets) and the final ref restoration
+            import ray as _ray
+
+            from blurrily_ray.stages.pairs import _docsets_bitsets
+
+            lut_ref = _ray.put(_docsets_bitsets(docsets))
+    elif score_mode == "sharded":
+        import tempfile
+
+        from blurrily_ray.stages.scorer import build_bitset_shards
+
+        with metrics.timeit("bitset_shards"):
+            shard_dir = (os.path.join(checkpoint_dir, "bitset_shards")
+                         if checkpoint_dir else
+                         tempfile.mkdtemp(prefix="blurrily_shards_"))
+            build_bitset_shards(
+                docsets, shard_dir, cfg.score_shards,
+                lineage={"config": cfg.digest(),
+                         **({"input": in_digest}
+                            if checkpoint_dir is not None else {})})
+
     with metrics.timeit("blocking"):
         keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref).materialize()
         khist = key_histogram(keys)
@@ -83,13 +113,18 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         pairs, skew = candidate_pairs(keys, khist, cfg, distinct=False)
         metrics.stage("pairs", **skew)
     with metrics.timeit("scoring"):
-        if score_mode in ("auto", "broadcast"):
+        if score_mode == "broadcast":
             # fused dedupe+score+threshold: one (a,b)-hash shuffle on int64
             # surrogate ids, each distinct pair scored exactly once
             from blurrily_ray.stages.pairs import score_pairs_fused
 
             edges = ckpt("edges", lambda: score_pairs_fused(
                 pairs, cfg=cfg, lut_ref=lut_ref, surrogate=True))
+        elif score_mode == "sharded":
+            from blurrily_ray.stages.scorer import score_pairs_sharded
+
+            edges = ckpt("edges", lambda: score_pairs_sharded(
+                pairs, shard_dir, cfg))
         else:
             from blurrily_ray.stages.pairs import distinct_pairs
 

@@ -1,0 +1,266 @@
+"""Partitioned scorer actor pool — exact pair scoring with NO whole-corpus
+materialization on the driver and NO corpus-sized broadcast.
+
+This is the Ray-native analogue of the reference's ref-sorted posting
+shards held in process memory (/root/reference/ext/blurrily/storage.c:
+142-150, 516): per-doc trigram BITSETS are written once as hash(ref)-
+partitioned Parquet shards (build_bitset_shards); scoring then routes the
+candidate-pair stream so that each actor only ever needs a handful of
+shards, loaded once into its cache and reused across batches
+(map_batches with a callable CLASS = actor pool; setup in __init__ /
+cache, work in __call__).
+
+Dataflow (two pair-stream shuffles, zero corpus shuffles):
+
+  raw pairs ─ shuffle by (shard(a), sub(b)) ─ dedupe + co-key filter
+            ─ actor: attach bits_a/ntri_a/weight_a from shard(a)
+            ─ shuffle by (shard(b), sub(a))
+            ─ actor: attach bits_b, matches = popcount(AND), threshold
+            → edges (a, b, matches, ntri_a, ntri_b, weight_a, weight_b)
+
+The only per-pair payload crossing a shuffle is one 2,744-byte bitset
+(bits_a), paid once per DISTINCT candidate pair — candidate pairs are
+O(corpus) after blocking, so this stays linear. Shard files live on
+shared storage (here a directory; S3/NFS on a real cluster) and double as
+a reusable index artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from blurrily_ray.config import DEFAULT, ERConfig
+from blurrily_ray.stages.pairs import (
+    _BITSET_BYTES,
+    _bitset_batch,
+    _popcount_rows,
+    _u64_of_refs,
+    rel_fraction,
+)
+
+SHARD_MANIFEST = "SHARDS.json"
+
+
+def build_bitset_shards(docsets, path: str, n_shards: int, *,
+                        lineage: dict | None = None) -> str:
+    """docsets → ``path/shard=K/*.parquet`` of (ref, bits, ntri, weight),
+    K = stable_hash(ref) % n_shards. Built fully distributed (map_batches +
+    partitioned write); a manifest makes the build resumable/skippable."""
+    mf = os.path.join(path, SHARD_MANIFEST)
+    want = {"n_shards": n_shards, "lineage": lineage or {}}
+    if os.path.exists(mf):
+        with open(mf) as fh:
+            have = json.load(fh)
+        if {k: have.get(k) for k in want} == want:
+            return path
+
+    def with_shard(batch: pa.Table) -> pa.Table:
+        bt = _bitset_batch(batch)
+        r = np.asarray(bt["ref"].combine_chunks())
+        if r.dtype == object:
+            r = r.astype(str)
+        shard = (_u64_of_refs(r) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({
+            "ref": bt["ref"],
+            "bits": bt["bits"].cast(pa.binary()),
+            "ntri": bt["ntri"],
+            "weight": bt["weight"],
+            "shard": pa.array(shard),
+        })
+
+    docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
+        .map_batches(with_shard, batch_format="pyarrow") \
+        .write_parquet(path, partition_cols=["shard"])
+    with open(mf, "w") as fh:
+        json.dump({**want, "created_at": time.time()}, fh)
+    return path
+
+
+class _ShardCache:
+    """Lazy per-actor cache of bitset shards: shard id → (ref_sorted,
+    bits matrix, ntri, weight), each loaded once from Parquet. Eviction is
+    FIFO with a small cap — routing gives each actor high shard locality,
+    so the cap is rarely hit."""
+
+    def __init__(self, shard_dir: str, max_shards: int = 8):
+        self.shard_dir = shard_dir
+        self.max_shards = max_shards
+        self.cache: dict = {}
+
+    def get(self, k: int):
+        k = int(k)
+        if k not in self.cache:
+            if len(self.cache) >= self.max_shards:
+                self.cache.pop(next(iter(self.cache)))
+            tbl = pq.read_table(os.path.join(self.shard_dir, f"shard={k}"),
+                                columns=["ref", "bits", "ntri", "weight"])
+            refs = np.asarray(tbl["ref"].combine_chunks())
+            if refs.dtype == object:
+                refs = refs.astype(str)
+            bits_col = tbl["bits"].combine_chunks().cast(
+                pa.binary(_BITSET_BYTES))
+            buf = np.frombuffer(bits_col.buffers()[1], dtype=np.uint8)
+            start = bits_col.offset * _BITSET_BYTES
+            bits = buf[start:start + len(tbl) * _BITSET_BYTES] \
+                .reshape(len(tbl), _BITSET_BYTES)
+            ntri = tbl["ntri"].to_numpy(zero_copy_only=False).astype(np.int64)
+            wt = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(refs, kind="stable")
+            self.cache[k] = (refs[order], bits[order], ntri[order], wt[order])
+        return self.cache[k]
+
+    def lookup(self, shard_of: np.ndarray, refs: np.ndarray):
+        """Row-wise lookup of (bits, ntri, weight) for refs grouped by
+        their shard ids — vectorized per shard present in the batch."""
+        n = len(refs)
+        bits = np.empty((n, _BITSET_BYTES), dtype=np.uint8)
+        ntri = np.empty(n, dtype=np.int64)
+        wt = np.empty(n, dtype=np.int64)
+        for k in np.unique(shard_of):
+            ref_sorted, sb, sn, sw = self.get(k)
+            m = shard_of == k
+            idx = np.searchsorted(ref_sorted, refs[m])
+            bits[m] = sb[idx]
+            ntri[m] = sn[idx]
+            wt[m] = sw[idx]
+        return bits, ntri, wt
+
+
+def _refs_np(col) -> np.ndarray:
+    r = np.asarray(col)
+    return r.astype(str) if r.dtype == object else r
+
+
+class AttachA:
+    """Actor stage 1: attach the a-side bitset from the actor-local shard.
+    Input batches arrive clustered by shard(a) (upstream shuffle)."""
+
+    def __init__(self, shard_dir: str, n_shards: int):
+        self.cache = _ShardCache(shard_dir)
+        self.n_shards = n_shards
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = _refs_np(batch["a"])
+        shard = (_u64_of_refs(a) % np.uint64(self.n_shards)).astype(np.int64)
+        bits, ntri, wt = self.cache.lookup(shard, a)
+        return pa.table({
+            "a": batch["a"], "b": batch["b"],
+            "bits_a": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(_BITSET_BYTES), len(batch),
+                [None, pa.py_buffer(bits.tobytes())]).cast(pa.binary()),
+            "ntri_a": pa.array(ntri), "weight_a": pa.array(wt),
+        })
+
+
+class ScoreB:
+    """Actor stage 2: attach the b-side bitset, compute the exact shared-
+    trigram score (popcount of AND — identical to the reference count,
+    storage.c:527-563) and apply both threshold floors."""
+
+    def __init__(self, shard_dir: str, n_shards: int, cfg: ERConfig):
+        self.cache = _ShardCache(shard_dir)
+        self.n_shards = n_shards
+        self.cfg = cfg
+        self.num, self.den = rel_fraction(cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = _refs_np(batch["b"])
+        shard = (_u64_of_refs(b) % np.uint64(self.n_shards)).astype(np.int64)
+        bits_b, ntri_b, wt_b = self.cache.lookup(shard, b)
+        ba_col = batch["bits_a"].combine_chunks().cast(
+            pa.binary(_BITSET_BYTES))
+        buf = np.frombuffer(ba_col.buffers()[1], dtype=np.uint8)
+        start = ba_col.offset * _BITSET_BYTES
+        bits_a = buf[start:start + len(batch) * _BITSET_BYTES] \
+            .reshape(len(batch), _BITSET_BYTES)
+        m = _popcount_rows(np.bitwise_and(bits_a, bits_b))
+        ntri_a = batch["ntri_a"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(ntri_a, ntri_b)
+        keep = (m >= self.cfg.min_matches) & (m * self.den >= self.num * lo)
+        out = pa.table({
+            "a": batch["a"], "b": batch["b"], "matches": pa.array(m),
+            "ntri_a": pa.array(ntri_a.astype(np.int64)),
+            "ntri_b": pa.array(ntri_b),
+            "weight_a": batch["weight_a"].cast(pa.int64()),
+            "weight_b": pa.array(wt_b),
+        })
+        return out.filter(pa.array(keep))
+
+
+def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
+                        *, n_shards: int | None = None,
+                        concurrency: tuple[int, int] | None = None):
+    """Raw candidate pairs (with per-partition co-key counts ``n``) →
+    thresholded edges, via the sharded actor-pool dataflow above.
+
+    Correctness does not depend on batch/shard alignment — the actors
+    group-lookup whatever shards a batch contains — the routing shuffles
+    only buy locality so each actor touches few shards."""
+    import ray
+
+    n_shards = n_shards or cfg.score_shards
+    if concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, n_cpus))
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    def add_route_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ra"] = (_u64_of_refs(_refs_np(df["a"].to_numpy()))
+                     % np.uint64(n_shards)).astype(np.int64)
+        return df
+
+    def dedupe_cokeys(df: pd.DataFrame) -> pd.DataFrame:
+        """All copies of an (a, b) pair share the partition key, so the
+        summed ``n`` is the exact global co-key count (same contract as
+        score_pairs_fused)."""
+        n = df["n"] if "n" in df.columns else pd.Series(
+            np.ones(len(df), dtype=np.int64), index=df.index)
+        if cfg.min_cokeys > 1:
+            counts = df.assign(_n=n).groupby(["a", "b"], sort=False)["_n"].sum()
+            counts = counts[counts >= cfg.min_cokeys]
+            out = counts.reset_index()[["a", "b"]]
+        else:
+            out = df[["a", "b"]].drop_duplicates()
+        return add_route_a(out)
+
+    # shuffle 1: partition by (a, b) hash — co-key dedupe needs all copies
+    # together; the partition function keys on both columns so the routing
+    # column _ra (function of a alone) stays consistent per pair
+    deduped = partitioned_map(raw_pairs, ["a", "b"], dedupe_cokeys,
+                              n_parts=max(cfg.join_partitions, 2 * n_shards))
+
+    # cluster by a-shard for attach locality (tiny rows: two refs + int)
+    routed_a = partitioned_map(deduped, ["_ra"],
+                               lambda df: df.drop(columns=[]),
+                               n_parts=n_shards)
+    attached = routed_a.map_batches(
+        AttachA, fn_constructor_args=(shard_dir, n_shards),
+        batch_size=16384, batch_format="pyarrow", concurrency=concurrency)
+
+    def add_route_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = (_u64_of_refs(_refs_np(df["b"].to_numpy()))
+                     % np.uint64(n_shards)).astype(np.int64)
+        return df
+
+    routed_b = partitioned_map(
+        attached.map_batches(add_route_b, batch_format="pandas"),
+        ["_rb"], lambda df: df, n_parts=n_shards)
+    edges = routed_b.map_batches(
+        ScoreB, fn_constructor_args=(shard_dir, n_shards, cfg),
+        batch_size=16384, batch_format="pyarrow", concurrency=concurrency)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        drop = [c for c in ("_ra", "_rb") if c in batch.column_names]
+        return batch.drop_columns(drop)
+
+    return edges.map_batches(strip, batch_format="pyarrow")

@@ -79,6 +79,32 @@ def test_distributed_cc_matches_driver():
     assert drv["c3"] == "c1" and drv["s3"] == "s0" and drv["z"] == "z"
 
 
+def test_sharded_scorer_matches_broadcast(er_result, sf0001_paths):
+    """The partitioned scorer actor pool (stages/scorer.py — NO corpus
+    broadcast, NO driver materialization) must produce exactly the
+    broadcast-fused path's edges and clusters."""
+    _, clusters_b = er_result
+    res_s = run_er_from_paths(sf0001_paths["transcripts"],
+                              score_mode="sharded")
+    clusters_s = {r["ref"]: r["cluster_id"]
+                  for r in res_s["clusters"].take_all()}
+    assert clusters_s == clusters_b
+
+
+def test_auto_dispatch_honors_broadcast_limit(sf0001_paths):
+    """score_mode='auto' must route to the sharded scorer when the bitset
+    broadcast would exceed broadcast_limit_bytes (regression: 'auto' used
+    to mean 'always broadcast')."""
+    cfg = ERConfig(broadcast_limit_bytes=1024)  # force the sharded path
+    res = run_er_from_paths(sf0001_paths["transcripts"], cfg=cfg)
+    stages = res["metrics"].data["stages"]
+    assert stages["score_dispatch"]["mode"] == "sharded"
+    base = run_er_from_paths(sf0001_paths["transcripts"])
+    cb = {r["ref"]: r["cluster_id"] for r in base["clusters"].take_all()}
+    ca = {r["ref"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    assert ca == cb
+
+
 def test_cokey_count_partition_invariant(sf0001_paths):
     """min_cokeys must count co-blocking-keys EXACTLY, independent of how
     keys hash into pair-gen partitions. Regression: a partition-local (a,b)
