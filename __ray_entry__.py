@@ -194,6 +194,15 @@ def _q_embed_neardup(sf_dir: str):
     return _i64(neardup_pairs(emb, threshold=0.4))
 
 
+def _q_embed_neardup_lsh(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import lsh_neardup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(lsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=2))
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data
 
@@ -233,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _q_simhash,
         "knn_embeddings": _q_knn,
         "embed_neardup": _q_embed_neardup,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,
         "image_features": _q_image_features,
     }
@@ -262,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": oracles.sql_simhash_docs(),
         "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
         "embed_neardup": oracles.sql_embed_neardup(0.4),
+        "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),
         # image_features: multimodal stub — rows-only check by design
     }

@@ -238,7 +238,17 @@ shs AS (
   UNION ALL
   SELECT ref, array_to_string(ws, ' ') AS s FROM w WHERE length(ws) BETWEEN 1 AND {n - 1}
 ),
-sh AS (SELECT DISTINCT ref, CAST(md5_number(s) % {MERSENNE61} AS BIGINT) AS h FROM shs)"""
+sh AS (SELECT DISTINCT ref,
+       -- md5_number is SIGNED HUGEINT: for negative v (= x - 2^128) the
+       -- unsigned value is x ≡ v + 2^128, and 2^128 ≡ 64 (mod 2^61-1)
+       -- (2^122 ≡ 1), so re-add 64 then renormalize — this makes h
+       -- bit-identical to python's md5_num(s) % MERSENNE61, which the
+       -- banding keys (md5 of sig strings) depend on
+       CAST(CASE WHEN md5_number(s) < 0
+                 THEN ((md5_number(s) % {MERSENNE61}) + {MERSENNE61} + 64)
+                      % {MERSENNE61}
+                 ELSE md5_number(s) % {MERSENNE61} END AS BIGINT) AS h
+       FROM shs)"""
 
 
 def sql_minhash_pairs_docs(seed: int = 42) -> str:
@@ -311,6 +321,48 @@ SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}"""
 def sql_embed_neardup(threshold: float = 0.95) -> str:
     return f"""SELECT e1.vec_id AS a, e2.vec_id AS b
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}"""
+
+
+def sql_embed_neardup_lsh(threshold: float = 0.95, n_planes: int = 16,
+                          n_tables: int = 1, seed: int = 42) -> str:
+    """Random-hyperplane LSH near-dup (mirrors simsearch.lsh_neardup_pairs):
+    plane[d][j] = md5_number('plane-{seed}-{j}-{d}') % 2^32 / 2^31 - 1,
+    table t owns projections t·k..(t+1)·k-1; bucket = (t << k) + Σ 2^(j%k)
+    over positive RAW dot products; exact cosine verified within buckets,
+    pairs deduped across tables. Both engines reproduce the identical
+    bucketing, so outputs match exactly despite recall < 1."""
+    n_proj = n_planes * n_tables
+    return f"""WITH planes AS (
+  -- DuckDB md5_number is a SIGNED HUGEINT; 2^32 divides 2^128, so
+  -- adding 2^32 back after a negative remainder reproduces the unsigned
+  -- value python's md5_num() % 2^32 computes
+  SELECT j, d,
+         CAST((md5_number('plane-{seed}-' || j || '-' || d) % 4294967296
+               + 4294967296) % 4294967296
+              AS DOUBLE) / 2147483648.0 - 1.0 AS val
+  FROM (SELECT unnest(generate_series(0, {n_proj - 1})) AS j),
+       (SELECT unnest(generate_series(0,
+              (SELECT len(embedding) FROM embeddings LIMIT 1) - 1)) AS d)
+),
+em AS (SELECT vec_id, unnest(embedding) AS x,
+              unnest(generate_series(0, len(embedding) - 1)) AS d
+       FROM embeddings),
+dots AS (SELECT em.vec_id, p.j, SUM(em.x * p.val) AS dp
+         FROM em JOIN planes p USING (d) GROUP BY em.vec_id, p.j),
+buckets AS (SELECT vec_id, j // {n_planes} AS t,
+            CAST(((j // {n_planes})::BIGINT << {n_planes}) +
+                 SUM(CASE WHEN dp > 0
+                     THEN (1::BIGINT << (j % {n_planes})) ELSE 0 END)
+                 AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, j // {n_planes}),
+cand AS (SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+         FROM buckets b1 JOIN buckets b2
+              ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.a
+JOIN embeddings e2 ON e2.vec_id = c.b
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}"""
 
 

@@ -17,7 +17,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from blurrily_ray.functions.hashing import stable_u64
 from blurrily_ray.stages.pairs import _cached_get
 
 
@@ -89,15 +88,28 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
 
 
 def neardup_pairs(embeddings, threshold: float = 0.95, *,
-                  id_col: str = "vec_id", vec_col: str = "embedding"):
-    """(a, b) with cosine(a, b) ≥ threshold, a < b — exact, via broadcast of
-    the full (unit-normalized) matrix. Right up to ~10⁶ vectors; beyond
-    that use :func:`lsh_neardup_pairs`."""
-    rows = embeddings.select_columns([id_col, vec_col]).take_all()
-    all_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  brute_limit: int = 100_000):
+    """(a, b) with cosine(a, b) ≥ threshold, a < b.
+
+    Size-gated dispatch: up to ``brute_limit`` vectors the exact broadcast-
+    matmul runs (O(n²) but every pair, recall 1); beyond it the corpus-
+    linear LSH-bucketed path (:func:`lsh_neardup_pairs`) takes over — at
+    100 TB all-pairs cosine is never an option."""
+    if embeddings.count() > brute_limit:
+        return lsh_neardup_pairs(embeddings, threshold,
+                                 id_col=id_col, vec_col=vec_col)
+    ids_l, mats = [], []
+    for batch in embeddings.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        ids_l.append(batch[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_matrix(batch, vec_col))
+    all_ids = (np.concatenate(ids_l) if ids_l
+               else np.empty(0, np.int64)).astype(np.int64)
     order = np.argsort(all_ids)
     all_ids = all_ids[order]
-    all_mat = _unit(np.array([r[vec_col] for r in rows], dtype=np.float64)[order])
+    all_mat = _unit(np.concatenate(mats)[order] if mats
+                    else np.zeros((0, 0)))
     ref = ray.put((all_ids, all_mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -118,34 +130,92 @@ def neardup_pairs(embeddings, threshold: float = 0.95, *,
     return embeddings.map_batches(pairs, batch_format="pyarrow")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def lsh_planes(dim: int, n_proj: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic md5-derived random hyperplanes, reproducible in SQL:
+    plane[d, j] = md5_number('plane-{seed}-{j}-{d}') % 2^32 / 2^31 - 1
+    (uniform in [-1, 1) — sign-LSH only needs symmetric directions).
+    ``n_proj`` counts TOTAL projections (n_tables × n_planes)."""
+    from blurrily_ray.functions.hashing import md5_num
+
+    vals = np.array([[md5_num(f"plane-{seed}-{j}-{d}") % (1 << 32)
+                      for j in range(n_proj)] for d in range(dim)],
+                    dtype=np.float64)
+    return vals / float(1 << 31) - 1.0
+
+
 def lsh_neardup_pairs(embeddings, threshold: float = 0.95, *, n_planes: int = 16,
-                      id_col: str = "vec_id", vec_col: str = "embedding",
-                      dim: int = 64, seed: int = 42):
+                      n_tables: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding", seed: int = 42):
     """Scale path: random-hyperplane LSH — vectors agreeing on all
-    ``n_planes`` sign bits land in one bucket; exact cosine is verified
-    within buckets only. Recall < 1 by construction (tunable via planes /
-    multiple tables); candidate volume is corpus-linear for clustered data."""
-    rng = np.random.RandomState(stable_u64(f"hyperplanes-{seed}") % (2**31))
-    planes = rng.standard_normal((dim, n_planes))
-    planes_ref = ray.put(planes)
+    ``n_planes`` sign bits of any of ``n_tables`` independent tables share
+    a bucket; exact cosine is verified within buckets only and cross-table
+    duplicate pairs are deduped. Per-pair recall ≈ 1 - (1 - p^k)^T with
+    p = 1 - θ/π: tables are the recall lever, planes the precision lever.
+    Candidate volume is corpus-linear for clustered data.
 
+    Hyperplanes are md5-derived (:func:`lsh_planes`), so a DuckDB oracle
+    regenerates the exact bucketing; sign bits use the RAW dot product
+    (sign is normalization-invariant) to keep both engines bit-aligned.
+    Buckets are processed via partitioned_map — all buckets of a hash
+    partition vectorized together, never one UDF call per bucket."""
     def bucket(batch: pa.Table) -> pa.Table:
-        p = _cached_get(planes_ref)
+        m = _matrix(batch, vec_col)
+        p = lsh_planes(m.shape[1] if m.size else 0, n_tables * n_planes, seed)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _unit(_matrix(batch, vec_col))
-        bits = (m @ p) > 0
-        keys = np.packbits(bits, axis=1, bitorder="little")[:, :2].copy().view(np.uint16)[:, 0]
-        return pa.table({id_col: pa.array(ids), "bucket": pa.array(keys.astype(np.int64)),
-                         vec_col: batch[vec_col]})
+        bits = (m @ p) > 0  # (n, T*k); table t owns columns t*k..(t+1)*k-1
+        n = len(ids)
+        key_mat = np.empty((n, n_tables), dtype=np.int64)
+        shifts = np.arange(n_planes, dtype=np.int64)[None, :]
+        for t in range(n_tables):
+            chunk = bits[:, t * n_planes:(t + 1) * n_planes]
+            key_mat[:, t] = (np.int64(t) << np.int64(n_planes)) \
+                + (chunk.astype(np.int64) << shifts).sum(axis=1)
+        rep = np.repeat(np.arange(n), n_tables)
+        return pa.table({id_col: pa.array(ids[rep]),
+                         "bucket": pa.array(key_mat.reshape(-1)),
+                         vec_col: batch[vec_col].combine_chunks().take(
+                             pa.array(rep))})
 
-    def within(df: pd.DataFrame) -> pd.DataFrame:
+    def within_all(df: pd.DataFrame) -> pd.DataFrame:
+        """Exact-verify every bucket of the partition: sort by bucket,
+        slice runs, one matmul per bucket (buckets are small by design)."""
+        if len(df) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        df = df.sort_values("bucket", kind="stable")
+        buckets = df["bucket"].to_numpy()
         ids = df[id_col].to_numpy()
         mat = _unit(np.array(df[vec_col].tolist(), dtype=np.float64))
-        sims = mat @ mat.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ia], ids[ib]
-        swap = a > b
-        return pd.DataFrame({"a": np.where(swap, b, a), "b": np.where(swap, a, b)})
+        boundary = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(df)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sims = mat[s:e] @ mat[s:e].T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b = ids[s + ia], ids[s + ib]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
 
-    return embeddings.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(within, batch_format="pandas")
+    from blurrily_ray.stages.common import partitioned_map
+
+    raw = partitioned_map(
+        embeddings.map_batches(bucket, batch_format="pyarrow"),
+        ["bucket"], within_all)
+    if n_tables == 1:
+        return raw
+    # a pair found by several tables appears once per table — global dedupe
+    return partitioned_map(raw, ["a", "b"],
+                           lambda df: df.drop_duplicates())

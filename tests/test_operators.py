@@ -86,10 +86,25 @@ def test_knn_and_neardup_embeddings():
     nd = {(r["a"], r["b"]) for r in neardup_pairs(emb, threshold=0.95).take_all()}
     assert nd == {(3, 7)}
 
-    # LSH variant finds the planted pair too (same-bucket near-identical vecs)
-    lsh = {(r["a"], r["b"])
-           for r in lsh_neardup_pairs(emb, threshold=0.95, dim=16).take_all()}
-    assert (3, 7) in lsh
+    # multi-table LSH finds the planted near-identical pair (single-table
+    # recall at k=16 is ~p^16; 4 tables of 8 planes push it to ~1) and
+    # only ever ADDS candidates over fewer tables; exact within-bucket
+    # verify keeps every LSH result a subset of the brute-force pairs
+    lsh4 = {(r["a"], r["b"])
+            for r in lsh_neardup_pairs(emb, threshold=0.95,
+                                       n_planes=8, n_tables=4).take_all()}
+    lsh1 = {(r["a"], r["b"])
+            for r in lsh_neardup_pairs(emb, threshold=0.95,
+                                       n_planes=8, n_tables=1).take_all()}
+    assert (3, 7) in lsh4
+    assert lsh1 <= lsh4 <= nd
+    # brute/LSH dispatch: forcing a tiny brute_limit routes to LSH
+    gated = {(r["a"], r["b"])
+             for r in neardup_pairs(emb, threshold=0.95,
+                                    brute_limit=5).take_all()}
+    lsh_default = {(r["a"], r["b"])
+                   for r in lsh_neardup_pairs(emb, threshold=0.95).take_all()}
+    assert gated == lsh_default
 
 
 def test_textstats(docs):
