@@ -203,6 +203,56 @@ def test_index_group(tmp_path):
     assert g.find("b_db", "paris") == []
 
 
+def test_index_group_incremental_segments(tmp_path):
+    """put/delete are DELTA appends: earlier segment files are never
+    rewritten; put → delete → re-put across deltas replays exactly like a
+    from-scratch build (map_spec.rb:78-115 delete/re-add semantics)."""
+    import glob
+    import os
+
+    from blurrily_ray.namespaces import IndexGroup
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    g.put_bulk("db", ray.data.from_items([{"ref": 1, "text": "london"},
+                                          {"ref": 2, "text": "paris"}]))
+    seg1_files = sorted(glob.glob(str(tmp_path / "maps/db/seg-000001/**/*"),
+                                  recursive=True))
+    seg1_mtimes = [os.path.getmtime(f) for f in seg1_files]
+    assert seg1_files
+
+    # append-only put: segment 1 untouched
+    g.put_bulk("db", ray.data.from_items([{"ref": 3, "text": "tokyo"}]))
+    assert [os.path.getmtime(f) for f in seg1_files] == seg1_mtimes
+    assert g.stats("db")["references"] == 3
+
+    # delete = tombstone append: segment files still untouched
+    g.delete("db", [2])
+    assert [os.path.getmtime(f) for f in seg1_files] == seg1_mtimes
+    assert g.find("db", "paris") == []
+    assert g.stats("db")["references"] == 2
+
+    # re-put after delete re-adds (sequenced tombstones)
+    g.put_bulk("db", ray.data.from_items([{"ref": 2, "text": "paris"}]))
+    assert g.find("db", "paris")[0][0] == 2
+    assert [os.path.getmtime(f) for f in seg1_files] == seg1_mtimes
+
+    # equivalent from-scratch build matches find + stats exactly
+    g2 = IndexGroup(str(tmp_path / "maps2"))
+    g2.put_bulk("db", ray.data.from_items(
+        [{"ref": 1, "text": "london"}, {"ref": 2, "text": "paris"},
+         {"ref": 3, "text": "tokyo"}]))
+    for needle in ("london", "paris", "tokyo"):
+        assert g.find("db", needle) == g2.find("db", needle)
+    assert g.stats("db") == g2.stats("db")
+
+    # compaction folds to one segment with identical results
+    g.compact("db")
+    assert sorted(os.listdir(tmp_path / "maps/db")) == \
+        ["SEGMENTS.json", "seg-000001"]
+    for needle in ("london", "paris", "tokyo"):
+        assert g.find("db", needle) == g2.find("db", needle)
+
+
 def test_index_group_first_put_wins(tmp_path):
     """Re-putting an existing ref is a no-op (storage.c:408 returns 0;
     map_spec.rb:43-47 'does not store duplicate references'): find must not

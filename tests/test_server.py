@@ -1,0 +1,96 @@
+"""Wire-protocol server tests — golden response strings ported from
+/root/reference/spec/blurrily/command_processor_spec.rb and
+server_spec.rb/integration_spec.rb behaviors (persistent connection,
+multi-db isolation, save-on-shutdown)."""
+
+import pytest
+
+from blurrily_ray.namespaces import IndexGroup
+from blurrily_ray.server import BlurrilyServer, Client, CommandProcessor
+
+
+@pytest.fixture()
+def proc(tmp_path):
+    return CommandProcessor(IndexGroup(str(tmp_path / "srv")))
+
+
+def test_put_and_find_golden(proc):
+    # command_processor_spec.rb:15-19
+    assert proc.process_command("PUT\tlocations_en\tgreat london\t12") == "OK"
+    assert proc.process_command("PUT\tlocations_en\tgreater masovian\t13") == "OK"
+    assert proc.process_command("FIND\tlocations_en\tgreat") == \
+        "OK\t12\t6\t12\t13\t5\t16"
+
+
+def test_find_empty_ok(proc):
+    assert proc.process_command("FIND\tlocations_en\tgreat london") == "OK"
+
+
+def test_error_taxonomy(proc):
+    # command_processor_spec.rb:27-49
+    assert proc.process_command("Some stuff").startswith("ERROR\tUnknown command")
+    assert proc.process_command("FIND\tbad db name\tWhatever string") \
+        .startswith("ERROR\tInvalid database name")
+    assert proc.process_command("FIND\tdb\tWhatever string\tlimit") \
+        .startswith("ERROR\tLimit must be a number")
+    assert proc.process_command("PUT\tdb\tWhatever string\t12\tweight") \
+        .startswith("ERROR\tInvalid weight")
+    assert proc.process_command("PUT\tdb\tWhatever string\tref") \
+        .startswith("ERROR\tInvalid reference")
+    assert proc.process_command(
+        "PUT\tdb\tWhatever string\tref\tweight\targument too much") \
+        .startswith("ERROR\twrong number ")
+    assert proc.process_command("FIND\tdb\tWhatever string\t2") == "OK"
+    assert proc.process_command("PUT\tdb\tWhatever string\t12\t1") == "OK"
+
+
+def test_delete_and_clear(proc):
+    assert proc.process_command("PUT\tdb\tlondon\t123") == "OK"
+    assert proc.process_command("FIND\tdb\tlondon") == "OK\t123\t7\t6"
+    assert proc.process_command("DELETE\tdb\t123") == "OK"
+    assert proc.process_command("FIND\tdb\tlondon") == "OK"
+    assert proc.process_command("PUT\tdb\tlondon\t123") == "OK"
+    assert proc.process_command("CLEAR\tdb") == "OK"
+    assert proc.process_command("FIND\tdb\tlondon") == "OK"
+
+
+def test_put_idempotent_through_protocol(proc):
+    # map_spec.rb:43-47 via the wire: re-PUT of a ref is ignored
+    assert proc.process_command("PUT\tdb\tlondon\t123") == "OK"
+    assert proc.process_command("PUT\tdb\tlondon\t123") == "OK"
+    assert proc.process_command("FIND\tdb\tlondon") == "OK\t123\t7\t6"
+
+
+def test_weight_override(proc):
+    # storage.h:60-63: caller weight overrides the length default
+    proc.process_command("PUT\tdb\tlondon\t1\t100")
+    proc.process_command("PUT\tdb\tlondon\t2\t1")
+    # equal-score tie broken by weight ascending → ref 2 first
+    reply = proc.process_command("FIND\tdb\tlondon")
+    vals = [int(x) for x in reply.split("\t")[1:]]
+    triples = [vals[i:i + 3] for i in range(0, len(vals), 3)]
+    assert triples == [[2, 7, 1], [1, 7, 100]]
+
+
+def test_tcp_roundtrip(tmp_path):
+    # server_spec.rb: responds over TCP, connection persists across
+    # commands, multiple dbs isolated (integration_spec.rb:51-60)
+    srv = BlurrilyServer(str(tmp_path / "srv"), port=0, save_interval=9999)
+    srv.start()
+    try:
+        c = Client(port=srv.port)
+        c.put("paris_db", "paris", 123)
+        c.put("tokyo_db", "tokyo", 456)
+        assert c.find("paris_db", "paris") == [[123, 6, 5]]
+        assert c.find("paris_db", "pariis") == [[123, 5, 5]]  # integration_spec.rb:31-35
+        assert c.find("tokyo_db", "paris") == []
+        with pytest.raises(RuntimeError):
+            c.request("NOPE\tdb") and c.find("bad db", "x")
+        # same socket still serves after an error line
+        assert c.request("FIND\tparis_db\tparis") == "OK\t123\t6\t5"
+        c.close()
+    finally:
+        srv.stop()
+    # save-on-shutdown: buffered puts became durable segments
+    g = IndexGroup(str(tmp_path / "srv"))
+    assert g.find("paris_db", "paris") == [[123, 6, 5]]
