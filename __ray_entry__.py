@@ -128,6 +128,28 @@ def _q_pairs(sf_dir: str):
     return _i64(_docs_edges(sf_dir).select_columns(["a", "b", "matches"]))
 
 
+def _q_pairs_triple(sf_dir: str):
+    """Candidate pairs under trigram_triple blocking (C(R,3) composite
+    keys — the 10^10+-doc headroom mode)."""
+    from blurrily_ray.config import ERConfig
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, score_pairs,
+        threshold_edges, trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    cfg = ERConfig(blocking_mode="trigram_triple")
+    docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
+                                text_col="text").materialize()
+    hist = trigram_histogram(docsets)
+    keys = blocking_keys(docsets, hist, cfg).materialize()
+    pairs, _ = candidate_pairs(keys, key_histogram(keys), cfg,
+                               distinct=False)
+    from blurrily_ray.stages.pairs import score_pairs_fused
+
+    edges = score_pairs_fused(pairs, docsets, cfg)
+    return _i64(edges.select_columns(["a", "b", "matches"]))
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -232,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_docs": _q_find,
         "find_many_docs": _q_find_many,
         "pairs_docs": _q_pairs,
+        "pairs_docs_triple": _q_pairs_triple,
         "er_clusters": _q_er_clusters,
         "dedup_exact_docs": _q_dedup_exact,
         "token_count_docs": _q_token_count,
@@ -262,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
         "find_docs": oracles.sql_find_docs(FIND_NEEDLE, 10),
         "find_many_docs": oracles.sql_find_many_docs(FIND_NEEDLES, 10),
         "pairs_docs": oracles.sql_candidate_pairs_docs(),
+        "pairs_docs_triple": oracles.sql_candidate_pairs_docs(
+            oracles.TRIPLE_MODE),
         "er_clusters": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
         "token_count_docs": oracles.sql_token_count_docs(),

@@ -24,7 +24,18 @@ class ERConfig:
     #   2.4·10⁸). Two docs collide only when they share BOTH trigrams of a
     #   key, so collisions ≈ true matches — candidate volume stays linear
     #   in the corpus. This is the 10^12-turn path.
+    # 'trigram_triple': key = an ordered TRIPLE of the triple_rarest
+    #   rarest trigrams (C(R,3) keys/doc; key space 28⁹/6 ≈ 1.8·10¹²).
+    #   Headroom for when even the pair space saturates (~10^10 docs):
+    #   random collisions need THREE shared trigrams.
     blocking_mode: str = "trigram_pair"
+    # R rarest trigrams per doc in triple mode → C(R,3) composite keys.
+    # R=14 → 364 keys/doc. Tuned like pair_rarest: at SMALL corpus scale
+    # typo trigrams crowd the rare list, so triples (needing 3 shared)
+    # lose recall faster than pairs — R=10 drops recall to 0.90 at
+    # sf0.001 while R=14 restores F1=1.0; at sf0.1 R=10 already scores
+    # 0.9997, so larger R only costs emissions, never recall.
+    triple_rarest: int = 14
     # R rarest trigrams per doc → C(R,2) composite keys. Tuned with
     # min_cokeys: R=12 keeps ≥2 shared composite keys for true matches even
     # when typo-noise crowds the rare lists (small corpora), while random
@@ -70,6 +81,11 @@ class ERConfig:
     score_shards: int = 32
     # --- shuffles ---
     join_partitions: int = 32
+    # Cap on collidable blocking keys the driver will hold (key_histogram).
+    # A histogram partition exceeding its share ships only its >block_cap
+    # keys and is marked hot-only; its unknown keys stay unsalted instead
+    # of being dropped — exact pairs, bounded driver memory.
+    driver_key_limit: int = 20_000_000
     # --- clustering ---
     # Below this many edges, connected components run as driver-side
     # union-find (exact, one pass); above it, distributed hash-min label

@@ -118,7 +118,22 @@ def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
     """postings → thresholded candidate pair CTE chain (mirrors
     stages/pairs.py: rarest-key blocking + stoplist + exact rescoring).
     Handles both blocking modes (config.py)."""
-    if cfg.blocking_mode == "trigram_pair":
+    if cfg.blocking_mode == "trigram_triple":
+        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.triple_rarest}),
+comp AS (SELECT k1.ref,
+                (k1.trigram * 21952 + k2.trigram) * 21952 + k3.trigram AS key
+         FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
+                                     AND k1.trigram < k2.trigram
+                       JOIN keysq k3 ON k1.ref = k3.ref
+                                     AND k2.trigram < k3.trigram),
+khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
+keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
+              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+cand AS (SELECT k1.ref AS a, k2.ref AS b
+         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+         WHERE k1.ref < k2.ref
+         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
+    elif cfg.blocking_mode == "trigram_pair":
         keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.pair_rarest}),
 comp AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
          FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
@@ -157,6 +172,7 @@ edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
 
 
 TRIGRAM_MODE = ERConfig(blocking_mode="trigram", min_cokeys=1)
+TRIPLE_MODE = ERConfig(blocking_mode="trigram_triple")
 
 
 def sql_candidate_pairs_docs(cfg: ERConfig = TRIGRAM_MODE) -> str:

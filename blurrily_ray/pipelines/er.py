@@ -108,7 +108,7 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
 
     with metrics.timeit("blocking"):
         keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref).materialize()
-        khist = key_histogram(keys)
+        khist = key_histogram(keys, cfg)
     with metrics.timeit("pairs"):
         pairs, skew = candidate_pairs(keys, khist, cfg, distinct=False)
         metrics.stage("pairs", **skew)

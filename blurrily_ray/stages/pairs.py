@@ -113,11 +113,26 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
     In ``trigram_pair`` mode the key is the composite of TWO of the doc's
     ``cfg.pair_rarest`` rarest trigrams, encoded ``t1 * 21952 + t2``
     (t1 < t2): C(R,2) keys per doc over a 28⁶/2 key space, so unrelated
-    docs almost never collide (config.py rationale). Keys are int64 in
-    both modes."""
+    docs almost never collide (config.py rationale). ``trigram_triple``
+    composes THREE (28⁹/6 key space — headroom past ~10¹⁰ docs). Keys are
+    int64 in every mode (21952³ ≈ 1.06·10¹³ < 2⁶³)."""
     hist_ref = ray.put(hist)
-    pair_mode = cfg.blocking_mode == "trigram_pair"
-    n_sel = cfg.pair_rarest if pair_mode else max_keys_per_doc
+    arity = {"trigram": 1, "trigram_pair": 2,
+             "trigram_triple": 3}[cfg.blocking_mode]
+    n_sel = {1: max_keys_per_doc, 2: cfg.pair_rarest,
+             3: cfg.triple_rarest}[arity]
+    comb_cache: dict = {}
+
+    def combos(n: int) -> tuple[np.ndarray, ...]:
+        """Index tuples of all sorted ``arity``-combinations of range(n)
+        (n ≤ n_sel, so the cache stays tiny)."""
+        if n not in comb_cache:
+            from itertools import combinations
+
+            idx = np.array(list(combinations(range(n), arity)),
+                           dtype=np.int64).reshape(-1, arity)
+            comb_cache[n] = tuple(idx[:, j] for j in range(arity))
+        return comb_cache[n]
 
     def emit(batch: pa.Table) -> pa.Table:
         h = _cached_get(hist_ref)
@@ -137,11 +152,14 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
             if c > n_sel:
                 order = np.lexsort((k, f))[:n_sel]
                 k = np.sort(k[order])
-            if pair_mode:
-                if len(k) < 2:
+            if arity > 1:
+                if len(k) < arity:
                     continue
-                ia, ib = np.triu_indices(len(k), k=1)
-                k = k[ia] * np.int64(NUM_TRIGRAMS) + k[ib]
+                parts = combos(len(k))
+                key = k[parts[0]]
+                for j in range(1, arity):
+                    key = key * np.int64(NUM_TRIGRAMS) + k[parts[j]]
+                k = key
             out_keys.append(k)
             out_idx.append(np.full(len(k), i, dtype=np.int64))
         ref_type = pa.int64() if lut_ref is not None else batch["ref"].type
@@ -167,40 +185,81 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
     return docsets.map_batches(emit, batch_format="pyarrow")
 
 
-def key_histogram(keys_ds):
+KEY_HIST_PARTS = 64
+
+
+def key_histogram(keys_ds, cfg: ERConfig = DEFAULT):
     """Sparse histogram of *emitted* blocking keys that can collide
-    (count ≥ 2): returns (keys:int64 sorted, counts:int64). Keys emitted
-    once can neither pair nor need salting, so they never reach the driver
-    — the result is sized by *collisions*, not by the key space (essential
-    in trigram_pair mode where the space is 2.4·10⁸)."""
-    from blurrily_ray.stages.common import partitioned_map
+    (count ≥ 2): returns (keys, counts, regime) with keys int64 sorted.
+    Keys emitted once can neither pair nor need salting, so they never
+    reach the driver — the result is sized by *collisions*, not the key
+    space (essential in trigram_pair/triple mode, space 2.4·10⁸ / 10¹²).
+
+    Driver-bound guarantee: a partition whose collidable-key count
+    exceeds ``cfg.driver_key_limit / n_parts`` ships only its keys hotter
+    than block_cap (the ones salting/stoplisting actually needs) and is
+    marked 'hot-only' in ``regime``; salt_plan then keeps that
+    partition's unknown keys unsalted instead of dropping them — pair
+    generation stays exact, only the singleton-filter optimization is
+    lost for the overloaded partition."""
+    from blurrily_ray.stages.common import _col_hash, partitioned_map
+
+    n_parts = KEY_HIST_PARTS
+    per_part = max(1, cfg.driver_key_limit // n_parts)
 
     def count_part(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["key"].value_counts()
         vc = vc[vc >= 2]
-        return pd.DataFrame({"key": vc.index.to_numpy(dtype=np.int64),
-                             "n": vc.to_numpy(dtype=np.int64)})
+        hot_only = len(vc) > per_part
+        if hot_only:
+            vc = vc[vc > cfg.block_cap]
+        if len(df) == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "part": pd.Series([], dtype="int64"),
+                                 "hot_only": pd.Series([], dtype="int64")})
+        part = int(_col_hash(df["key"].iloc[:1])[0] % np.uint64(n_parts))
+        # sentinel row (key = -1) always carries the partition's regime —
+        # a hot-only partition may ship ZERO key rows yet must be marked
+        keys_out = np.concatenate(([-1], vc.index.to_numpy(dtype=np.int64)))
+        n_out = np.concatenate(([0], vc.to_numpy(dtype=np.int64)))
+        return pd.DataFrame({"key": keys_out, "n": n_out,
+                             "part": np.int64(part),
+                             "hot_only": np.int64(hot_only)})
 
+    regime = np.zeros(n_parts, dtype=bool)  # False = full listing
     kparts, nparts = [], []
-    for batch in partitioned_map(keys_ds, ["key"], count_part).iter_batches(
+    for batch in partitioned_map(keys_ds, ["key"], count_part,
+                                 n_parts=n_parts).iter_batches(
             batch_size=None, batch_format="pyarrow"):
-        kparts.append(batch["key"].to_numpy(zero_copy_only=False))
-        nparts.append(batch["n"].to_numpy(zero_copy_only=False))
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        kparts.append(k[k >= 0])
+        nparts.append(n[k >= 0])
+        if len(batch):
+            p = batch["part"].to_numpy(zero_copy_only=False)
+            h = batch["hot_only"].to_numpy(zero_copy_only=False)
+            regime[p[h > 0]] = True
     if not kparts:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64), regime
     keys = np.concatenate(kparts).astype(np.int64)
     counts = np.concatenate(nparts).astype(np.int64)
     order = np.argsort(keys)
-    return keys[order], counts[order]
+    return keys[order], counts[order], regime
 
 
 def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
-    """(sorted keys, per-key bucket counts s) for collidable keys:
+    """(sorted keys, per-key bucket counts s, regime) for collidable keys:
     s = 1 (plain), >1 (salted into s buckets), 0 (stoplisted / dropped).
-    Accepts the sparse (keys, counts) pair or a legacy dense array."""
+    ``regime`` marks hot-only histogram partitions (see key_histogram) —
+    None/all-False means the listing is complete. Accepts the sparse
+    (keys, counts[, regime]) tuple or a legacy dense array."""
+    regime = None
     if isinstance(key_hist, np.ndarray):  # dense 21,952-bin form
         keys = np.nonzero(key_hist >= 2)[0].astype(np.int64)
         counts = key_hist[keys]
+    elif len(key_hist) == 3:
+        keys, counts, regime = key_hist
     else:
         keys, counts = key_hist
     cap = cfg.block_cap
@@ -213,8 +272,9 @@ def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
         "keys_salted": int((s > 1).sum()),
         "keys_dropped": int(dropped.sum()),
         "emissions_dropped": int(counts[dropped].sum()),
+        "hist_parts_hot_only": int(regime.sum()) if regime is not None else 0,
     }
-    return keys, s, stats
+    return keys, s, regime, stats
 
 
 def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
@@ -225,21 +285,35 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
     Returns (pairs_ds, skew_stats). Hot keys are salted into bucket pairs;
     super-hot keys are dropped and counted in skew_stats.
     """
-    plan_keys, plan_s, skew_stats = salt_plan(key_hist, cfg)
-    salts_ref = ray.put((plan_keys, plan_s))
+    plan_keys, plan_s, regime, skew_stats = salt_plan(key_hist, cfg)
+    salts_ref = ray.put((plan_keys, plan_s, regime))
+
+    def _default_s(keys: np.ndarray, regime) -> np.ndarray:
+        """s for keys ABSENT from the plan: 0 (drop — the key was counted
+        once, it cannot pair) when its histogram partition shipped a full
+        listing, 1 (keep unsalted) when that partition was hot-only and
+        the key's exact count is unknown (but ≤ block_cap)."""
+        if regime is None or not regime.any():
+            return np.zeros(len(keys), dtype=np.int64)
+        h = keys.astype(np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        part = (h % np.uint64(KEY_HIST_PARTS)).astype(np.int64)
+        return regime[part].astype(np.int64)
 
     def salt(batch: pa.Table) -> pa.Table:
-        p_keys, p_s = _cached_get(salts_ref)
+        p_keys, p_s, reg = _cached_get(salts_ref)
         keys = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
         refs = batch["ref"]
         if len(p_keys) == 0:
-            keep = np.zeros(len(keys), dtype=bool)
-            s = keys[:0]
+            s = _default_s(keys, reg)
+            keep = s > 0
         else:
             idx = np.searchsorted(p_keys, keys)
             idx[idx >= len(p_keys)] = 0
             found = p_keys[idx] == keys
-            s = np.where(found, p_s[idx], 0)
+            s = np.where(found, p_s[idx], _default_s(keys, reg))
             keep = s > 0
         keys, s = keys[keep], s[keep]
         refs = refs.filter(pa.array(keep))

@@ -105,6 +105,43 @@ def test_auto_dispatch_honors_broadcast_limit(sf0001_paths):
     assert ca == cb
 
 
+def test_key_histogram_driver_cap_preserves_pairs(sf0001_paths):
+    """Forcing a tiny driver_key_limit (hot-only histogram partitions)
+    must not change the generated pair set — unknown keys are kept
+    unsalted, never dropped."""
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, trigram_histogram)
+    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"],
+                               columns=["conv_id", "turn_idx", "text"])
+    docsets = docsets_from_docs(assemble_docs(ts)).materialize()
+    hist = trigram_histogram(docsets)
+    base_cfg = ERConfig()
+    keys = blocking_keys(docsets, hist, base_cfg).materialize()
+
+    def pair_set(cfg):
+        kh = key_histogram(keys, cfg)
+        pairs, stats = candidate_pairs(keys, kh, cfg)
+        return {(r["a"], r["b"]) for r in pairs.take_all()}, stats
+
+    full, s_full = pair_set(base_cfg)
+    capped, s_capped = pair_set(ERConfig(driver_key_limit=64))
+    assert s_full["hist_parts_hot_only"] == 0
+    assert s_capped["hist_parts_hot_only"] > 0
+    assert full == capped and len(full) > 0
+
+
+def test_triple_blocking_f1(sf0001_paths):
+    """trigram_triple blocking (C(R,3) keys — the 10^10+-doc headroom
+    mode) must still clear the F1 gate."""
+    res = run_er_from_paths(sf0001_paths["transcripts"],
+                            cfg=ERConfig(blocking_mode="trigram_triple"))
+    clusters = {r["ref"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    f1 = pairwise_f1(clusters, truth_map(sf0001_paths))
+    assert f1["f1"] >= 0.99, f1
+
+
 def test_cokey_count_partition_invariant(sf0001_paths):
     """min_cokeys must count co-blocking-keys EXACTLY, independent of how
     keys hash into pair-gen partitions. Regression: a partition-local (a,b)
