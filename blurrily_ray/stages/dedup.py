@@ -100,9 +100,12 @@ def minhash_signatures(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs, *, id_col: str = "doc_id",
-                        num_bands: int = NUM_BANDS):
-    """Signatures → distinct candidate (a, b) pairs via banding: docs whose
-    signature agrees on ALL rows of any band share that band's bucket."""
+                        num_bands: int = NUM_BANDS, distinct: bool = True):
+    """Signatures → candidate (a, b) pairs via banding: docs whose
+    signature agrees on ALL rows of any band share that band's bucket.
+    ``distinct=False`` skips the global dedupe shuffle (pairs may repeat
+    once per matching band) — callers that score-then-threshold dedupe
+    the much smaller verified set instead."""
     rows_per_band = NUM_PERM // num_bands
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -146,6 +149,8 @@ def lsh_candidate_pairs(sigs, *, id_col: str = "doc_id",
 
     raw = partitioned_map(sigs.map_batches(bands, batch_format="pandas"),
                           ["bkey"], pairgen_partition)
+    if not distinct:
+        return raw
     return partitioned_map(raw, ["a", "b"], lambda df: df.drop_duplicates())
 
 
@@ -156,7 +161,22 @@ def _shingle_blob_table(docs, id_col: str, text_col: str):
 
     def build(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        blobs = [_shingle_hashes(t).tobytes() for t in texts]
+        per_doc = [_shingles(t) for t in texts]
+        counts = np.array([len(s) for s in per_doc], dtype=np.int64)
+        # md5 once per DISTINCT shingle in the batch (docs repeat shingles)
+        flat = [s for doc in per_doc for s in doc]
+        if flat:
+            uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+            p = MERSENNE61
+            uh = np.fromiter((md5_num(s) % p for s in uniq),
+                             dtype=np.uint64, count=len(uniq))
+            all_h = uh[inv]
+        else:
+            all_h = np.empty(0, dtype=np.uint64)
+        blobs, pos = [], 0
+        for c in counts:
+            blobs.append(np.unique(all_h[pos:pos + c]).tobytes())
+            pos += c
         return pa.table({
             "ref": batch[id_col],
             "shb": pa.array(blobs, type=pa.binary()),
@@ -198,7 +218,7 @@ def _jaccard_filter(df: pd.DataFrame) -> pd.DataFrame:
 
 def verify_jaccard(pairs, docs, *, id_col: str = "doc_id",
                    text_col: str = "text", mode: str = "auto",
-                   broadcast_limit_bytes: int = 256 << 20):
+                   broadcast_limit_bytes: int = 256 << 20, blobs=None):
     """Exact shingle-set Jaccard for candidate pairs →
     (a, b, n_inter, n_union), keeping pairs with
     inter * DEN >= union * NUM (default Jaccard ≥ 1/2).
@@ -207,8 +227,10 @@ def verify_jaccard(pairs, docs, *, id_col: str = "doc_id",
     sets are built DISTRIBUTED as binary blobs; mode='broadcast' ships the
     concatenated arrays once via ray.put (no Python dict, no driver
     per-doc loop), mode='join' attaches blobs via two hash joins (the
-    corpus-scale path). Scoring is one vectorized lexsort per batch."""
-    side = _shingle_blob_table(docs, id_col, text_col)
+    corpus-scale path). Scoring is one vectorized lexsort per batch.
+    Pass ``blobs`` to reuse an already-computed shingle-blob table."""
+    side = blobs if blobs is not None \
+        else _shingle_blob_table(docs, id_col, text_col)
 
     if mode == "auto":
         est = docs.count() * 400  # ~bytes/doc of shingle hashes, rough
@@ -285,12 +307,43 @@ def _concat_slices(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return np.repeat(starts, counts) + _concat_ranges(counts)
 
 
+def signatures_from_blobs(blobs, *, num_perm: int = NUM_PERM,
+                          seed: int = 42):
+    """(ref, shb, nsh) → (ref, sig): the minhash math over pre-computed
+    shingle-hash blobs — md5 work is NOT repeated."""
+    from blurrily_ray.functions.hashing import _mod61, mulmod61
+
+    a, b = minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, counts = _blob_arrays(batch["shb"])
+        sig_mat = np.zeros((len(batch), num_perm), dtype=np.int64)
+        nz = np.nonzero(counts)[0]
+        if len(nz):
+            nz_counts = counts[nz]
+            starts = np.concatenate(([0], np.cumsum(nz_counts)[:-1]))
+            for j in range(num_perm):
+                v = _mod61(mulmod61(a[j], flat) + np.uint64(b[j]))
+                sig_mat[nz, j] = np.minimum.reduceat(v, starts).astype(np.int64)
+        return pa.table({"doc_id": batch["ref"],
+                         "sig": pa.array(list(sig_mat))})
+
+    return blobs.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """Full near-dup pipeline: shingle → minhash → LSH bands → exact-Jaccard
-    verify. Returns (a, b, n_inter, n_union) for verified near-duplicates."""
-    sigs = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    verify. Returns (a, b, n_inter, n_union) for verified near-duplicates.
+
+    The shingle-hash blobs are computed ONCE (the md5 pass dominates) and
+    shared by the signature stage and the exact verify."""
+    blobs = _shingle_blob_table(docs, id_col, text_col).materialize()
+    sigs = signatures_from_blobs(blobs)
+    if id_col != "doc_id":
+        sigs = sigs.rename_columns({"doc_id": id_col})
     cands = lsh_candidate_pairs(sigs, id_col=id_col)
-    return verify_jaccard(cands, docs, id_col=id_col, text_col=text_col)
+    return verify_jaccard(cands, docs, id_col=id_col, text_col=text_col,
+                          blobs=blobs)
 
 
 def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
