@@ -99,12 +99,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     minhash_dedup_pairs(docs).count()
     queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
-    from blurrily_ray.stages.simsearch import knn_brute
+    from blurrily_ray.stages.simsearch import knn_brute, lsh_neardup_pairs
 
     t0 = time.perf_counter()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     knn_brute(emb, query_ids=range(10), k=10).count()
     queries["knn"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=2).count()
+    queries["lsh_neardup"] = round(time.perf_counter() - t0, 3)
 
     from blurrily_ray.stages.windows import sessionize
 

@@ -63,18 +63,28 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
                     batch_format: str = "pandas"):
     """Apply ``fn(partition_df) -> df`` where each partition contains all
     rows of every key-group hashed into it. ``fn`` must handle multiple
-    groups (group-by ``key_cols`` inside, vectorized)."""
+    groups (group-by ``key_cols`` inside, vectorized).
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        h = np.zeros(len(df), dtype=np.uint64)
+    The partition-id column is appended on zero-copy Arrow batches (an
+    int64 append, no pandas conversion or table copy) — the labeling pass
+    runs over every input row, so it must stay O(row) cheap."""
+    import pyarrow as pa
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), dtype=np.uint64)
         for c in key_cols:
-            h = h * np.uint64(31) + _col_hash(df[c])
-        df = df.copy()
-        df["_part"] = (h % np.uint64(n_parts)).astype(np.int64)
-        return df
+            col = batch[c]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy(zero_copy_only=False)
+                h = h * np.uint64(31) + _col_hash(pd.Series(v))
+            else:
+                h = h * np.uint64(31) + _col_hash(
+                    pd.Series(np.asarray(col), dtype=object))
+        part = (h % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part))
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         return fn(df.drop(columns=["_part"]))
 
-    return ds.map_batches(add_part, batch_format="pandas") \
+    return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(run, batch_format=batch_format)

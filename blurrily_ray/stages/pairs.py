@@ -135,39 +135,61 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
         return comb_cache[n]
 
     def emit(batch: pa.Table) -> pa.Table:
+        """Fully vectorized selection + combination: ONE global lexsort
+        ranks every doc's trigrams by (freq, code); kept codes regroup by
+        per-doc kept-count so each count-class builds its combination
+        keys as one matrix op — no per-doc Python loop."""
         h = _cached_get(hist_ref)
         tris = batch["tris"].combine_chunks()
         offsets = tris.offsets.to_numpy()
         counts = np.diff(offsets)
         codes = tris.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        freq = h[codes]
-        out_keys, out_idx = [], []
-        pos = 0
-        for i, c in enumerate(counts):
-            f = freq[pos:pos + c]
-            k = codes[pos:pos + c]
-            pos += c
-            if c == 0:
-                continue
-            if c > n_sel:
-                order = np.lexsort((k, f))[:n_sel]
-                k = np.sort(k[order])
-            if arity > 1:
-                if len(k) < arity:
-                    continue
-                parts = combos(len(k))
-                key = k[parts[0]]
-                for j in range(1, arity):
-                    key = key * np.int64(NUM_TRIGRAMS) + k[parts[j]]
-                k = key
-            out_keys.append(k)
-            out_idx.append(np.full(len(k), i, dtype=np.int64))
+        n = len(batch)
         ref_type = pa.int64() if lut_ref is not None else batch["ref"].type
-        if not out_keys:
+        keys = np.empty(0, dtype=np.int64)
+        idx = np.empty(0, dtype=np.int64)
+        if len(codes):
+            freq = h[codes]
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            # rank each doc's trigrams by (freq, code); keep the n_sel
+            # rarest (== all when the doc has fewer)
+            order = np.lexsort((codes, freq, doc_of))
+            sd = doc_of[order]
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            rank = np.arange(len(codes), dtype=np.int64) - starts[sd]
+            keep = rank < n_sel
+            kc, kd = codes[order][keep], sd[keep]
+            # regroup kept codes sorted by (doc, code) — combination keys
+            # must compose code-ascending
+            o2 = np.lexsort((kc, kd))
+            kc, kd = kc[o2], kd[o2]
+            m = np.bincount(kd, minlength=n)  # kept count per doc
+            if arity == 1:
+                keys, idx = kc, kd
+            else:
+                kstarts = np.zeros(n, dtype=np.int64)
+                np.cumsum(m[:-1], out=kstarts[1:])
+                out_k, out_i = [], []
+                for mv in np.unique(m):
+                    if mv < arity:
+                        continue
+                    docs_mv = np.nonzero(m == mv)[0]
+                    gather = (kstarts[docs_mv][:, None]
+                              + np.arange(mv)[None, :])
+                    mat = kc[gather]  # (n_docs_mv, mv) code-ascending
+                    parts = combos(int(mv))
+                    key = mat[:, parts[0]]
+                    for j in range(1, arity):
+                        key = key * np.int64(NUM_TRIGRAMS) + mat[:, parts[j]]
+                    out_k.append(key.reshape(-1))
+                    out_i.append(np.repeat(docs_mv, len(parts[0])))
+                if out_k:
+                    keys = np.concatenate(out_k)
+                    idx = np.concatenate(out_i)
+        if not len(keys):
             return pa.table({"key": pa.array([], type=pa.int64()),
                              "ref": pa.array([], type=ref_type)})
-        keys = np.concatenate(out_keys).astype(np.int64)
-        idx = np.concatenate(out_idx)
         if lut_ref is not None:
             # surrogate-id path: emit each doc's row index in the broadcast
             # sorted-ref array instead of its (string) ref — every
