@@ -114,7 +114,8 @@ def _docs_edges(sf_dir: str):
         threshold_edges, trigram_histogram)
     from blurrily_ray.stages.tokenize import docsets_from_docs
 
-    cfg = ERConfig(blocking_mode="trigram", min_cokeys=1)  # = sql_candidate_pairs_docs
+    cfg = ERConfig(blocking_mode="trigram", min_cokeys=1,
+                   stoplist_cap=None)  # = sql_candidate_pairs_docs
     docsets = docsets_from_docs(_docs(sf_dir), ref_col="doc_id",
                                 text_col="text").materialize()
     hist = trigram_histogram(docsets)

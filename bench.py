@@ -93,6 +93,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["find_many_256"] = round(dt, 3)
     queries["find_ms_per_needle"] = round(1000 * dt / len(needles), 3)
 
+    # serving latency: wire FIND against the in-memory inverted index
+    # (server.py LocalFinder) — the reference's 1-2 ms regime
+    import statistics
+    import tempfile
+
+    from blurrily_ray.namespaces import IndexGroup
+    from blurrily_ray.server import BlurrilyServer, Client
+
+    srv_dir = tempfile.mkdtemp(prefix="blurrily_bench_srv_")
+    IndexGroup(srv_dir).put_bulk("docs", docs, ref_col="doc_id",
+                                 text_col="text")
+    srv = BlurrilyServer(srv_dir, port=0, save_interval=9999)
+    srv.start()
+    cli = Client(port=srv.port)
+    cli.find("docs", "warm the local finder")  # build once
+    lats = []
+    for i in range(100):
+        t0 = time.perf_counter()
+        cli.find("docs", f"customer query batch window {i}")
+        lats.append((time.perf_counter() - t0) * 1000)
+    cli.close()
+    srv.stop()
+    queries["find_server_ms"] = round(statistics.median(lats), 3)
+
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 
     t0 = time.perf_counter()

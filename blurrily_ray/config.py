@@ -53,6 +53,21 @@ class ERConfig:
     # stoplist analogue of the reference's "pathological datasets" note,
     # README.md:15-17 — except we log instead of slowing down).
     salt_factor_max: int = 4
+    # Absolute stoplist cap (overrides block_cap * salt_factor_max when
+    # set): keys with more emissions than this are dropped from blocking.
+    # Measured: 256 → 16 leaves F1 ≥ 0.9999 at sf0.001/0.1/1.0 (true
+    # matches collide in tiny blocks; big blocks are random rare-trigram
+    # coincidences) while cutting distinct candidates ~12×. Scale-aware:
+    # 8 is still perfect at sf0.1 but drops recall to 0.996 at sf1.0
+    # (key-space saturation grows block sizes), 4 breaks everywhere.
+    stoplist_cap: int | None = 16
+    # Deterministic composite-key sampling: keep a key iff
+    # ((key * 2654435761) % 2^32) % key_sample_mod == 0 (exact integer
+    # math, reproduced verbatim in the SQL oracle). OFF by default:
+    # measured co-key counts of true matches are only ~3-6 (typo noise
+    # crowds the rare lists), so even mod=2 drops F1 to 0.977 at sf0.001
+    # — keep 1 unless the corpus is known clean.
+    key_sample_mod: int = 1
     # Candidates must co-occur under at least this many blocking keys to be
     # exact-scored. In trigram_pair mode a true match shares ~C(8,2) ≈ 30
     # composite keys while random collisions share 1 — requiring 2 removes

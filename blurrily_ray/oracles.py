@@ -117,39 +117,50 @@ def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
               max_keys: int = MAX_KEYS_PER_DOC) -> str:
     """postings → thresholded candidate pair CTE chain (mirrors
     stages/pairs.py: rarest-key blocking + stoplist + exact rescoring).
-    Handles both blocking modes (config.py)."""
+    Handles all blocking modes (config.py), including deterministic
+    key sampling (key_sample_mod): the identical integer predicate
+    ((key * 2654435761) % 2^32) % mod == 0 in HUGEINT math."""
+    samp = (f" WHERE (key::HUGEINT * 2654435761) % 4294967296 "
+            f"% {cfg.key_sample_mod} = 0"
+            if cfg.key_sample_mod > 1 else "")
     if cfg.blocking_mode == "trigram_triple":
         keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.triple_rarest}),
-comp AS (SELECT k1.ref,
+comp0 AS (SELECT k1.ref,
                 (k1.trigram * 21952 + k2.trigram) * 21952 + k3.trigram AS key
          FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
                                      AND k1.trigram < k2.trigram
                        JOIN keysq k3 ON k1.ref = k3.ref
                                      AND k2.trigram < k3.trigram),
+comp AS (SELECT * FROM comp0{samp}),
 khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
 keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
-              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
 cand AS (SELECT k1.ref AS a, k2.ref AS b
          FROM keys_kept k1 JOIN keys_kept k2 USING (key)
          WHERE k1.ref < k2.ref
          GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     elif cfg.blocking_mode == "trigram_pair":
         keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.pair_rarest}),
-comp AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
+comp0 AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
          FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
                                      AND k1.trigram < k2.trigram),
+comp AS (SELECT * FROM comp0{samp}),
 khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
 keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
-              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
 cand AS (SELECT k1.ref AS a, k2.ref AS b
          FROM keys_kept k1 JOIN keys_kept k2 USING (key)
          WHERE k1.ref < k2.ref
          GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     else:
-        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
+        samp1 = (f" WHERE (trigram::HUGEINT * 2654435761) % 4294967296 "
+                 f"% {cfg.key_sample_mod} = 0"
+                 if cfg.key_sample_mod > 1 else "")
+        keys_part = f"""keysq0 AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
+keysq AS (SELECT * FROM keysq0{samp1}),
 khist AS (SELECT trigram, COUNT(*) AS n FROM keysq GROUP BY trigram),
 keys_kept AS (SELECT k.ref, k.trigram FROM keysq k JOIN khist h USING (trigram)
-              WHERE h.n <= {cfg.block_cap * cfg.salt_factor_max}),
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
 cand AS (SELECT k1.ref AS a, k2.ref AS b
          FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
          WHERE k1.ref < k2.ref
@@ -171,7 +182,8 @@ edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
             AND s.matches * {_rel(cfg)[1]} >= {_rel(cfg)[0]} * LEAST(na.ntri, nb.ntri))"""
 
 
-TRIGRAM_MODE = ERConfig(blocking_mode="trigram", min_cokeys=1)
+TRIGRAM_MODE = ERConfig(blocking_mode="trigram", min_cokeys=1,
+                        stoplist_cap=None)
 TRIPLE_MODE = ERConfig(blocking_mode="trigram_triple")
 
 

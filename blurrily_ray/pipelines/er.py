@@ -106,12 +106,36 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
                          **({"input": in_digest}
                             if checkpoint_dir is not None else {})})
 
-    with metrics.timeit("blocking"):
-        keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref).materialize()
-        khist = key_histogram(keys, cfg)
-    with metrics.timeit("pairs"):
-        pairs, skew = candidate_pairs(keys, khist, cfg, distinct=False)
-        metrics.stage("pairs", **skew)
+    # composite blocking + broadcast scoring takes the ONE-shuffle path:
+    # partition emissions by key; exact per-key counts, stoplist and pair
+    # generation all happen in-partition (no key-histogram shuffle, no
+    # salt broadcast). Single-trigram mode keeps the salted path — its
+    # keys can cover a constant corpus fraction and must drop map-side.
+    fused_blocking = (score_mode == "broadcast"
+                      and cfg.blocking_mode != "trigram")
+    if fused_blocking:
+        from blurrily_ray.stages.pairs import candidate_pairs_fused_blocking
+
+        with metrics.timeit("blocking"):
+            keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
+        with metrics.timeit("pairs"):
+            pairs, skew = candidate_pairs_fused_blocking(keys, cfg)
+            metrics.stage("pairs", **skew)
+    else:
+        with metrics.timeit("blocking"):
+            keys = blocking_keys(docsets, hist, cfg,
+                                 lut_ref=lut_ref).materialize()
+            khist = key_histogram(keys, cfg)
+        with metrics.timeit("pairs"):
+            # surrogate ids are < 2^31 → pack (a,b) into one int64 so the
+            # co-key shuffle moves half the bytes and groups on one
+            # column. (Pre-scoring inside pair-gen partitions was tried
+            # and REVERTED: popcount on the pre-cokey-filter volume with
+            # random bitset gathers cost more than the shuffle it saved.)
+            pairs, skew = candidate_pairs(
+                keys, khist, cfg, distinct=False,
+                pack_int32=(score_mode == "broadcast"))
+            metrics.stage("pairs", **skew)
     with metrics.timeit("scoring"):
         if score_mode == "broadcast":
             # fused dedupe+score+threshold: one (a,b)-hash shuffle on int64
@@ -119,7 +143,8 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
             from blurrily_ray.stages.pairs import score_pairs_fused
 
             edges = ckpt("edges", lambda: score_pairs_fused(
-                pairs, cfg=cfg, lut_ref=lut_ref, surrogate=True))
+                pairs, cfg=cfg, lut_ref=lut_ref, surrogate=True,
+                packed=True))
         elif score_mode == "sharded":
             from blurrily_ray.stages.scorer import score_pairs_sharded
 

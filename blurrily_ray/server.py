@@ -55,6 +55,7 @@ class CommandProcessor:
         self.group = group
         self._buf: dict[str, list] = {}
         self._buffered_refs: dict[str, set] = {}
+        self._finders: dict = {}  # db → LocalFinder (serving kernel)
         self._lock = threading.Lock()
 
     # ------------------------------------------------------------ protocol
@@ -100,6 +101,7 @@ class CommandProcessor:
             raise ProtocolError("Invalid reference")
         self._flush_locked(map_name)
         self.group.delete(map_name, [int(ref)])
+        self._finders.pop(map_name, None)
         return None
 
     def on_FIND(self, map_name, needle, limit=None):
@@ -107,13 +109,23 @@ class CommandProcessor:
                                       and int(limit) in LIMIT_RANGE):
             raise ProtocolError("Limit must be a number")
         self._flush_locked(map_name)
-        triples = self.group.find(map_name, needle,
-                                  int(limit) if limit else 10)
+        # serve from the in-memory inverted index (reference latency
+        # regime); (re)built only after the db changed
+        finder = self._finders.get(map_name)
+        if finder is None:
+            from blurrily_ray.stages.index import LocalFinder
+
+            ix = self.group.db(map_name)
+            if ix is None:
+                return []
+            finder = self._finders[map_name] = LocalFinder(ix)
+        triples = finder.find(needle, int(limit) if limit else 10)
         return [x for t in triples for x in t]
 
     def on_CLEAR(self, map_name):
         self._buf.pop(map_name, None)
         self._buffered_refs.pop(map_name, None)
+        self._finders.pop(map_name, None)
         self.group.clear(map_name)
         return None
 
@@ -129,6 +141,7 @@ class CommandProcessor:
         self.group.put_bulk(map_name, ray.data.from_items(rows),
                             ref_col="ref", text_col="text",
                             weight_col="weight")
+        self._finders.pop(map_name, None)  # index changed → rebuild lazily
 
     def flush_all(self) -> None:
         """Durability point: buffered puts become delta segments (the

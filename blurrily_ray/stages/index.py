@@ -210,6 +210,67 @@ def stats(postings) -> dict:
             "trigrams": int(n_postings)}
 
 
+class LocalFinder:
+    """In-memory serving kernel: the reference's find algorithm verbatim
+    (gather posting ranges of the needle's trigrams → count per ref →
+    rank), backed by numpy arrays built ONCE from a postings Dataset.
+
+    This is what a scorer/serving ACTOR holds per shard: memory is the
+    postings themselves (~10 B/posting), a find is O(gathered) — the
+    1–2 ms regime the reference serves from its mmap image
+    (storage.c:477-580, README.md:15-17). Dataset-based :func:`find`
+    remains the batch path; LocalFinder is the latency path (used by
+    server.py for wire FINDs)."""
+
+    def __init__(self, postings):
+        tris_l, refs_l, wts_l = [], [], []
+        for batch in postings.iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+            tris_l.append(batch["trigram"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            r = np.asarray(batch["ref"])
+            refs_l.append(r.astype(str) if r.dtype == object else r)
+            wts_l.append(batch["weight"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        if tris_l:
+            tri = np.concatenate(tris_l)
+            refs = np.concatenate(refs_l)
+            wts = np.concatenate(wts_l)
+        else:
+            tri = np.empty(0, np.int64)
+            refs = np.empty(0, np.int64)
+            wts = np.empty(0, np.int64)
+        # ref dictionary (sorted) + int ids; weight is constant per ref
+        self.refs, inv = np.unique(refs, return_inverse=True)
+        self.weights = np.zeros(len(self.refs), dtype=np.int64)
+        self.weights[inv] = wts
+        # postings sorted by trigram → per-code ranges via one cumsum
+        order = np.argsort(tri, kind="stable")
+        self.ref_ids = inv[order].astype(np.int64)
+        counts = np.bincount(tri, minlength=NUM_TRIGRAMS)
+        self.offsets = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+
+    def find(self, needle: str, limit: int = LIMIT_DEFAULT) -> list[list]:
+        if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
+            raise ValueError(f"limit must be in {LIMIT_RANGE}")
+        codes = tokenize(normalize_string(needle))
+        gathered = np.concatenate(
+            [self.ref_ids[self.offsets[c]:self.offsets[c + 1]]
+             for c in codes]) if len(codes) else np.empty(0, np.int64)
+        if not len(gathered):
+            return []
+        hit, matches = np.unique(gathered, return_counts=True)
+        w = self.weights[hit]
+        order = np.lexsort((self.refs[hit], w, -matches))[:limit]
+        return [[self.refs[hit[o]].item(), int(matches[o]), int(w[o])]
+                for o in order]
+
+    def stats(self) -> dict:
+        return {"references": int(len(self.refs)),
+                "trigrams": int(len(self.ref_ids))}
+
+
 def save(postings, path: str) -> str:
     """Checkpoint the index as Parquet + manifest (atomic, resumable)."""
     from blurrily_ray.state.checkpoint import write_checkpoint

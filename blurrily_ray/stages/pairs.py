@@ -187,6 +187,13 @@ def blocking_keys(docsets, hist: np.ndarray, cfg: ERConfig = DEFAULT,
                 if out_k:
                     keys = np.concatenate(out_k)
                     idx = np.concatenate(out_i)
+            if cfg.key_sample_mod > 1 and len(keys):
+                # deterministic key sampling (config.py) — the SQL oracle
+                # applies the identical integer predicate
+                kk = ((keys.astype(np.uint64) * np.uint64(2654435761))
+                      % np.uint64(1 << 32)) % np.uint64(cfg.key_sample_mod)
+                sel = kk == 0
+                keys, idx = keys[sel], idx[sel]
         if not len(keys):
             return pa.table({"key": pa.array([], type=pa.int64()),
                              "ref": pa.array([], type=ref_type)})
@@ -234,7 +241,12 @@ def key_histogram(keys_ds, cfg: ERConfig = DEFAULT):
         vc = vc[vc >= 2]
         hot_only = len(vc) > per_part
         if hot_only:
-            vc = vc[vc > cfg.block_cap]
+            # must ship every key salting OR the stoplist needs: anything
+            # hotter than min(block_cap, stoplist threshold)
+            hot_thresh = min(cfg.block_cap,
+                             cfg.stoplist_cap
+                             or (cfg.block_cap * cfg.salt_factor_max))
+            vc = vc[vc > hot_thresh]
         if len(df) == 0:
             return pd.DataFrame({"key": pd.Series([], dtype="int64"),
                                  "n": pd.Series([], dtype="int64"),
@@ -287,7 +299,8 @@ def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
     cap = cfg.block_cap
     s = np.ceil(counts / cap).astype(np.int64)
     s[counts <= cap] = 1
-    dropped = counts > cap * cfg.salt_factor_max
+    stop = cfg.stoplist_cap or (cap * cfg.salt_factor_max)
+    dropped = counts > stop
     s[dropped] = 0
     stats = {
         "keys_total": int(len(keys)),
@@ -300,15 +313,32 @@ def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
 
 
 def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
-                    distinct: bool = True):
+                    distinct: bool = True, pack_int32: bool = False,
+                    prescore_lut=None):
     """(key, ref) emissions → candidate (a, b) pairs, a < b (globally
     distinct when ``distinct``, else deduped only within partitions).
 
     Returns (pairs_ds, skew_stats). Hot keys are salted into bucket pairs;
     super-hot keys are dropped and counted in skew_stats.
+
+    ``pack_int32``: refs are known int32-range ids (the surrogate path) —
+    emit ONE packed ``ab = a·2³² + b`` int64 column instead of (a, b).
+    The co-key shuffle then moves 12 B/row instead of 24 and every
+    downstream groupby/hash runs single-column (~2× at sf1.0 scale).
+
+    ``prescore_lut`` (requires pack_int32): the broadcast bitset LUT.
+    Pair-gen partitions score their locally-distinct pairs IMMEDIATELY
+    and emit only pairs passing the score thresholds — the score does not
+    depend on the (global) co-key count, every duplicate of a pair scores
+    identically, and ~99%% of candidates fail, so the downstream co-key
+    shuffle shrinks from Σco-keys rows to survivors only. min_cokeys
+    filtering still happens globally on the summed ``n``.
     """
     plan_keys, plan_s, regime, skew_stats = salt_plan(key_hist, cfg)
     salts_ref = ray.put((plan_keys, plan_s, regime))
+    if prescore_lut is not None and not pack_int32:
+        raise ValueError("prescore_lut requires pack_int32 (surrogate ids)")
+    _num, _den = rel_fraction(cfg)
 
     def _default_s(keys: np.ndarray, regime) -> np.ndarray:
         """s for keys ABSENT from the plan: 0 (drop — the key was counted
@@ -406,13 +436,37 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
             out_a.append(a)
             out_b.append(b)
         if not out_a:
+            if pack_int32:
+                return pd.DataFrame({"ab": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64")})
             return pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
                                  "b": pd.Series([], dtype=df["ref"].dtype),
                                  "n": pd.Series([], dtype="int64")})
         # collapse per-partition duplicates into a COUNT (not a distinct):
         # cuts shuffle volume while preserving the exact co-key multiplicity
-        out = pd.DataFrame({"a": np.concatenate(out_a),
-                            "b": np.concatenate(out_b)})
+        a_all = np.concatenate(out_a)
+        b_all = np.concatenate(out_b)
+        if pack_int32:
+            packed = (a_all.astype(np.int64) << np.int64(32)) \
+                | b_all.astype(np.int64)
+            g = pd.Series(packed).value_counts(sort=False)
+            ab = g.index.to_numpy(dtype=np.int64)
+            cnt = g.to_numpy(dtype=np.int64)
+            if prescore_lut is not None:
+                ref_sorted, bits, ntri, wts, perm = _cached_get(prescore_lut)
+                a = ab >> np.int64(32)
+                b = ab & np.int64(0xFFFFFFFF)
+                ia, ib = perm[a], perm[b]
+                m = np.empty(len(ab), dtype=np.int64)
+                for s0 in range(0, len(ab), 16384):
+                    e0 = s0 + 16384
+                    m[s0:e0] = _popcount_rows(np.bitwise_and(
+                        bits[ia[s0:e0]], bits[ib[s0:e0]]))
+                lo = np.minimum(ntri[ia], ntri[ib])
+                ok = (m >= cfg.min_matches) & (m * _den >= _num * lo)
+                ab, cnt = ab[ok], cnt[ok]
+            return pd.DataFrame({"ab": ab, "n": cnt})
+        out = pd.DataFrame({"a": a_all, "b": b_all})
         g = out.groupby(["a", "b"], sort=False).size()
         out = g.reset_index()
         out.columns = ["a", "b", "n"]
@@ -428,6 +482,82 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
     return raw_pairs, skew_stats
 
 
+def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
+                                   prescore_lut=None):
+    """ONE-shuffle candidate generation for composite blocking modes:
+    partition the (key, ref) emissions by KEY alone — every row of a key
+    colocates, so the exact per-key count, the stoplist, and pair
+    generation all happen inside the partition, eliminating the separate
+    key-histogram shuffle, the salt-plan broadcast, and the (key,gu,gv)
+    routing columns.
+
+    Safe because the stoplist bounds any surviving key at
+    ``block_cap * salt_factor_max`` emissions (≤ C(256,2) pairs), so no
+    partition can blow up — the explicit bucket-pair salting machinery
+    (candidate_pairs) remains for single-trigram mode, whose keys can
+    cover a constant fraction of the corpus and must be dropped BEFORE
+    the shuffle. The candidate-pair SET is identical to candidate_pairs'
+    (equality-tested), so the DuckDB oracle is unchanged.
+
+    Emissions must be int32-range surrogate ids; output is the packed
+    (ab, n) form score_pairs_fused consumes. Returns (pairs_ds, stats).
+    """
+    cap = cfg.stoplist_cap or (cfg.block_cap * cfg.salt_factor_max)
+
+    def pairgen_by_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"ab": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        keys = df["key"].to_numpy()
+        refs = df["ref"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys, refs = keys[order], refs[order]
+        boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(df)]))
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[(sizes >= 2) & (sizes <= cap)],
+                        ends[(sizes >= 2) & (sizes <= cap)]):
+            members = np.unique(refs[s:e])
+            if len(members) < 2:
+                continue
+            ia, ib = np.triu_indices(len(members), k=1)
+            out_a.append(members[ia])
+            out_b.append(members[ib])
+        if not out_a:
+            return empty
+        a_all = np.concatenate(out_a).astype(np.int64)
+        b_all = np.concatenate(out_b).astype(np.int64)
+        packed = (a_all << np.int64(32)) | b_all
+        g = pd.Series(packed).value_counts(sort=False)
+        ab = g.index.to_numpy(dtype=np.int64)
+        cnt = g.to_numpy(dtype=np.int64)
+        if prescore_lut is not None:
+            ref_sorted, bits, ntri, wts, perm = _cached_get(prescore_lut)
+            a = ab >> np.int64(32)
+            b = ab & np.int64(0xFFFFFFFF)
+            ia2, ib2 = perm[a], perm[b]
+            m = np.empty(len(ab), dtype=np.int64)
+            for s0 in range(0, len(ab), 16384):
+                e0 = s0 + 16384
+                m[s0:e0] = _popcount_rows(np.bitwise_and(
+                    bits[ia2[s0:e0]], bits[ib2[s0:e0]]))
+            num, den = rel_fraction(cfg)
+            lo = np.minimum(ntri[ia2], ntri[ib2])
+            ok = (m >= cfg.min_matches) & (m * den >= num * lo)
+            ab, cnt = ab[ok], cnt[ok]
+        return pd.DataFrame({"ab": ab, "n": cnt})
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pairs = partitioned_map(keys_ds, ["key"], pairgen_by_key,
+                            n_parts=max(cfg.join_partitions, 4 * n_cpus))
+    return pairs, {"mode": "fused_blocking", "stoplist_cap": cap}
+
+
 def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
     """Global (a, b) dedupe — one coarse hash-partitioned shuffle.
 
@@ -438,6 +568,13 @@ def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
     from blurrily_ray.stages.common import partitioned_map
 
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        if "ab" in df.columns:  # packed int32-pair form
+            counts = df.groupby("ab", sort=False)["n"].sum()
+            if cfg.min_cokeys > 1:
+                counts = counts[counts >= cfg.min_cokeys]
+            ab = counts.index.to_numpy(dtype=np.int64)
+            return pd.DataFrame({"a": ab >> np.int64(32),
+                                 "b": ab & np.int64(0xFFFFFFFF)})
         n = df["n"] if "n" in df.columns else pd.Series(
             np.ones(len(df), dtype=np.int64), index=df.index)
         if cfg.min_cokeys > 1:
@@ -445,7 +582,8 @@ def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
             return counts[counts >= cfg.min_cokeys].reset_index()[["a", "b"]]
         return df[["a", "b"]].drop_duplicates()
 
-    return partitioned_map(pairs, ["a", "b"], dedupe,
+    key_cols = ["ab"] if "ab" in pairs.schema().names else ["a", "b"]
+    return partitioned_map(pairs, key_cols, dedupe,
                            n_parts=cfg.join_partitions)
 
 
@@ -620,7 +758,8 @@ def rel_fraction(cfg: ERConfig) -> tuple[int, int]:
 
 
 def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
-                      lut_ref=None, surrogate: bool = False):
+                      lut_ref=None, surrogate: bool = False,
+                      packed: bool | None = None):
     """Fused dedupe + exact score + threshold in ONE hash-partitioned pass.
 
     Raw candidate pairs (duplicated once per shared blocking key) are
@@ -642,25 +781,36 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
     def fused(df: pd.DataFrame) -> pd.DataFrame:
         ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
         # output a/b dtype: restored refs in surrogate mode, input otherwise
-        ab_dtype = ref_sorted.dtype if surrogate else df["a"].dtype
+        packed = "ab" in df.columns
+        ab_dtype = ref_sorted.dtype if surrogate else (
+            np.int64 if packed else df["a"].dtype)
         # per-partition co-key counts ``n`` from pairgen_partition sum to
         # the exact global co-key count (all copies of a pair hash here)
-        n = df["n"] if "n" in df.columns else pd.Series(
-            np.ones(len(df), dtype=np.int64), index=df.index)
-        if cfg.min_cokeys > 1:
-            counts = df.assign(_n=n).groupby(["a", "b"], sort=False)["_n"].sum()
-            counts = counts[counts >= cfg.min_cokeys]
-            df = counts.reset_index()[["a", "b"]]
+        if packed:
+            counts = df.groupby("ab", sort=False)["n"].sum()
+            if cfg.min_cokeys > 1:
+                counts = counts[counts >= cfg.min_cokeys]
+            ab = counts.index.to_numpy(dtype=np.int64)
+            a = ab >> np.int64(32)
+            b = ab & np.int64(0xFFFFFFFF)
         else:
-            df = df[["a", "b"]].drop_duplicates()
-        if len(df) == 0:
+            n = df["n"] if "n" in df.columns else pd.Series(
+                np.ones(len(df), dtype=np.int64), index=df.index)
+            if cfg.min_cokeys > 1:
+                counts = df.assign(_n=n).groupby(["a", "b"],
+                                                 sort=False)["_n"].sum()
+                counts = counts[counts >= cfg.min_cokeys]
+                df = counts.reset_index()[["a", "b"]]
+            else:
+                df = df[["a", "b"]].drop_duplicates()
+            a = df["a"].to_numpy()
+            b = df["b"].to_numpy()
+        if len(a) == 0:
             cols = {"a": pd.Series([], dtype=ab_dtype),
                     "b": pd.Series([], dtype=ab_dtype)}
             for c in ["matches", "ntri_a", "ntri_b", "weight_a", "weight_b"]:
                 cols[c] = pd.Series([], dtype="int64")
             return pd.DataFrame(cols)
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
         if surrogate:
             ia, ib = perm[a], perm[b]  # surrogate id → bits row
         else:
@@ -668,15 +818,15 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
                 a, b = a.astype(str), b.astype(str)
             ia = perm[np.searchsorted(ref_sorted, a)]
             ib = perm[np.searchsorted(ref_sorted, b)]
-        m = np.empty(len(df), dtype=np.int64)
-        for s in range(0, len(df), CHUNK):
+        m = np.empty(len(a), dtype=np.int64)
+        for s in range(0, len(a), CHUNK):
             e = s + CHUNK
             m[s:e] = _popcount_rows(np.bitwise_and(bits[ia[s:e]],
                                                    bits[ib[s:e]]))
         lo = np.minimum(ntri[ia], ntri[ib])
         keep = (m >= cfg.min_matches) & (m * den >= num * lo)
-        out_a = df["a"].to_numpy()[keep]
-        out_b = df["b"].to_numpy()[keep]
+        out_a = np.asarray(a)[keep]
+        out_b = np.asarray(b)[keep]
         if surrogate:  # restore real refs on the (tiny) surviving edges
             out_a = ref_sorted[out_a]
             out_b = ref_sorted[out_b]
@@ -687,7 +837,10 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
             "weight_b": wts[ib][keep]})
 
     n_cpus = int(_ray.cluster_resources().get("CPU", 8))
-    return partitioned_map(raw_pairs, ["a", "b"], fused,
+    if packed is None:
+        packed = "ab" in raw_pairs.schema().names
+    key_cols = ["ab"] if packed else ["a", "b"]
+    return partitioned_map(raw_pairs, key_cols, fused,
                            n_parts=max(cfg.join_partitions, 8 * n_cpus))
 
 

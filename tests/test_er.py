@@ -215,9 +215,9 @@ def test_salting_preserves_pairs(sf0001_paths):
     khist = key_histogram(keys)
 
     big = ERConfig(blocking_mode="trigram", block_cap=10_000,
-                   salt_factor_max=10_000)
+                   salt_factor_max=10_000, stoplist_cap=None)
     small = ERConfig(blocking_mode="trigram", block_cap=4,
-                     salt_factor_max=10_000)
+                     salt_factor_max=10_000, stoplist_cap=None)
     p_big, s_big = candidate_pairs(keys, khist, big)
     p_small, s_small = candidate_pairs(keys, khist, small)
     set_big = {(r["a"], r["b"]) for r in p_big.take_all()}

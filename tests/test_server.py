@@ -72,6 +72,26 @@ def test_weight_override(proc):
     assert triples == [[2, 7, 1], [1, 7, 100]]
 
 
+def test_local_finder_matches_dataset_find(tmp_path):
+    """The serving kernel must reproduce the Dataset find path exactly
+    (same triples, same ordering) over real documents."""
+    import ray.data as rd
+
+    from blurrily_ray.stages.index import LocalFinder, build_postings, find_triples
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    postings = build_postings(docs, ref_col="doc_id",
+                              text_col="text").materialize()
+    lf = LocalFinder(postings)
+    for needle in ("customer query batch window", "custmer qeury bach windw",
+                   "zzzz none such", "table", ""):
+        assert lf.find(needle, 10) == find_triples(postings, needle, 10)
+    assert lf.stats()["references"] == 500
+    with pytest.raises(ValueError):
+        lf.find("x", 0)
+
+
 def test_tcp_roundtrip(tmp_path):
     # server_spec.rb: responds over TCP, connection persists across
     # commands, multiple dbs isolated (integration_spec.rb:51-60)
