@@ -55,12 +55,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["er_full"] = round(er_sec, 3)
 
     if os.environ.get("GRAFT_BENCH_ER_ONLY"):
+        # compute-bound control: one normalize+tokenize map pass over the
+        # corpus (no shuffle) — separates per-core compute scaling from
+        # the single-box all-to-all bandwidth ceiling (BASELINE.md note)
+        import ray.data as rd
+
+        from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+        ts = rd.read_parquet(paths["transcripts"],
+                             columns=["conv_id", "turn_idx", "text"])
+        docs_ds = assemble_docs(ts, assume_grouped=True).materialize()
+        t0 = time.perf_counter()
+        docsets_from_docs(docs_ds).map_batches(
+            lambda t: t.select(["ref"]), batch_format="pyarrow").count()
+        map_sec = time.perf_counter() - t0
+        queries["map_tokenize"] = round(map_sec, 3)
         ray.shutdown()
         return {
             "metric": "er_wall_sec", "value": round(er_sec, 3), "unit": "sec",
             "queries": queries, "sf": sf, "num_cpus": num_cpus,
             "turns": int(n_turns), "docs": int(n_docs),
             "turns_per_sec": round(n_turns / er_sec, 1),
+            "map_tokenize_sec": round(map_sec, 3),
+            "map_turns_per_sec": round(n_turns / map_sec, 1),
         }
 
     # index build + find over the documents table (reference verbs)
@@ -182,7 +199,7 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     tp_lo = results[lo]["turns_per_sec"]
     tp_hi = results[hi]["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -191,6 +208,13 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
         "turns_per_sec_low": tp_lo, "turns_per_sec_high": tp_hi,
         "er_sec_low": results[lo]["value"], "er_sec_high": results[hi]["value"],
     }
+    if "map_turns_per_sec" in results[lo]:
+        mlo = results[lo]["map_turns_per_sec"]
+        mhi = results[hi]["map_turns_per_sec"]
+        out["map_scaling_efficiency"] = round((mhi / mlo) / (hi / lo), 3)
+        out["map_turns_per_sec_low"] = mlo
+        out["map_turns_per_sec_high"] = mhi
+    return out
 
 
 if __name__ == "__main__":

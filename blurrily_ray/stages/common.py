@@ -83,8 +83,16 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
         part = (h % np.uint64(n_parts)).astype(np.int64)
         return batch.append_column("_part", pa.array(part))
 
-    def run(df: pd.DataFrame) -> pd.DataFrame:
-        return fn(df.drop(columns=["_part"]))
+    def run(df: pd.DataFrame):
+        out = fn(df.drop(columns=["_part"]))
+        if isinstance(out, pd.DataFrame):
+            # emit plain Arrow with STRIPPED schema metadata: pandas-block
+            # schemas embed dict metadata that defeats Ray's schema
+            # deduplication cache (the 'Failed to hash the schemas'
+            # warning) and bloat every shuffled block
+            out = pa.Table.from_pandas(out, preserve_index=False)
+            out = out.replace_schema_metadata(None)
+        return out
 
     return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("_part").map_groups(run, batch_format=batch_format)
