@@ -152,15 +152,42 @@ def test_sessionize():
     assert len(by_user[2]) == 2
 
 
+def test_bmp_codec_roundtrip():
+    """The pure-numpy BMP codec is a REAL decoder: encode → decode is
+    pixel-exact for arbitrary shapes (incl. rows needing 4-byte padding),
+    and non-BMP payloads decode to None."""
+    from blurrily_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    for h, w in ((8, 8), (5, 3), (1, 1), (7, 2)):
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_bmp(encode_bmp(px))
+        assert out is not None and out.shape == (h, w, 3)
+        assert (out == px).all()
+    assert decode_bmp(b"not an image") is None
+    assert decode_bmp(b"") is None
+
+
 def test_multimodal_actor_pool(docs):
     from blurrily_ray.stages.multimodal import (
-        attach_binary_payload, extract_image_features)
+        attach_binary_payload, decode_bmp, extract_image_features)
 
     media = attach_binary_payload(docs)
     out = extract_image_features(media, concurrency=(1, 2), batch_size=3).take_all()
     assert len(out) == 8
     for r in out:
-        assert 64 <= r["width"] <= 319 and len(r["feature"]) == 8
+        # payloads are real 8x8 BMPs → real decoded dims, 8 features
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= f <= 1.0 for f in r["feature"])
+    # features match a direct driver-side decode of the same payload
+    rows = media.take_all()
+    px0 = decode_bmp(rows[0]["payload"])
+    from blurrily_ray.stages.multimodal import ImageFeatureExtractor
+
+    expect = ImageFeatureExtractor._features(px0)
+    got = next(r for r in out if r["doc_id"] == rows[0]["doc_id"])["feature"]
+    assert np.allclose(expect, got)
     # deterministic: same payload → same features
     a = {r["doc_id"]: tuple(r["feature"]) for r in out}
     b = {r["doc_id"]: tuple(r["feature"])
