@@ -313,8 +313,7 @@ def salt_plan(key_hist, cfg: ERConfig = DEFAULT):
 
 
 def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
-                    distinct: bool = True, pack_int32: bool = False,
-                    prescore_lut=None):
+                    distinct: bool = True, pack_int32: bool = False):
     """(key, ref) emissions → candidate (a, b) pairs, a < b (globally
     distinct when ``distinct``, else deduped only within partitions).
 
@@ -325,20 +324,12 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
     emit ONE packed ``ab = a·2³² + b`` int64 column instead of (a, b).
     The co-key shuffle then moves 12 B/row instead of 24 and every
     downstream groupby/hash runs single-column (~2× at sf1.0 scale).
-
-    ``prescore_lut`` (requires pack_int32): the broadcast bitset LUT.
-    Pair-gen partitions score their locally-distinct pairs IMMEDIATELY
-    and emit only pairs passing the score thresholds — the score does not
-    depend on the (global) co-key count, every duplicate of a pair scores
-    identically, and ~99%% of candidates fail, so the downstream co-key
-    shuffle shrinks from Σco-keys rows to survivors only. min_cokeys
-    filtering still happens globally on the summed ``n``.
+    (In-partition pre-scoring was tried and REJECTED: popcount on the
+    pre-cokey-filter volume with random bitset gathers costs far more
+    than the shuffle it saves — NOTES_r2.md.)
     """
     plan_keys, plan_s, regime, skew_stats = salt_plan(key_hist, cfg)
     salts_ref = ray.put((plan_keys, plan_s, regime))
-    if prescore_lut is not None and not pack_int32:
-        raise ValueError("prescore_lut requires pack_int32 (surrogate ids)")
-    _num, _den = rel_fraction(cfg)
 
     def _default_s(keys: np.ndarray, regime) -> np.ndarray:
         """s for keys ABSENT from the plan: 0 (drop — the key was counted
@@ -450,22 +441,8 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
             packed = (a_all.astype(np.int64) << np.int64(32)) \
                 | b_all.astype(np.int64)
             g = pd.Series(packed).value_counts(sort=False)
-            ab = g.index.to_numpy(dtype=np.int64)
-            cnt = g.to_numpy(dtype=np.int64)
-            if prescore_lut is not None:
-                ref_sorted, bits, ntri, wts, perm = _cached_get(prescore_lut)
-                a = ab >> np.int64(32)
-                b = ab & np.int64(0xFFFFFFFF)
-                ia, ib = perm[a], perm[b]
-                m = np.empty(len(ab), dtype=np.int64)
-                for s0 in range(0, len(ab), 16384):
-                    e0 = s0 + 16384
-                    m[s0:e0] = _popcount_rows(np.bitwise_and(
-                        bits[ia[s0:e0]], bits[ib[s0:e0]]))
-                lo = np.minimum(ntri[ia], ntri[ib])
-                ok = (m >= cfg.min_matches) & (m * _den >= _num * lo)
-                ab, cnt = ab[ok], cnt[ok]
-            return pd.DataFrame({"ab": ab, "n": cnt})
+            return pd.DataFrame({"ab": g.index.to_numpy(dtype=np.int64),
+                                 "n": g.to_numpy(dtype=np.int64)})
         out = pd.DataFrame({"a": a_all, "b": b_all})
         g = out.groupby(["a", "b"], sort=False).size()
         out = g.reset_index()
@@ -482,8 +459,7 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
     return raw_pairs, skew_stats
 
 
-def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
-                                   prescore_lut=None):
+def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
     """ONE-shuffle candidate generation for composite blocking modes:
     partition the (key, ref) emissions by KEY alone — every row of a key
     colocates, so the exact per-key count, the stoplist, and pair
@@ -532,23 +508,8 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
         b_all = np.concatenate(out_b).astype(np.int64)
         packed = (a_all << np.int64(32)) | b_all
         g = pd.Series(packed).value_counts(sort=False)
-        ab = g.index.to_numpy(dtype=np.int64)
-        cnt = g.to_numpy(dtype=np.int64)
-        if prescore_lut is not None:
-            ref_sorted, bits, ntri, wts, perm = _cached_get(prescore_lut)
-            a = ab >> np.int64(32)
-            b = ab & np.int64(0xFFFFFFFF)
-            ia2, ib2 = perm[a], perm[b]
-            m = np.empty(len(ab), dtype=np.int64)
-            for s0 in range(0, len(ab), 16384):
-                e0 = s0 + 16384
-                m[s0:e0] = _popcount_rows(np.bitwise_and(
-                    bits[ia2[s0:e0]], bits[ib2[s0:e0]]))
-            num, den = rel_fraction(cfg)
-            lo = np.minimum(ntri[ia2], ntri[ib2])
-            ok = (m >= cfg.min_matches) & (m * den >= num * lo)
-            ab, cnt = ab[ok], cnt[ok]
-        return pd.DataFrame({"ab": ab, "n": cnt})
+        return pd.DataFrame({"ab": g.index.to_numpy(dtype=np.int64),
+                             "n": g.to_numpy(dtype=np.int64)})
 
     from blurrily_ray.stages.common import partitioned_map
 
