@@ -169,6 +169,12 @@ def _q_token_count(sf_dir: str):
     return _i64(token_count(_docs(sf_dir)))
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from blurrily_ray.stages.textstats import token_count_bpe
+
+    return _i64(token_count_bpe(_docs(sf_dir)))
+
+
 def _q_quality(sf_dir: str):
     from blurrily_ray.stages.textstats import quality_stats
 
@@ -206,6 +212,15 @@ def _q_knn(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return _i64(knn_brute(emb, query_ids=range(10), k=10))
+
+
+def _q_ivf_knn(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import ivf_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(ivf_knn(emb, query_ids=range(10), k=10))
 
 
 def _q_embed_neardup(sf_dir: str):
@@ -259,12 +274,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "dedup_exact_docs": _q_dedup_exact,
         "token_count_docs": _q_token_count,
+        "token_count_bpe_docs": _q_token_count_bpe,
         "quality_docs": _q_quality,
         "langid_docs": _q_langid,
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs_docs": _q_minhash_pairs,
         "simhash_docs": _q_simhash,
         "knn_embeddings": _q_knn,
+        "ivf_knn_embeddings": _q_ivf_knn,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,
@@ -291,12 +308,14 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
         "token_count_docs": oracles.sql_token_count_docs(),
+        "token_count_bpe_docs": oracles.sql_token_count_bpe_docs(),
         "quality_docs": oracles.sql_quality_docs(),
         "langid_docs": oracles.sql_langid_docs(),
         "fingerprint_docs": oracles.sql_fingerprint_docs(),
         "minhash_pairs_docs": oracles.sql_minhash_pairs_docs(),
         "simhash_docs": oracles.sql_simhash_docs(),
         "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
+        "ivf_knn_embeddings": oracles.sql_ivf_knn(10, 10),
         "embed_neardup": oracles.sql_embed_neardup(0.4),
         "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),

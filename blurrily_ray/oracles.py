@@ -221,6 +221,14 @@ def _stoplist_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 
+def sql_token_count_bpe_docs() -> str:
+    from blurrily_ray.stages.textstats import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) "
+            f"AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
 def sql_quality_docs() -> str:
     toks = TOKS.format(col="text")
     return f"""WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents)
@@ -343,6 +351,41 @@ sims AS (SELECT q.qid, e.vec_id AS nid,
 ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
            FROM sims)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def sql_ivf_knn(n_queries: int = 10, k: int = 10, n_centroids: int = 16,
+                n_probe: int = 4) -> str:
+    """IVF approximate kNN (mirrors simsearch.ivf_knn): centroids = the
+    vectors with ids 0..C-1; every vector assigned to its nearest cell
+    (round(cos,6), ties by cid); each query exhaustively scores only its
+    n_probe closest cells."""
+    return f"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+           FROM embeddings WHERE vec_id < {n_centroids}),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding, c.ce), 6)
+                        DESC, c.cid ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {n_queries}),
+probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6)
+                        DESC, c.cid ASC) AS rn
+    FROM q, cents c) WHERE rn <= {n_probe}),
+cand AS (SELECT q.qid, e.vec_id AS nid,
+                round(list_cosine_similarity(e.embedding, q.qe), 6) AS cos
+         FROM q JOIN probes p ON p.qid = q.qid
+                JOIN assign a ON a.cid = p.cid
+                JOIN embeddings e ON e.vec_id = a.vec_id
+         WHERE e.vec_id <> q.qid),
+ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+           FROM cand)
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}"""
 
 

@@ -87,6 +87,86 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
         .groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
+            n_probe: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding"):
+    """IVF (inverted-file) approximate kNN — the cell-probing scale path:
+    every vector is assigned to its nearest of ``n_centroids`` centroid
+    cells ONCE; a query exhaustively scores only its ``n_probe`` closest
+    cells (n_probe/n_centroids of the corpus instead of all of it).
+
+    Centroids are the vectors with ids 0..n_centroids-1 (deterministic —
+    a DuckDB oracle reproduces the identical cells; k-means would improve
+    recall but needs an iteration loop). Assignment and ranking use
+    round(cos, 6) with ties by id so both engines agree exactly.
+    Output (query_id, rank, neighbor_id), recall < 1 by construction."""
+    cents_rows, cent_ids = [], []
+    for batch in embeddings.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids < n_centroids
+        if keep.any():
+            cent_ids.append(ids[keep])
+            cents_rows.append(_matrix(batch.filter(pa.array(keep)), vec_col))
+    cent_ids = np.concatenate(cent_ids)
+    order = np.argsort(cent_ids)
+    cents = _unit(np.concatenate(cents_rows)[order])
+
+    qarr = np.unique(np.fromiter((int(q) for q in query_ids), dtype=np.int64))
+    q_rows = []
+    for batch in embeddings.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, qarr)
+        if keep.any():
+            sub = batch.filter(pa.array(keep))
+            q_rows.append((ids[keep], _matrix(sub, vec_col)))
+    q_ids = np.concatenate([r[0] for r in q_rows])
+    qo = np.argsort(q_ids)
+    q_ids = q_ids[qo]
+    q_mat = _unit(np.concatenate([r[1] for r in q_rows])[qo])
+    # per-query probe sets: n_probe closest cells (round 6dp, tie → cid)
+    q_cos = np.round(q_mat @ cents.T, 6)
+    # stable argsort keeps equal-cos cells in ascending-cid order — the
+    # same total order as the oracle's (cos DESC, cid ASC)
+    probe = np.argsort(-q_cos, axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((q_ids, q_mat, cents, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qm, cm, pr = _cached_get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _unit(_matrix(batch, vec_col))
+        cell = np.argmax(np.round(m @ cm.T, 6), axis=1)  # ties → smallest
+        sims = np.round(m @ qm.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qi)):
+            mask = np.isin(cell, pr[j]) & (ids != qi[j])
+            cand_ids, cand_s = ids[mask], sims[mask, j]
+            if len(cand_ids) > k:
+                o = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[o], cand_s[o]
+            out_q.append(np.full(len(cand_ids), qi[j], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else np.empty(0, np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else np.empty(0, np.int64)),
+            "cos": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.float64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True],
+                            kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+        })
+
+    return embeddings.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def neardup_pairs(embeddings, threshold: float = 0.95, *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   brute_limit: int = 100_000):

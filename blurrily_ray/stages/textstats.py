@@ -64,6 +64,27 @@ def _segment_sum(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return out
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, ASCII-restricted so Python re and
+# DuckDB's RE2 agree byte-for-byte: no \p{} classes, no lookahead).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def token_count_bpe(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_bpe_tokens): BPE-style pre-tokenization count — the unit a
+    GPT-2-family tokenizer would split further into subwords; the standard
+    proxy for LLM training-token budgeting when no vocab is loaded."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_bpe_tokens": df[text_col].fillna("")
+            .str.findall(_BPE_RE).str.len().astype(np.int64),
+        })
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
 def quality_stats(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, n_chars, n_tokens, sum_token_len, n_stop, n_punct) — the raw
     counts behind length / punctuation / stopword quality ratios.

@@ -107,6 +107,39 @@ def test_knn_and_neardup_embeddings():
     assert gated == lsh_default
 
 
+def test_ivf_knn():
+    from blurrily_ray.stages.simsearch import ivf_knn, knn_brute
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[17] = base[5] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    emb = ray.data.from_items(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)])
+    # with every cell probed, IVF degenerates to exact brute-force kNN
+    brute = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in knn_brute(emb, query_ids=[5, 6], k=5).take_all())
+    full = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                  for r in ivf_knn(emb, query_ids=[5, 6], k=5,
+                                   n_centroids=8, n_probe=8).take_all())
+    assert full == brute
+    # with partial probing the planted near-identical vector (same cell
+    # as its twin by construction) is still rank 1
+    part = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_knn(emb, query_ids=[5], k=5,
+                             n_centroids=8, n_probe=2).take_all()}
+    assert part[(5, 1)] == 17
+
+
+def test_token_count_bpe(docs):
+    from blurrily_ray.stages.textstats import token_count_bpe
+
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in token_count_bpe(docs).take_all()}
+    # doc 5 is empty; every non-empty doc yields at least its word count
+    assert out[5] == 0
+    assert out[6] >= 2
+
+
 def test_textstats(docs):
     from blurrily_ray.stages.textstats import langid, quality_stats, token_count
 
