@@ -176,7 +176,11 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     # Scaling is measured on a larger synthetic input (default sf=0.3,
     # ~540k turns) so per-stage fixed costs don't mask the compute scaling;
     # both runs are fresh processes over the identical cached input.
-    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.3"))
+    # sf1.0 so compute dominates fixed costs; 4 vs 16 CPUs (the "N and
+    # 4N" criterion) keeps the high-parallelism run below this single
+    # box's memory-bandwidth saturation point — see BASELINE.md's scaling
+    # note for the 8-vs-32 numbers and the bandwidth analysis
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "1.0"))
     from blurrily_ray.sources.synth import ensure_transcripts
 
     ensure_transcripts(scaling_sf)  # generate once, shared by both children
@@ -220,7 +224,7 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         cpus = tuple(int(x) for x in
-                     os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+                     os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
         print(json.dumps(run_scaling(SF_DIR, cpus)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

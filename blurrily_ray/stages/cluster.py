@@ -30,32 +30,46 @@ from blurrily_ray.stages.common import join_partitions_cap
 from blurrily_ray.stages.pairs import _cached_get
 
 
+def _driver_cc_arrays(edges):
+    """(refs, cluster_ids) numpy arrays for every ref appearing in an edge.
+
+    Fully vectorized: refs factorize to int codes (np.unique — sorted, so
+    the min code IS the lexicographically smallest ref), then min-label
+    propagation over the edge arrays with pointer jumping. O(log n) rounds,
+    each a handful of numpy kernels over the edge list — no per-edge
+    Python. This is driver-serial time, so it must be cheap: it is the one
+    stage that does not parallelize with num_cpus."""
+    a_parts, b_parts = [], []
+    for batch in edges.select_columns(["a", "b"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        a_parts.append(batch["a"].to_numpy(zero_copy_only=False))
+        b_parts.append(batch["b"].to_numpy(zero_copy_only=False))
+    if not a_parts:
+        return np.array([], dtype=object), np.array([], dtype=object)
+    ab = np.concatenate(a_parts + b_parts)
+    refs, codes = np.unique(ab, return_inverse=True)
+    n_edges = sum(len(p) for p in a_parts)
+    ai, bi = codes[:n_edges], codes[n_edges:]
+    label = np.arange(len(refs), dtype=np.int64)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, ai, label[bi])
+        np.minimum.at(new, bi, label[ai])
+        while True:  # pointer jumping: label(label(n)) until stable
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, label):
+            break
+        label = new
+    return refs, refs[label]
+
+
 def _driver_union_find(edges) -> dict:
     """{ref: cluster_id} for every ref appearing in an edge."""
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in edges.select_columns(["a", "b"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by label order so the min ref naturally wins
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-    return {x: find(x) for x in parent}
+    refs, clusters = _driver_cc_arrays(edges)
+    return dict(zip(refs.tolist(), clusters.tolist()))
 
 
 def _hash_col(arr) -> np.ndarray:
@@ -142,16 +156,23 @@ def connected_components(edges, nodes, cfg: ERConfig = DEFAULT, *,
     if mode == "distributed":
         return _distributed_hash_min(edges, nodes, cfg)
 
-    label_map = _driver_union_find(edges)
-    map_ref = ray.put(label_map)
+    uf_refs, uf_clusters = _driver_cc_arrays(edges)
+    # pd.Index = C hash table → get_indexer is a vectorized lookup for both
+    # string and int refs (searchsorted on object arrays would fall back to
+    # per-comparison Python)
+    map_ref = ray.put((pd.Index(uf_refs), uf_clusters))
 
     def assign(batch: pa.Table) -> pa.Table:
-        lm = _cached_get(map_ref)
-        refs = batch["ref"].to_pylist()
+        idx, clusters = _cached_get(map_ref)
+        v = batch["ref"].to_numpy(zero_copy_only=False)
+        out = v.copy()
+        if len(idx):
+            pos = idx.get_indexer(v)
+            hit = pos >= 0
+            out[hit] = clusters[pos[hit]]
         return pa.table({
             "ref": batch["ref"],
-            "cluster_id": pa.array([lm.get(r, r) for r in refs],
-                                   type=batch["ref"].type),
+            "cluster_id": pa.array(out, type=batch["ref"].type),
         })
 
     return nodes.select_columns(["ref"]).map_batches(assign, batch_format="pyarrow")
