@@ -60,10 +60,15 @@ def join_partitions_cap(requested: int) -> int:
 
 
 def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
-                    batch_format: str = "pandas"):
+                    batch_format: str = "pandas", part_fn=None):
     """Apply ``fn(partition_df) -> df`` where each partition contains all
     rows of every key-group hashed into it. ``fn`` must handle multiple
     groups (group-by ``key_cols`` inside, vectorized).
+
+    ``part_fn(batch) -> int64 ndarray`` overrides the default key-column
+    hashing — callers use it to FUSE a semantic co-partitioning (all rows
+    of a key together) with a locality layout (partition id encodes a
+    downstream routing dimension) into the single shuffle.
 
     The partition-id column is appended on zero-copy Arrow batches (an
     int64 append, no pandas conversion or table copy) — the labeling pass
@@ -71,16 +76,19 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
     import pyarrow as pa
 
     def add_part(batch: pa.Table) -> pa.Table:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for c in key_cols:
-            col = batch[c]
-            if pa.types.is_integer(col.type):
-                v = col.to_numpy(zero_copy_only=False)
-                h = h * np.uint64(31) + _col_hash(pd.Series(v))
-            else:
-                h = h * np.uint64(31) + _col_hash(
-                    pd.Series(np.asarray(col), dtype=object))
-        part = (h % np.uint64(n_parts)).astype(np.int64)
+        if part_fn is not None:
+            part = np.asarray(part_fn(batch), dtype=np.int64)
+        else:
+            h = np.zeros(len(batch), dtype=np.uint64)
+            for c in key_cols:
+                col = batch[c]
+                if pa.types.is_integer(col.type):
+                    v = col.to_numpy(zero_copy_only=False)
+                    h = h * np.uint64(31) + _col_hash(pd.Series(v))
+                else:
+                    h = h * np.uint64(31) + _col_hash(
+                        pd.Series(np.asarray(col), dtype=object))
+            part = (h % np.uint64(n_parts)).astype(np.int64)
         return batch.append_column("_part", pa.array(part))
 
     def run(df: pd.DataFrame):

@@ -212,12 +212,6 @@ def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
 
     from blurrily_ray.stages.common import partitioned_map
 
-    def add_route_a(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_ra"] = (_u64_of_refs(_refs_np(df["a"].to_numpy()))
-                     % np.uint64(n_shards)).astype(np.int64)
-        return df
-
     def dedupe_cokeys(df: pd.DataFrame) -> pd.DataFrame:
         """All copies of an (a, b) pair share the partition key, so the
         summed ``n`` is the exact global co-key count (same contract as
@@ -230,37 +224,38 @@ def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
             out = counts.reset_index()[["a", "b"]]
         else:
             out = df[["a", "b"]].drop_duplicates()
-        return add_route_a(out)
+        return out
 
-    # shuffle 1: partition by (a, b) hash — co-key dedupe needs all copies
-    # together; the partition function keys on both columns so the routing
-    # column _ra (function of a alone) stays consistent per pair
+    # shuffle 1 FUSES co-key dedupe with a-shard locality: partition id =
+    # shard(a)·sub + hash(b) % sub. Every copy of an (a, b) pair shares
+    # both a and b → co-partitioned (dedupe/count stays exact); every
+    # output partition is homogeneous in shard(a) → AttachA locality
+    # without the second routing shuffle the first version paid for.
+    sub = max(2, -(-max(cfg.join_partitions, 2 * n_shards) // n_shards))
+
+    def part_a(batch: pa.Table) -> np.ndarray:
+        a = _refs_np(np.asarray(batch["a"].combine_chunks()))
+        b = _refs_np(np.asarray(batch["b"].combine_chunks()))
+        ra = _u64_of_refs(a) % np.uint64(n_shards)
+        return (ra * np.uint64(sub)
+                + _u64_of_refs(b) % np.uint64(sub)).astype(np.int64)
+
     deduped = partitioned_map(raw_pairs, ["a", "b"], dedupe_cokeys,
-                              n_parts=max(cfg.join_partitions, 2 * n_shards))
-
-    # cluster by a-shard for attach locality (tiny rows: two refs + int)
-    routed_a = partitioned_map(deduped, ["_ra"],
-                               lambda df: df.drop(columns=[]),
-                               n_parts=n_shards)
-    attached = routed_a.map_batches(
+                              part_fn=part_a, n_parts=n_shards * sub)
+    attached = deduped.map_batches(
         AttachA, fn_constructor_args=(shard_dir, n_shards),
         batch_size=16384, batch_format="pyarrow", concurrency=concurrency)
 
-    def add_route_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_rb"] = (_u64_of_refs(_refs_np(df["b"].to_numpy()))
-                     % np.uint64(n_shards)).astype(np.int64)
-        return df
+    # shuffle 2: cluster by b-shard for the score-side attach (this one
+    # carries the 2,744 B/row bits_a payload — the linear-in-pairs cost
+    # the module docstring budgets for)
+    def part_b(batch: pa.Table) -> np.ndarray:
+        b = _refs_np(np.asarray(batch["b"].combine_chunks()))
+        return (_u64_of_refs(b) % np.uint64(n_shards)).astype(np.int64)
 
-    routed_b = partitioned_map(
-        attached.map_batches(add_route_b, batch_format="pandas"),
-        ["_rb"], lambda df: df, n_parts=n_shards)
+    routed_b = partitioned_map(attached, ["b"], lambda df: df,
+                               part_fn=part_b, n_parts=n_shards)
     edges = routed_b.map_batches(
         ScoreB, fn_constructor_args=(shard_dir, n_shards, cfg),
         batch_size=16384, batch_format="pyarrow", concurrency=concurrency)
-
-    def strip(batch: pa.Table) -> pa.Table:
-        drop = [c for c in ("_ra", "_rb") if c in batch.column_names]
-        return batch.drop_columns(drop)
-
-    return edges.map_batches(strip, batch_format="pyarrow")
+    return edges
