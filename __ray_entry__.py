@@ -252,8 +252,9 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
-    """Multimodal plumbing (decode is a deterministic STUB — no image libs
-    in this container); rows-only check, no SQL oracle."""
+    """Multimodal actor-pool stage over binary payloads (real pure-numpy
+    24-bit BMP decode; md5 stub only for unrecognized formats) — feature
+    extraction is not SQL-expressible, so rows-only check, no oracle."""
     from blurrily_ray.stages.multimodal import (
         attach_binary_payload, extract_image_features)
 

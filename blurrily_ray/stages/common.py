@@ -91,14 +91,22 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
             part = (h % np.uint64(n_parts)).astype(np.int64)
         return batch.append_column("_part", pa.array(part))
 
-    def run(df: pd.DataFrame):
-        out = fn(df.drop(columns=["_part"]))
+    def run(df):
+        # pandas groups: strip the partition column with pandas; pyarrow
+        # groups (batch_format="pyarrow" — zero-copy for wide binary
+        # payloads) arrive as a pa.Table
+        if isinstance(df, pa.Table):
+            out = fn(df.drop_columns(["_part"]))
+        else:
+            out = fn(df.drop(columns=["_part"]))
         if isinstance(out, pd.DataFrame):
             # emit plain Arrow with STRIPPED schema metadata: pandas-block
             # schemas embed dict metadata that defeats Ray's schema
             # deduplication cache (the 'Failed to hash the schemas'
             # warning) and bloat every shuffled block
             out = pa.Table.from_pandas(out, preserve_index=False)
+            out = out.replace_schema_metadata(None)
+        elif isinstance(out, pa.Table):
             out = out.replace_schema_metadata(None)
         return out
 

@@ -253,8 +253,9 @@ def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
         b = _refs_np(np.asarray(batch["b"].combine_chunks()))
         return (_u64_of_refs(b) % np.uint64(n_shards)).astype(np.int64)
 
-    routed_b = partitioned_map(attached, ["b"], lambda df: df,
-                               part_fn=part_b, n_parts=n_shards)
+    routed_b = partitioned_map(attached, ["b"], lambda t: t,
+                               part_fn=part_b, n_parts=n_shards,
+                               batch_format="pyarrow")
     edges = routed_b.map_batches(
         ScoreB, fn_constructor_args=(shard_dir, n_shards, cfg),
         batch_size=16384, batch_format="pyarrow", concurrency=concurrency)

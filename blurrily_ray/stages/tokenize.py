@@ -8,7 +8,7 @@ Dataset shapes:
 
 - transcripts:  (conv_id, turn_idx, role, text, tool, ts)  [input_hint]
 - docs:         (ref, text)           one row per document/conversation
-- docsets:      (ref, norm, ntri, weight, tris:list<uint16>)
+- docsets:      (ref, ntri, weight, tris:list<uint16>)
 - postings:     (ref, trigram:uint16, weight:uint32)   the inverted index
                 rows — the Ray-native analogue of the reference's
                 trigram_map_t posting lists (storage.c:47-75).
@@ -95,9 +95,11 @@ def _docsets_batch(batch: pa.Table, ref_col: str, text_col: str) -> pa.Table:
     np.cumsum(counts, out=offsets[1:])
     tris = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                     pa.array(codes, type=pa.uint16()))
+    # the normalized text itself is NOT kept: nothing downstream reads it
+    # (weight already captures its length) and docsets are materialized —
+    # carrying it would double the corpus bytes pinned in the object store
     return pa.table({
         "ref": batch[ref_col],
-        "norm": norm,
         "ntri": pa.array(counts.astype(np.uint32), type=pa.uint32()),
         "weight": pa.array(lengths.astype(np.uint32), type=pa.uint32()),
         "tris": tris,
