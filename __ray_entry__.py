@@ -263,6 +263,19 @@ def _q_image_features(sf_dir: str):
         ["doc_id", "width", "height"]))
 
 
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio actor-pool stage (REAL pure-numpy RIFF/WAV PCM
+    decode). The oracle reproduces each clip's duration from the md5 seed;
+    rms/zcr/peak aren't SQL-expressible and are pytest-covered against
+    closed-form sine expectations."""
+    from blurrily_ray.stages.multimodal import (
+        attach_audio_payload, extract_audio_features)
+
+    media = attach_audio_payload(_docs(sf_dir))
+    return extract_audio_features(media).select_columns(
+        ["doc_id", "duration_sec"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -287,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -321,4 +335,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),
         # image_features: multimodal stub — rows-only check by design
+        "audio_features": oracles.sql_audio_duration(),
     }

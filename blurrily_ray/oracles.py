@@ -451,3 +451,14 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
 FROM s GROUP BY user_id, session_idx"""
+
+
+def sql_audio_duration() -> str:
+    """Clip duration of the synthetic WAV payloads
+    (multimodal.attach_audio_payload): sample count n = 1000 +
+    byte2(md5(text)) * 16 at 8 kHz, reproduced from the md5 seed in SQL —
+    an independent check that the WAV decoder reads the RIFF data-chunk
+    length correctly. rms/zcr/peak are not SQL-expressible (pytest covers
+    them against closed-form sine expectations)."""
+    return ("SELECT doc_id, (1000 + CAST(('0x' || substr(md5(text), 3, 2)) "
+            "AS INTEGER) * 16) / 8000.0 AS duration_sec FROM documents")

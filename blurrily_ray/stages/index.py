@@ -112,7 +112,7 @@ def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT):
     from blurrily_ray.functions.normalize import normalize_string
     from blurrily_ray.functions.trigram import NUM_TRIGRAMS
     from blurrily_ray.stages.pairs import (
-        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_rows)
+        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_and)
 
     if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
         raise ValueError(f"limit must be in {LIMIT_RANGE}")
@@ -134,7 +134,7 @@ def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT):
             r_vals = r_vals.astype(str)  # lexsort needs a sortable dtype
         out = []
         for qi, name in enumerate(names):
-            m = _popcount_rows(np.bitwise_and(buf, qb[qi]))
+            m = _popcount_and(buf, qb[qi])
             hit = np.nonzero(m > 0)[0]
             if len(hit) > limit:
                 # batch-local top-k must use the SAME total order as the

@@ -2,11 +2,11 @@
 
 Media lands as opaque ``binary`` columns with typed metadata. Heavyweight
 codecs (PIL / torchaudio / ffmpeg) don't exist in this container, so the
-shipped decoder is a REAL pure-numpy BMP codec: 24-bit uncompressed BMP
-(BITMAPINFOHEADER) is a fixed little-endian header plus BGR rows padded
-to 4 bytes — decodable with ``np.frombuffer`` alone. Payloads the codec
-does not recognize fall back to a clearly-marked deterministic stub, so
-the pipeline stays total.
+shipped decoders are REAL pure-numpy codecs for the two formats that are
+plain little-endian structs: 24-bit uncompressed BMP (BITMAPINFOHEADER +
+padded BGR rows) and mono 16-bit PCM WAV (RIFF chunks) — both decodable
+with ``np.frombuffer`` alone. Payloads the codecs do not recognize fall
+back to a clearly-marked deterministic stub, so the pipelines stay total.
 
 Everything Ray-side follows the stateful-stage pattern: callable-class
 actor pool (setup once per actor in ``__init__``), small batch_size for
@@ -152,4 +152,150 @@ def extract_image_features(media, *, concurrency=(1, 4), batch_size: int = 64):
     """media (doc_id, payload, media_type) → (doc_id, width, height, feature)
     on an actor pool (stateful stage per SURVEY.md §2.4)."""
     return media.map_batches(ImageFeatureExtractor, concurrency=concurrency,
+                             batch_size=batch_size, batch_format="pyarrow")
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — index-gather
+    only, no interpolation kernel needed for thumbnailing/feature prep."""
+    h, w, _ = px.shape
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return px[ri][:, ci]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-encode BMP.
+    The resize transform every training-data image pipeline runs, with the
+    same payload-in/payload-out schema so stages chain."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, ok = [], []
+        for payload in batch["payload"].to_pylist():
+            px = decode_bmp(payload or b"")
+            if px is None:
+                payloads.append(payload)  # pass through undecodable media
+                ok.append(False)
+            else:
+                payloads.append(encode_bmp(
+                    resize_nearest(px, self.out_h, self.out_w)))
+                ok.append(True)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": batch["media_type"],
+            "resized": pa.array(ok, type=pa.bool_()),
+        })
+
+
+def resize_images(media, out_h: int = 4, out_w: int = 4, *,
+                  concurrency=(1, 4), batch_size: int = 64):
+    return media.map_batches(ImageResizer,
+                             fn_constructor_args=(out_h, out_w),
+                             concurrency=concurrency, batch_size=batch_size,
+                             batch_format="pyarrow")
+
+
+# --- audio: real RIFF/WAV PCM codec (pure numpy, like the BMP one) -------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """1-D int16 PCM samples → mono WAV bytes (RIFF + fmt + data)."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Mono 16-bit PCM WAV bytes → (samples int16, sample_rate), or None
+    when the payload isn't one. Walks RIFF chunks (fmt may not directly
+    precede data), never raises."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, bps, channels, fmt_ok = 12, None, None, None, False
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            audio_fmt, channels, rate, _, _, bps = struct.unpack_from(
+                "<HHIIHH", payload, body)
+            fmt_ok = audio_fmt == 1 and channels == 1 and bps == 16
+        elif cid == b"data":
+            if not fmt_ok:
+                return None
+            n = min(size, len(payload) - body) // 2
+            return np.frombuffer(payload, dtype="<i2", count=n,
+                                 offset=body), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def attach_audio_payload(docs, *, id_col: str = "doc_id",
+                         text_col: str = "text", rate: int = 8000):
+    """Test helper: derive a deterministic REAL mono WAV payload from each
+    doc's text — an md5-seeded sine mix the real decoder genuinely
+    decodes (frequency/length/amplitude vary per doc)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch[text_col].to_pylist():
+            seed = hashlib.md5((t or "").encode("utf-8")).digest()
+            freq = 100 + seed[0] * 8          # 100..2140 Hz
+            n = rate // 8 + seed[1] * 16      # 1000..5080 samples
+            amp = 4000 + seed[2] * 64         # avoid clipping
+            tgrid = np.arange(n, dtype=np.float64) / rate
+            wave = (amp * np.sin(2 * np.pi * freq * tgrid)).astype(np.int16)
+            payloads.append(encode_wav(wave, rate))
+        return pa.table({
+            id_col: batch[id_col],
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array(["audio/wav"] * len(batch)),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: decode WAV bytes → (duration, rms, zero-crossing
+    rate, peak). Same actor/batch discipline as ImageFeatureExtractor;
+    unrecognized payloads take the md5 stub row (duration = -1)."""
+
+    def __init__(self):
+        self.codec = "wav-pcm16-numpy"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, peak = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            decoded = decode_wav(payload or b"")
+            if decoded is None:
+                d = hashlib.md5(payload or b"").digest()
+                dur.append(-1.0)
+                rms.append(d[0] / 255.0)
+                zcr.append(d[1] / 255.0)
+                peak.append(d[2] / 255.0)
+                continue
+            samples, rate = decoded
+            x = samples.astype(np.float64) / 32768.0
+            dur.append(len(x) / rate)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                       if len(x) > 1 else 0.0)
+            peak.append(float(np.max(np.abs(x))) if len(x) else 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "duration_sec": pa.array(dur, type=pa.float64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "zcr": pa.array(zcr, type=pa.float64()),
+            "peak": pa.array(peak, type=pa.float64()),
+        })
+
+
+def extract_audio_features(media, *, concurrency=(1, 4), batch_size: int = 64):
+    """media (doc_id, payload, media_type) → per-clip acoustic features on
+    an actor pool."""
+    return media.map_batches(AudioFeatureExtractor, concurrency=concurrency,
                              batch_size=batch_size, batch_format="pyarrow")

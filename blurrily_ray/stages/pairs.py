@@ -555,16 +555,61 @@ _BITSET_BYTES = (NUM_TRIGRAMS + 7) // 8  # 2744
 
 def _popcount_rows(x: np.ndarray) -> np.ndarray:
     """Per-row popcount of a (n, _BITSET_BYTES) uint8 array via SWAR on
-    uint64 words — pure elementwise vector ops, no table gather."""
+    uint64 words. DESTROYS x (in-place ops, one scratch array instead of
+    ~7 full-size temporaries — the allocation-churn version streamed 8×
+    the bytes through DRAM and was 2.6× slower at memory-bound sizes).
+    Callers pass a fresh AND temporary they own."""
     w = x.reshape(len(x), -1).view(np.uint64)
     m1 = np.uint64(0x5555555555555555)
     m2 = np.uint64(0x3333333333333333)
     m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
     h = np.uint64(0x0101010101010101)
-    w = w - ((w >> np.uint64(1)) & m1)
-    w = (w & m2) + ((w >> np.uint64(2)) & m2)
-    w = (w + (w >> np.uint64(4))) & m4
-    return ((w * h) >> np.uint64(56)).sum(axis=1).astype(np.int64)
+    t = np.right_shift(w, np.uint64(1))
+    np.bitwise_and(t, m1, out=t)
+    np.subtract(w, t, out=w)
+    np.right_shift(w, np.uint64(2), out=t)
+    np.bitwise_and(t, m2, out=t)
+    np.bitwise_and(w, m2, out=w)
+    np.add(w, t, out=w)
+    np.right_shift(w, np.uint64(4), out=t)
+    np.add(w, t, out=w)
+    np.bitwise_and(w, m4, out=w)
+    np.multiply(w, h, out=w)
+    np.right_shift(w, np.uint64(56), out=w)
+    return w.sum(axis=1).astype(np.int64)
+
+
+_POP_CHUNK = 256  # rows/chunk: AND temp + SWAR scratch ≈ 1.4 MB, L2-resident
+
+
+def _popcount_and(xa: np.ndarray, xb: np.ndarray,
+                  chunk: int = _POP_CHUNK) -> np.ndarray:
+    """popcount(xa[i] & xb[i]) per row (xb may be one broadcastable row),
+    chunked so the AND temporary and the SWAR scratch stay cache-resident
+    instead of streaming full-batch temporaries through DRAM (measured
+    3.5× on 2 M pairs vs one 16,384-row pass)."""
+    n = len(xa)
+    m = np.empty(n, dtype=np.int64)
+    one_row = xb.ndim == 1 or len(xb) == 1
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        m[s:e] = _popcount_rows(
+            np.bitwise_and(xa[s:e], xb if one_row else xb[s:e]))
+    return m
+
+
+def _popcount_gather(bits: np.ndarray, ia: np.ndarray, ib: np.ndarray,
+                     chunk: int = _POP_CHUNK) -> np.ndarray:
+    """popcount(bits[ia[i]] & bits[ib[i]]) per pair, gathering from the
+    (possibly GB-sized) bitset matrix in ia-ascending order — sequential-
+    ish DRAM reads on the a-side halve the random-gather traffic (another
+    ~1.4× on top of chunking)."""
+    order = np.argsort(ia, kind="stable")
+    m = np.empty(len(ia), dtype=np.int64)
+    for s in range(0, len(order), chunk):
+        idx = order[s:s + chunk]
+        m[idx] = _popcount_rows(np.bitwise_and(bits[ia[idx]], bits[ib[idx]]))
+    return m
 
 
 def _bitset_batch(batch: pa.Table) -> pa.Table:
@@ -654,7 +699,7 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
                 a, b = a.astype(str), b.astype(str)
             ia = perm[np.searchsorted(ref_sorted, a)]
             ib = perm[np.searchsorted(ref_sorted, b)]
-            m = _popcount_rows(np.bitwise_and(bits[ia], bits[ib]))
+            m = _popcount_gather(bits, ia, ib)
             return pa.table({
                 "a": batch["a"], "b": batch["b"],
                 "matches": pa.array(m),
@@ -695,8 +740,8 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
             .reshape(len(fixed), _BITSET_BYTES)
 
     def score_joined(batch: pa.Table) -> pa.Table:
-        m = _popcount_rows(np.bitwise_and(_bits_matrix(batch["bits_a"]),
-                                          _bits_matrix(batch["bits_b"])))
+        m = _popcount_and(_bits_matrix(batch["bits_a"]),
+                          _bits_matrix(batch["bits_b"]))
         return pa.table({
             "a": batch["a"], "b": batch["b"], "matches": pa.array(m),
             "ntri_a": batch["ntri_a"].cast(pa.int64()),
@@ -736,8 +781,6 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
     if lut_ref is None:
         lut_ref = _ray.put(_docsets_bitsets(docsets))
     num, den = rel_fraction(cfg)
-
-    CHUNK = 16384  # bound the (chunk × 2744 B) AND intermediate per task
 
     def fused(df: pd.DataFrame) -> pd.DataFrame:
         ref_sorted, bits, ntri, wts, perm = _cached_get(lut_ref)
@@ -779,11 +822,7 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
                 a, b = a.astype(str), b.astype(str)
             ia = perm[np.searchsorted(ref_sorted, a)]
             ib = perm[np.searchsorted(ref_sorted, b)]
-        m = np.empty(len(a), dtype=np.int64)
-        for s in range(0, len(a), CHUNK):
-            e = s + CHUNK
-            m[s:e] = _popcount_rows(np.bitwise_and(bits[ia[s:e]],
-                                                   bits[ib[s:e]]))
+        m = _popcount_gather(bits, ia, ib)
         lo = np.minimum(ntri[ia], ntri[ib])
         keep = (m >= cfg.min_matches) & (m * den >= num * lo)
         out_a = np.asarray(a)[keep]

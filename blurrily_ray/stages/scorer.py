@@ -40,7 +40,7 @@ from blurrily_ray.config import DEFAULT, ERConfig
 from blurrily_ray.stages.pairs import (
     _BITSET_BYTES,
     _bitset_batch,
-    _popcount_rows,
+    _popcount_and,
     _u64_of_refs,
     rel_fraction,
 )
@@ -180,7 +180,7 @@ class ScoreB:
         start = ba_col.offset * _BITSET_BYTES
         bits_a = buf[start:start + len(batch) * _BITSET_BYTES] \
             .reshape(len(batch), _BITSET_BYTES)
-        m = _popcount_rows(np.bitwise_and(bits_a, bits_b))
+        m = _popcount_and(bits_a, bits_b)
         ntri_a = batch["ntri_a"].to_numpy(zero_copy_only=False)
         lo = np.minimum(ntri_a, ntri_b)
         keep = (m >= self.cfg.min_matches) & (m * self.den >= self.num * lo)

@@ -228,6 +228,69 @@ def test_multimodal_actor_pool(docs):
     assert a == b
 
 
+def test_wav_codec_roundtrip():
+    """The pure-numpy WAV codec is a REAL decoder: encode → decode is
+    sample-exact, RIFF chunk walking tolerates extra chunks before data,
+    and non-WAV payloads decode to None."""
+    from blurrily_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    for n in (1, 7, 1000):
+        samples = rng.randint(-32768, 32768, n).astype(np.int16)
+        out = decode_wav(encode_wav(samples, rate=8000))
+        assert out is not None
+        got, rate = out
+        assert rate == 8000 and (got == samples).all()
+    # extra chunk between fmt and data (word-aligned odd-size chunk)
+    wav = encode_wav(np.array([5, -5], dtype=np.int16))
+    data_at = wav.index(b"data")
+    import struct as _s
+
+    padded = wav[:data_at] + _s.pack("<4sI", b"LIST", 3) + b"abc\x00" \
+        + wav[data_at:]
+    got, _ = decode_wav(padded)
+    assert (got == np.array([5, -5], dtype=np.int16)).all()
+    assert decode_wav(b"not audio") is None
+    assert decode_wav(b"") is None
+
+
+def test_audio_actor_pool(docs):
+    from blurrily_ray.stages.multimodal import (
+        attach_audio_payload, decode_wav, extract_audio_features)
+
+    media = attach_audio_payload(docs)
+    out = extract_audio_features(media, concurrency=(1, 2),
+                                 batch_size=3).take_all()
+    assert len(out) == 8
+    rows = {r["doc_id"]: r["payload"] for r in media.take_all()}
+    for r in out:
+        samples, rate = decode_wav(rows[r["doc_id"]])
+        x = samples.astype(np.float64) / 32768.0
+        # duration from the decoded data chunk; rms/peak vs sine math
+        assert r["duration_sec"] == len(x) / rate
+        assert abs(r["rms"] - np.sqrt((x * x).mean())) < 1e-12
+        assert 0.0 < r["peak"] <= 1.0
+        # a pure sine's rms ≈ peak / sqrt(2) (within sampling error)
+        assert abs(r["rms"] - r["peak"] / np.sqrt(2)) < 0.02
+        assert 0.0 < r["zcr"] < 1.0
+
+
+def test_image_resize(docs):
+    from blurrily_ray.stages.multimodal import (
+        attach_binary_payload, decode_bmp, resize_images, resize_nearest)
+
+    media = attach_binary_payload(docs)
+    out = resize_images(media, 4, 4, concurrency=(1, 2),
+                        batch_size=3).take_all()
+    assert len(out) == 8 and all(r["resized"] for r in out)
+    srcs = {r["doc_id"]: r["payload"] for r in media.take_all()}
+    for r in out:
+        px = decode_bmp(r["payload"])
+        assert px.shape == (4, 4, 3)
+        expect = resize_nearest(decode_bmp(srcs[r["doc_id"]]), 4, 4)
+        assert (px == expect).all()
+
+
 def test_validators():
     from blurrily_ray.functions.validators import (
         ValidationError, check_db_name, check_limit, check_needle,
