@@ -107,10 +107,14 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
                             if checkpoint_dir is not None else {})})
 
     # composite blocking + broadcast scoring takes the ONE-shuffle path:
-    # partition emissions by key; exact per-key counts, stoplist and pair
-    # generation all happen in-partition (no key-histogram shuffle, no
-    # salt broadcast). Single-trigram mode keeps the salted path — its
-    # keys can cover a constant corpus fraction and must drop map-side.
+    # partition emissions by the key's leading trigram; exact per-key
+    # counts, stoplist and pair generation all happen in-partition (no
+    # key-histogram shuffle, no salt broadcast). Single-trigram mode
+    # keeps the salted path — its keys can cover a constant corpus
+    # fraction and must drop map-side. (Fusing SCORING into the same
+    # partition to skip the (a,b) exchange entirely was measured and
+    # REJECTED — see NOTES: the exchange is cheaper than the extra
+    # per-partition popcount gathers it avoids.)
     fused_blocking = (score_mode == "broadcast"
                       and cfg.blocking_mode != "trigram")
     if fused_blocking:
@@ -129,9 +133,9 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         with metrics.timeit("pairs"):
             # surrogate ids are < 2^31 → pack (a,b) into one int64 so the
             # co-key shuffle moves half the bytes and groups on one
-            # column. (Pre-scoring inside pair-gen partitions was tried
-            # and REVERTED: popcount on the pre-cokey-filter volume with
-            # random bitset gathers cost more than the shuffle it saved.)
+            # column. (The salted path cannot score in-partition: a
+            # pair's bucket-pair copies span partitions, so the exchange
+            # must happen before dedupe/score.)
             pairs, skew = candidate_pairs(
                 keys, khist, cfg, distinct=False,
                 pack_int32=(score_mode == "broadcast"))

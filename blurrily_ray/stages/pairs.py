@@ -461,11 +461,22 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
 
 def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
     """ONE-shuffle candidate generation for composite blocking modes:
-    partition the (key, ref) emissions by KEY alone — every row of a key
-    colocates, so the exact per-key count, the stoplist, and pair
-    generation all happen inside the partition, eliminating the separate
-    key-histogram shuffle, the salt-plan broadcast, and the (key,gu,gv)
-    routing columns.
+    partition the (key, ref) emissions by the key's LEADING TRIGRAM
+    (t1 = key // 21952^(arity-1)) — every row of a key still colocates
+    (key determines t1), so the exact per-key count, the stoplist, and
+    pair generation all happen inside the partition, eliminating the
+    separate key-histogram shuffle, the salt-plan broadcast, and the
+    (key,gu,gv) routing columns.
+
+    Partitioning by t1 instead of hash(key) exploits the composite-key
+    structure: a matching pair with j shared rare trigrams is generated
+    under ~C(j,2) co-keys, and all of its co-keys sharing a leading
+    trigram now land in ONE partition, so the map-side value_counts
+    collapses them to one (ab, n) row — the downstream exchange (row-
+    rate-bound at ~2.3 M rows/s per the NOTES_r2 shuffle study) carries
+    ~j-1 rows per pair instead of C(j,2). t1 load is near-uniform
+    (rarest-trigram selection excludes hot trigrams; measured ≤ 1.8 %
+    max share on 128 hash-partitions at sf1.0).
 
     Safe because the stoplist bounds any surviving key at
     ``block_cap * salt_factor_max`` emissions (≤ C(256,2) pairs), so no
@@ -479,6 +490,9 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
     (ab, n) form score_pairs_fused consumes. Returns (pairs_ds, stats).
     """
     cap = cfg.stoplist_cap or (cfg.block_cap * cfg.salt_factor_max)
+    arity = {"trigram": 1, "trigram_pair": 2,
+             "trigram_triple": 3}[cfg.blocking_mode]
+    t1_div = np.int64(NUM_TRIGRAMS) ** np.int64(arity - 1)
 
     def pairgen_by_key(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"ab": pd.Series([], dtype="int64"),
@@ -514,8 +528,18 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
     from blurrily_ray.stages.common import partitioned_map
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = max(cfg.join_partitions, 4 * n_cpus)
+
+    def part_t1(batch: pa.Table) -> np.ndarray:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        t1 = (k // t1_div).astype(np.uint64)
+        t1 ^= t1 >> np.uint64(33)
+        t1 *= np.uint64(0x9E3779B97F4A7C15)
+        t1 ^= t1 >> np.uint64(29)
+        return (t1 % np.uint64(n_parts)).astype(np.int64)
+
     pairs = partitioned_map(keys_ds, ["key"], pairgen_by_key,
-                            n_parts=max(cfg.join_partitions, 4 * n_cpus))
+                            part_fn=part_t1, n_parts=n_parts)
     return pairs, {"mode": "fused_blocking", "stoplist_cap": cap}
 
 
