@@ -263,6 +263,14 @@ def _q_image_features(sf_dir: str):
         ["doc_id", "width", "height"]))
 
 
+def _q_jaccard_ngram(sf_dir: str):
+    """Exact prefix-filtered n-gram Jaccard similarity join — the
+    deterministic-recall complement of minhash_pairs_docs."""
+    from blurrily_ray.stages.dedup import jaccard_ngram_pairs
+
+    return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio actor-pool stage (REAL pure-numpy RIFF/WAV PCM
     decode). The oracle reproduces each clip's duration from the md5 seed;
@@ -293,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _q_langid,
         "fingerprint_docs": _q_fingerprint,
         "minhash_pairs_docs": _q_minhash_pairs,
+        "jaccard_ngram_pairs_docs": _q_jaccard_ngram,
         "simhash_docs": _q_simhash,
         "knn_embeddings": _q_knn,
         "ivf_knn_embeddings": _q_ivf_knn,
@@ -328,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": oracles.sql_langid_docs(),
         "fingerprint_docs": oracles.sql_fingerprint_docs(),
         "minhash_pairs_docs": oracles.sql_minhash_pairs_docs(),
+        "jaccard_ngram_pairs_docs": oracles.sql_jaccard_ngram_pairs(),
         "simhash_docs": oracles.sql_simhash_docs(),
         "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
         "ivf_knn_embeddings": oracles.sql_ivf_knn(10, 10),

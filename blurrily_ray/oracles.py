@@ -462,3 +462,33 @@ def sql_audio_duration() -> str:
     them against closed-form sine expectations)."""
     return ("SELECT doc_id, (1000 + CAST(('0x' || substr(md5(text), 3, 2)) "
             "AS INTEGER) * 16) / 8000.0 AS duration_sec FROM documents")
+
+
+def sql_jaccard_ngram_pairs() -> str:
+    """Exact prefix-filtered n-gram Jaccard join (mirrors
+    stages/dedup.jaccard_ngram_pairs): per-doc prefix length =
+    n - ceil(tau*n) + 1 under ascending-hash order; candidates share a
+    prefix hash; verify is the exact intersection count."""
+    num, den = JACCARD_THRESHOLD_NUM, JACCARD_THRESHOLD_DEN
+    return f"""WITH {_shingle_cte()},
+sizes AS (SELECT ref, COUNT(*) AS n FROM sh GROUP BY ref),
+ranked AS (SELECT sh.ref, sh.h,
+           ROW_NUMBER() OVER (PARTITION BY sh.ref ORDER BY sh.h) AS rk,
+           z.n FROM sh JOIN sizes z ON z.ref = sh.ref),
+prefix AS (SELECT ref, h FROM ranked
+           WHERE rk <= n - ((n * {num} + {den} - 1) // {den}) + 1),
+cand AS (SELECT DISTINCT p1.ref AS a, p2.ref AS b
+         FROM prefix p1 JOIN prefix p2 ON p1.h = p2.h AND p1.ref < p2.ref),
+inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter
+          FROM cand c JOIN sh s1 ON s1.ref = c.a
+                      JOIN sh s2 ON s2.ref = c.b AND s2.h = s1.h
+          GROUP BY c.a, c.b),
+sizes2 AS (SELECT ref, COUNT(*) AS n FROM sh GROUP BY ref)
+SELECT c.a, c.b, CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes2 za ON za.ref = c.a JOIN sizes2 zb ON zb.ref = c.b
+WHERE COALESCE(i.n_inter, 0) * {den}
+      >= (za.n + zb.n - COALESCE(i.n_inter, 0)) * {num}
+  AND (za.n + zb.n - COALESCE(i.n_inter, 0)) > 0"""

@@ -346,6 +346,77 @@ def minhash_dedup_pairs(docs, *, id_col: str = "doc_id", text_col: str = "text")
                           blobs=blobs)
 
 
+def jaccard_ngram_pairs(docs, *, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """EXACT n-gram (word-shingle) Jaccard similarity join via prefix
+    filtering — the deterministic-recall complement of the MinHash+LSH
+    pipeline (which can miss pairs with band-probability < 1).
+
+    Prefix-filtering lemma (the standard exact set-similarity-join
+    bound): order every shingle set by one global total order (here the
+    u64 shingle hash, ascending — blobs are already stored sorted). If
+    J(A,B) ≥ τ then |A∩B| ≥ ceil(τ·|A|), so at most |A| − ceil(τ·|A|)
+    elements of A precede the smallest shared element — it lies within
+    A's first |A| − ceil(τ·|A|) + 1 elements, and symmetrically for B.
+    Docs therefore only need to emit that PREFIX as blocking keys: every
+    qualifying pair collides on ≥ 1 prefix hash (exact recall), while
+    the emission volume is ~(1−τ) of full-shingle blocking. Candidates
+    are verified with the same exact intersection count as
+    verify_jaccard; shingle blobs are built once and shared by both
+    stages.
+
+    Returns (a, b, n_inter, n_union) with n_inter·den ≥ n_union·num
+    (τ = JACCARD_THRESHOLD_NUM/DEN, shared with verify_jaccard so the
+    prefix bound and the verify predicate can never diverge)."""
+    thr_num, thr_den = JACCARD_THRESHOLD_NUM, JACCARD_THRESHOLD_DEN
+    blobs = _shingle_blob_table(docs, id_col, text_col).materialize()
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        flat, counts = _blob_arrays(batch["shb"])
+        plen = counts - ((counts * thr_num + thr_den - 1) // thr_den) + 1
+        plen = np.where(counts == 0, 0, np.maximum(plen, 0))
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])) \
+            if len(counts) else np.empty(0, np.int64)
+        idx = _concat_slices(starts, plen)
+        ridx = np.repeat(np.arange(len(batch), dtype=np.int64), plen)
+        return pa.table({
+            "h": pa.array(flat[idx].astype(np.int64)),
+            "ref": batch["ref"].take(pa.array(ridx)),
+        })
+
+    def pairgen_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=df["ref"].dtype),
+                              "b": pd.Series([], dtype=df["ref"].dtype)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["h", "ref"], kind="stable")
+        keys = df["h"].to_numpy()
+        ids = df["ref"].to_numpy()
+        boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(df)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            members = np.unique(ids[s:e])
+            if len(members) < 2:
+                continue
+            ia, ib = np.triu_indices(len(members), k=1)
+            out_a.append(members[ia])
+            out_b.append(members[ib])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    emissions = blobs.map_batches(emit_prefix, batch_format="pyarrow")
+    raw = partitioned_map(emissions, ["h"], pairgen_partition)
+    cands = partitioned_map(raw, ["a", "b"], lambda df: df.drop_duplicates())
+    return verify_jaccard(cands, docs, id_col=id_col, text_col=text_col,
+                          blobs=blobs)
+
+
 def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash): 60-bit SimHash over word tokens; bit j of the output
     is 1 iff the count-weighted majority of token-hash bits j is 1 (ties →

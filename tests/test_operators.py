@@ -228,6 +228,29 @@ def test_multimodal_actor_pool(docs):
     assert a == b
 
 
+def test_jaccard_ngram_exact_recall(docs):
+    """Prefix filtering is EXACT: the output equals brute-force all-pairs
+    shingle Jaccard at the threshold — no pair a probabilistic LSH layout
+    could drop is missing."""
+    from itertools import combinations
+
+    from blurrily_ray.stages.dedup import (
+        JACCARD_THRESHOLD_DEN, JACCARD_THRESHOLD_NUM, _shingle_hashes,
+        jaccard_ngram_pairs)
+
+    got = {(r["a"], r["b"]): (r["n_inter"], r["n_union"])
+           for r in jaccard_ngram_pairs(docs).take_all()}
+    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = set(_shingle_hashes(texts[a])), set(_shingle_hashes(texts[b]))
+        inter, union = len(sa & sb), len(sa | sb)
+        if union > 0 and inter * JACCARD_THRESHOLD_DEN >= union * JACCARD_THRESHOLD_NUM:
+            expect[(a, b)] = (inter, union)
+    assert got == expect
+    assert len(expect) >= 2  # fixture has exact + near dups
+
+
 def test_wav_codec_roundtrip():
     """The pure-numpy WAV codec is a REAL decoder: encode → decode is
     sample-exact, RIFF chunk walking tolerates extra chunks before data,
