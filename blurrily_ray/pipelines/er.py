@@ -86,11 +86,9 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         with metrics.timeit("bitsets"):
             # one broadcast serves blocking (ref → surrogate id), scoring
             # (bitsets) and the final ref restoration
-            import ray as _ray
+            from blurrily_ray.stages.pairs import docsets_bitsets_ref
 
-            from blurrily_ray.stages.pairs import _docsets_bitsets
-
-            lut_ref = _ray.put(_docsets_bitsets(docsets))
+            lut_ref = docsets_bitsets_ref(docsets)
     elif score_mode == "sharded":
         import tempfile
 
@@ -123,7 +121,9 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         with metrics.timeit("blocking"):
             keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
         with metrics.timeit("pairs"):
-            pairs, skew = candidate_pairs_fused_blocking(keys, cfg)
+            # lut_ref set ⇒ blocking emitted int64 surrogate ids
+            pairs, skew = candidate_pairs_fused_blocking(
+                keys, cfg, int_refs=lut_ref is not None)
             metrics.stage("pairs", **skew)
     else:
         with metrics.timeit("blocking"):
@@ -174,8 +174,19 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
 
 
 def run_er_from_paths(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
+    kwargs = {}
+    if os.path.isfile(transcripts_path):
+        # Ray sizes read parallelism by FILE size; a single compressed
+        # file under the block-size target becomes ONE decode task (a
+        # flat ~6 s serial term at sf1.0). Split by row group instead.
+        import pyarrow.parquet as pq
+
+        nrg = pq.ParquetFile(transcripts_path).metadata.num_row_groups
+        if nrg > 1:
+            kwargs["override_num_blocks"] = nrg
     ts = ray.data.read_parquet(transcripts_path,
-                               columns=["conv_id", "turn_idx", "text"])
+                               columns=["conv_id", "turn_idx", "text"],
+                               **kwargs)
     return run_er(ts, cfg, **kw)
 
 

@@ -459,7 +459,29 @@ def candidate_pairs(keys_ds, key_hist, cfg: ERConfig = DEFAULT, *,
     return raw_pairs, skew_stats
 
 
-def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
+def _pairs_within_runs(starts: np.ndarray, sizes: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """All position pairs (i, j), i<j, within each run
+    ``[starts[r], starts[r]+sizes[r])`` — fully vectorized (the per-group
+    ``triu_indices`` loop this replaces was the pipeline's largest CPU
+    sink at sf1.0: 114 CPU-s across 628 pairgen tasks).
+
+    Element with local index l in a run of size c contributes pairs
+    (p, p+1..p+c-1-l) where p is its global position; both sides come
+    from two repeat/concat-ranges passes, no Python per-run work."""
+    if not len(sizes) or not sizes.sum():
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    l = _concat_ranges(sizes)
+    pos = np.repeat(starts, sizes) + l
+    cnt = np.repeat(sizes, sizes) - 1 - l
+    ia = np.repeat(pos, cnt)
+    ib = ia + _concat_ranges(cnt) + 1
+    return ia, ib
+
+
+def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
+                                   int_refs: bool | None = None):
     """ONE-shuffle candidate generation for composite blocking modes:
     partition the (key, ref) emissions by the key's LEADING TRIGRAM
     (t1 = key // 21952^(arity-1)) — every row of a key still colocates
@@ -499,28 +521,30 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
                               "n": pd.Series([], dtype="int64")})
         if len(df) == 0:
             return empty
-        keys = df["key"].to_numpy()
-        refs = df["ref"].to_numpy()
-        order = np.argsort(keys, kind="stable")
-        keys, refs = keys[order], refs[order]
+        order = np.lexsort((df["ref"].to_numpy(), df["key"].to_numpy()))
+        keys = df["key"].to_numpy()[order]
+        refs = df["ref"].to_numpy()[order]
         boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate(([0], boundary))
         ends = np.concatenate((boundary, [len(df)]))
-        sizes = ends - starts
-        out_a, out_b = [], []
-        for s, e in zip(starts[(sizes >= 2) & (sizes <= cap)],
-                        ends[(sizes >= 2) & (sizes <= cap)]):
-            members = np.unique(refs[s:e])
-            if len(members) < 2:
-                continue
-            ia, ib = np.triu_indices(len(members), k=1)
-            out_a.append(members[ia])
-            out_b.append(members[ib])
-        if not out_a:
+        raw_sizes = ends - starts
+        keep_run = (raw_sizes >= 2) & (raw_sizes <= cap)  # cap on RAW rows
+        # first-occurrence mask under (key, ref) sort = per-run ref dedupe
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = (keys[1:] != keys[:-1]) | (refs[1:] != refs[:-1])
+        cum = np.concatenate(([0], np.cumsum(first)))
+        uniq_sizes = cum[ends] - cum[starts]
+        in_kept = np.repeat(keep_run, raw_sizes) & first
+        refs_d = refs[in_kept]
+        sizes_k = uniq_sizes[keep_run]
+        starts_k = np.concatenate(([0], np.cumsum(sizes_k)[:-1]))
+        m = sizes_k >= 2
+        ia, ib = _pairs_within_runs(starts_k[m], sizes_k[m])
+        if not len(ia):
             return empty
-        a_all = np.concatenate(out_a).astype(np.int64)
-        b_all = np.concatenate(out_b).astype(np.int64)
-        packed = (a_all << np.int64(32)) | b_all
+        # refs ascend within a run (lexsort) → position order IS a < b
+        packed = (refs_d[ia].astype(np.int64) << np.int64(32)) \
+            | refs_d[ib].astype(np.int64)
         g = pd.Series(packed).value_counts(sort=False)
         return pd.DataFrame({"ab": g.index.to_numpy(dtype=np.int64),
                              "n": g.to_numpy(dtype=np.int64)})
@@ -538,8 +562,17 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT):
         t1 ^= t1 >> np.uint64(29)
         return (t1 % np.uint64(n_parts)).astype(np.int64)
 
+    # surrogate-id emissions are pure int64 → blob-packed exchange (the
+    # all-to-all sees n_blocks × n_parts blob rows, not 20M+ scalar rows).
+    # int_refs comes from the caller when known — ds.schema() here would
+    # trigger a partial execution barrier (measured 10-16 s at sf1.0).
+    if int_refs is None:
+        sch = keys_ds.schema()
+        int_refs = pa.types.is_integer(
+            dict(zip(sch.names, sch.types))["ref"])
     pairs = partitioned_map(keys_ds, ["key"], pairgen_by_key,
-                            part_fn=part_t1, n_parts=n_parts)
+                            part_fn=part_t1, n_parts=n_parts,
+                            packed_cols=["key", "ref"] if int_refs else None)
     return pairs, {"mode": "fused_blocking", "stoplist_cap": cap}
 
 
@@ -667,16 +700,42 @@ def _bitset_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def docsets_bitsets_ref(docsets):
+    """Build the broadcast LUT WITHOUT the driver touching the byte
+    matrix: per-block bitsets come from map_batches, and ONE Ray task
+    concatenates them and returns the tuple (stored in plasma by the
+    worker). Replaces the driver-serial iter_batches concat + 1 GB
+    ``ray.put`` (a flat ~6 s term at sf1.0 at ANY cpu count). Returns an
+    ObjectRef immediately — consumers block on first ``ray.get``, so the
+    assembly overlaps the blocking/pairgen stages."""
+    block_refs = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
+        .map_batches(_bitset_batch, batch_format="pyarrow").to_arrow_refs()
+
+    @ray.remote
+    def assemble(*tables):
+        return _lut_from_tables(tables)
+
+    return assemble.remote(*block_refs)
+
+
 def _docsets_bitsets(docsets):
     """Broadcast payload: per-doc trigram BITSETS (21,952 bits each) plus
     ntri/weight arrays and a ref → row index map. Bitsets are built
-    DISTRIBUTED (map_batches); the driver only concatenates fixed-size
-    byte rows. Intersection size = popcount(AND) — vectorized byte ops."""
-    refs, ntris, wts, rows = [], [], [], []
+    DISTRIBUTED (map_batches); only fixed-size byte rows are concatenated
+    (driver-side here — ``docsets_bitsets_ref`` is the off-driver
+    variant). Intersection size = popcount(AND) — vectorized byte ops."""
     ds = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
         .map_batches(_bitset_batch, batch_format="pyarrow")
     # batch_size=None → whole blocks, no re-slicing copies on the driver
-    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+    return _lut_from_tables(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+
+
+def _lut_from_tables(tables):
+    refs, ntris, wts, rows = [], [], [], []
+    for batch in tables:
+        if len(batch) == 0:  # empty blocks can carry an empty schema
+            continue
         bits_col = batch["bits"].combine_chunks()
         buf = np.frombuffer(bits_col.buffers()[1], dtype=np.uint8)
         start = bits_col.offset * _BITSET_BYTES
@@ -864,8 +923,11 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
     if packed is None:
         packed = "ab" in raw_pairs.schema().names
     key_cols = ["ab"] if packed else ["a", "b"]
+    # packed (ab, n) rows take the blob exchange — the (a,b)-hash
+    # all-to-all is the pipeline's largest row count by far
     return partitioned_map(raw_pairs, key_cols, fused,
-                           n_parts=max(cfg.join_partitions, 8 * n_cpus))
+                           n_parts=max(cfg.join_partitions, 8 * n_cpus),
+                           packed_cols=["ab", "n"] if packed else None)
 
 
 def threshold_edges(scored, cfg: ERConfig = DEFAULT):
