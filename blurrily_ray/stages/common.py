@@ -192,5 +192,8 @@ def _packed_partitioned_map(ds, key_cols, fn, *, n_parts, part_fn, cols):
             out = pa.Table.from_pandas(out, preserve_index=False)
         return out.replace_schema_metadata(None)
 
+    # batch_size=None: pack per WHOLE upstream block — bundling blocks
+    # into bigger batches was measured SLOWER (breaks streaming overlap;
+    # pack tasks idle until a bundle fills)
     return ds.map_batches(pack, batch_format="pyarrow", batch_size=None) \
         .groupby("_part").map_groups(run, batch_format="pyarrow")
