@@ -284,6 +284,76 @@ def _q_audio_features(sf_dir: str):
         ["doc_id", "duration_sec"])
 
 
+def _events_us(sf_dir: str, cols: list[str], renames: dict[str, str] | None
+               = None, event_type: str | None = None):
+    """events with ``ts`` pre-cast to epoch-microsecond int64 (``ts_us``)
+    so join/window operators and the BIGINT-typed oracles hash alike."""
+    import ray.data
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    if event_type is not None:
+        ev = ev.filter(expr=f"event_type == '{event_type}'")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            if c == "event_type":
+                continue
+            name = "ts_us" if c == "ts" else c
+            col = batch[c].cast(pa.int64()) if c == "ts" else batch[c]
+            out[(renames or {}).get(name, name)] = col
+        return pa.table(out)
+
+    return ev.map_batches(cast, batch_format="pyarrow")
+
+
+def _q_window_agg(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.windows import window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id",
+                                        "value"])
+    return _i64(window_agg(ev, window_minutes=60))
+
+
+def _q_asof_purchase_click(sf_dir: str):
+    from blurrily_ray.stages.joins import asof_join
+
+    pur = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"],
+                     event_type="purchase")
+    clk = _events_us(sf_dir, ["event_id", "user_id", "ts", "event_type"],
+                     renames={"event_id": "click_event_id",
+                              "user_id": "click_user",
+                              "ts_us": "click_ts_us"},
+                     event_type="click")
+    out = asof_join(pur, clk, by="user_id", on="ts_us",
+                    right_by="click_user", right_on="click_ts_us")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": batch["event_id"], "user_id": batch["user_id"],
+            "ts_us": batch["ts_us"],
+            "click_event_id": pc.fill_null(
+                batch["click_event_id"].cast(pa.int64()), -1),
+            "click_ts_us": pc.fill_null(
+                batch["click_ts_us"].cast(pa.int64()), -1)})
+
+    return _i64(out.map_batches(fill, batch_format="pyarrow"))
+
+
+def _q_range_join(sf_dir: str):
+    from blurrily_ray.stages.joins import range_join_count
+
+    ev = _events_us(sf_dir, ["event_id", "user_id", "ts"])
+    return _i64(range_join_count(ev, ev, id_col="event_id", on="ts_us",
+                                 lo=0, hi=300_000_000, by="user_id",
+                                 out_col="n_next"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -308,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,
+        "window_agg_events": _q_window_agg,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "range_join_events": _q_range_join,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
     }
@@ -344,6 +417,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": oracles.sql_embed_neardup(0.4),
         "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),
+        "window_agg_events": oracles.sql_window_agg_events(60),
+        "asof_purchase_click": oracles.sql_asof_purchase_click(),
+        "range_join_events": oracles.sql_range_join_events(300),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),
     }

@@ -492,3 +492,52 @@ JOIN sizes2 za ON za.ref = c.a JOIN sizes2 zb ON zb.ref = c.b
 WHERE COALESCE(i.n_inter, 0) * {den}
       >= (za.n + zb.n - COALESCE(i.n_inter, 0)) * {num}
   AND (za.n + zb.n - COALESCE(i.n_inter, 0)) > 0"""
+
+
+def sql_window_agg_events(window_minutes: int = 60) -> str:
+    """Tumbling-window aggregate (stages/windows.window_agg). value is
+    summed in integer micro-units (FLOOR(value*1e6)) on BOTH sides so the
+    result is exact and independent of summation order — a float SUM
+    would hash differently per partitioning."""
+    w = window_minutes * 60_000_000
+    return f"""SELECT (epoch_us(ts) // {w}) * {w} AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM events GROUP BY 1, 2"""
+
+
+def sql_asof_purchase_click() -> str:
+    """Backward as-of join (stages/joins.asof_join): each purchase event
+    picks the user's most recent click at-or-before it; ties on click_ts
+    break to the highest click event_id — the same order the engine's
+    right-side sort induces. Unmatched purchases carry -1 (the engine
+    fills its left-join nulls identically so value hashes agree)."""
+    return """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_event_id, user_id AS cu,
+             epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.event_id, c.click_event_id, c.click_ts_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts_us DESC,
+                                         c.click_event_id DESC) AS rn
+      FROM p JOIN c ON c.cu = p.user_id AND c.click_ts_us <= p.ts_us)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CAST(COALESCE(j.click_event_id, -1) AS BIGINT) AS click_event_id,
+       CAST(COALESCE(j.click_ts_us, -1) AS BIGINT) AS click_ts_us
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)"""
+
+
+def sql_range_join_events(window_sec: int = 300) -> str:
+    """Time-range join (stages/joins.range_join_count): per event, the
+    number of same-user events in the following ``window_sec`` seconds."""
+    w = window_sec * 1_000_000
+    return f"""SELECT e.event_id, CAST(COUNT(f.event_id) AS BIGINT) AS n_next
+FROM events e LEFT JOIN events f
+  ON f.user_id = e.user_id
+ AND epoch_us(f.ts) > epoch_us(e.ts)
+ AND epoch_us(f.ts) <= epoch_us(e.ts) + {w}
+GROUP BY e.event_id"""

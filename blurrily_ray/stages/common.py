@@ -130,6 +130,75 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
         .groupby("_part").map_groups(run, batch_format=batch_format)
 
 
+def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
+                     n_parts: int = 64, part_fn_left=None, part_fn_right=None):
+    """Two-sided coarse hash co-partitioning — the join-shaped analogue of
+    ``partitioned_map`` for operators the Dataset API can't express
+    (as-of join, range join): both datasets are side-tagged and
+    schema-aligned (missing columns null-filled), ONE union + shuffle
+    lands every key-group's rows from BOTH sides in the same partition,
+    and ``fn(left_df, right_df) -> df`` runs per partition with each
+    side's original columns.
+
+    The two sides' key columns must hash compatibly (same logical type);
+    columns sharing a name across sides must share a type — rename first
+    otherwise. ``part_fn_left/right(batch) -> int64 ndarray`` override the
+    default key hashing per side (bucket replication etc.)."""
+    import pyarrow as pa
+
+    ls, rs = ds_left.schema(), ds_right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    for c in set(ls.names) & set(rs.names):
+        if ltypes[c] != rtypes[c]:
+            raise ValueError(f"column {c!r} type differs across sides "
+                             f"({ltypes[c]} vs {rtypes[c]}); rename first")
+    all_names = list(ls.names) + [c for c in rs.names if c not in ltypes]
+    types = {**rtypes, **ltypes}
+
+    def tag(side: int, key_cols, side_names, pfn):
+        def do(batch: pa.Table) -> pa.Table:
+            if pfn is not None:
+                part = np.asarray(pfn(batch), dtype=np.int64) % n_parts
+            else:
+                h = np.zeros(len(batch), dtype=np.uint64)
+                for c in key_cols:
+                    v = batch[c].to_numpy(zero_copy_only=False)
+                    h = h * np.uint64(31) + _col_hash(pd.Series(v))
+                part = (h % np.uint64(n_parts)).astype(np.int64)
+            cols = {}
+            for c in all_names:
+                cols[c] = (batch[c] if c in side_names
+                           else pa.nulls(len(batch), type=types[c]))
+            cols["_side"] = pa.array(
+                np.full(len(batch), side, dtype=np.int64))
+            cols["_part"] = pa.array(part)
+            return pa.table(cols)
+        return do
+
+    tagged = ds_left.map_batches(
+        tag(0, key_cols_left, set(ls.names), part_fn_left),
+        batch_format="pyarrow").union(ds_right.map_batches(
+            tag(1, key_cols_right, set(rs.names), part_fn_right),
+            batch_format="pyarrow"))
+
+    lnames, rnames = list(ls.names), list(rs.names)
+
+    def run(t: pa.Table):
+        # split sides in ARROW, then convert each side alone: a pandas
+        # conversion of the combined table would see the other side's
+        # null-filled rows and silently widen int64 columns to float64
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        mask = pa.array(side == 0)
+        out = fn(t.filter(mask).select(lnames).to_pandas(),
+                 t.filter(pa.compute.invert(mask)).select(rnames).to_pandas())
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return out.replace_schema_metadata(None)
+
+    return tagged.groupby("_part").map_groups(run, batch_format="pyarrow")
+
+
 def _packed_partitioned_map(ds, key_cols, fn, *, n_parts, part_fn, cols):
     """Blob-packed exchange body of ``partitioned_map(packed_cols=...)``.
 

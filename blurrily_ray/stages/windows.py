@@ -62,3 +62,47 @@ def sessionize(events, gap_minutes: int = 30, *, user_col: str = "user_id",
 
     return partitioned_map(events.select_columns([user_col, ts_col]),
                            [user_col], all_users)
+
+
+def window_agg(events, *, window_minutes: int = 60, ts_col: str = "ts",
+               type_col: str = "event_type", user_col: str = "user_id",
+               value_col: str = "value", n_parts: int = 64):
+    """Tumbling-window aggregate: (window_start_us, event_type) →
+    n_events, n_users (exact distinct), sum_value_micro.
+
+    Map-side combiner first collapses each batch to (window, type, user)
+    partials — the shuffle then moves at most one row per distinct
+    (window, type, user) per block instead of one per event, and the
+    final per-partition pass is a small vectorized groupby. ``value`` is
+    summed in integer MICRO-units (floor(value·1e6)) so the result is
+    order-independent and exact — a float sum would hash differently per
+    partitioning (and per cluster size).
+    """
+    from blurrily_ray.stages.common import partitioned_map
+
+    window_us = np.int64(window_minutes) * 60_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        w = (us // window_us) * window_us
+        vm = np.floor(df[value_col].to_numpy() * 1e6).astype(np.int64)
+        g = (pd.DataFrame({"window_start_us": w.to_numpy(),
+                           type_col: df[type_col].to_numpy(),
+                           user_col: df[user_col].to_numpy(), "_vm": vm})
+             .groupby(["window_start_us", type_col, user_col], sort=False)
+             .agg(_n=("_vm", "size"), _vm=("_vm", "sum")).reset_index())
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["window_start_us", type_col], sort=False)
+             .agg(n_events=("_n", "sum"), n_users=(user_col, "nunique"),
+                  sum_value_micro=("_vm", "sum")).reset_index())
+        for c in ("n_events", "n_users", "sum_value_micro"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    partials = events.select_columns(
+        [ts_col, type_col, user_col, value_col]).map_batches(
+        partial, batch_format="pandas")
+    return partitioned_map(partials, ["window_start_us", type_col], final,
+                           n_parts=n_parts)
