@@ -271,6 +271,20 @@ def _q_jaccard_ngram(sf_dir: str):
     return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
 
 
+def _q_video_frames(sf_dir: str):
+    """Multimodal video actor-pool stage (REAL motion-BMP container: a
+    frame index walk seeks to every sampled frame and decodes it with the
+    pure-numpy BMP codec). The oracle reproduces the sampled-frame
+    inventory from the md5 seed; per-frame channel means are
+    pytest-covered."""
+    from blurrily_ray.stages.multimodal import (
+        attach_video_payload, sample_video_frames)
+
+    media = attach_video_payload(_docs(sf_dir))
+    return _i64(sample_video_frames(media, stride=2).select_columns(
+        ["doc_id", "frame_idx", "width", "height"]))
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio actor-pool stage (REAL pure-numpy RIFF/WAV PCM
     decode). The oracle reproduces each clip's duration from the md5 seed;
@@ -382,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_events": _q_range_join,
         "image_features": _q_image_features,
+        "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
 
@@ -420,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "window_agg_events": oracles.sql_window_agg_events(60),
         "asof_purchase_click": oracles.sql_asof_purchase_click(),
         "range_join_events": oracles.sql_range_join_events(300),
+        "video_frames": oracles.sql_video_frames(2),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),
     }

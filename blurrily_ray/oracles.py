@@ -541,3 +541,20 @@ FROM events e LEFT JOIN events f
  AND epoch_us(f.ts) > epoch_us(e.ts)
  AND epoch_us(f.ts) <= epoch_us(e.ts) + {w}
 GROUP BY e.event_id"""
+
+
+def sql_video_frames(stride: int = 2) -> str:
+    """Sampled-frame inventory of the synthetic motion-BMP payloads
+    (multimodal.attach_video_payload): n_frames = 4 + byte3(md5(text)) %
+    12, frames are 8×8, and the sampler keeps every ``stride``-th index —
+    an independent check that the container index walk and stride seek
+    are correct. Per-frame channel means aren't SQL-expressible
+    (pytest covers them against the encoder's pixel source)."""
+    return f"""WITH n AS (SELECT doc_id,
+         4 + CAST(('0x' || substr(md5(text), 7, 2)) AS INTEGER) % 12 AS nf
+       FROM documents)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, nf - 1, {stride})) AS BIGINT)
+           AS frame_idx,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+FROM n"""

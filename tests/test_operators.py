@@ -412,3 +412,59 @@ def test_index_group_first_put_wins(tmp_path):
                                           {"ref": 456, "text": "paris"}]))
     assert g.find("db", "london") == [[123, 7, 6]]
     assert g.stats("db") == {"references": 2, "trigrams": 7 + 6}
+
+
+def test_video_codec_roundtrip():
+    from blurrily_ray.stages.multimodal import (
+        decode_bmp, decode_video_index, encode_video)
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+              for _ in range(4)]
+    payload = encode_video(frames, fps=12)
+    idx, fps = decode_video_index(payload)
+    assert fps == 12 and len(idx) == 4
+    for f, (off, ln) in zip(frames, idx):
+        assert (decode_bmp(payload[off:off + ln]) == f).all()
+    assert decode_video_index(b"nope") is None
+    assert decode_video_index(payload[:8]) is None  # truncated header
+    assert decode_video_index(payload[:-3]) is None  # truncated frame
+
+
+def test_video_frame_sampler(docs):
+    from blurrily_ray.stages.multimodal import (
+        attach_video_payload, decode_bmp, decode_video_index,
+        sample_video_frames)
+
+    media = attach_video_payload(docs)
+    out = sample_video_frames(media, stride=3, concurrency=(1, 2),
+                              batch_size=3).take_all()
+    srcs = {r["doc_id"]: r["payload"] for r in media.take_all()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(srcs)
+    for doc_id, rows in by_doc.items():
+        idx, _ = decode_video_index(srcs[doc_id])
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == list(range(0, len(idx), 3))
+        for r in rows:
+            off, ln = idx[r["frame_idx"]]
+            px = decode_bmp(srcs[doc_id][off:off + ln])
+            assert (r["width"], r["height"]) == (8, 8)
+            means = px.reshape(-1, 3).mean(axis=0) / 255.0
+            assert abs(r["mean_r"] - means[0]) < 1e-12
+            assert abs(r["mean_g"] - means[1]) < 1e-12
+            assert abs(r["mean_b"] - means[2]) < 1e-12
+
+
+def test_video_sampler_stub_row():
+    import ray.data as rd
+
+    from blurrily_ray.stages.multimodal import sample_video_frames
+
+    media = rd.from_items([{"doc_id": 9, "payload": b"not a video",
+                            "media_type": "application/octet-stream"}])
+    out = sample_video_frames(media).take_all()
+    assert len(out) == 1 and out[0]["frame_idx"] == -1
+    assert out[0]["width"] == -1 and out[0]["height"] == -1
