@@ -189,9 +189,8 @@ def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
         # conversion of the combined table would see the other side's
         # null-filled rows and silently widen int64 columns to float64
         side = t["_side"].to_numpy(zero_copy_only=False)
-        mask = pa.array(side == 0)
-        out = fn(t.filter(mask).select(lnames).to_pandas(),
-                 t.filter(pa.compute.invert(mask)).select(rnames).to_pandas())
+        out = fn(t.filter(pa.array(side == 0)).select(lnames).to_pandas(),
+                 t.filter(pa.array(side == 1)).select(rnames).to_pandas())
         if isinstance(out, pd.DataFrame):
             out = pa.Table.from_pandas(out, preserve_index=False)
         return out.replace_schema_metadata(None)

@@ -55,10 +55,21 @@ def asof_join(left, right, *, by: str, on: str, right_by: str | None = None,
 
     def join_part(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         ldf = ldf.sort_values(on, kind="stable")
-        rdf = rdf.sort_values([right_on, *tiebreak], kind="stable")
-        out = pd.merge_asof(ldf, rdf, left_on=on, right_on=right_on,
-                            left_by=by, right_by=right_by,
-                            direction="backward", allow_exact_matches=True)
+        if len(rdf) == 0:
+            # merge_asof needs a sortable non-empty right; synthesize the
+            # all-null outcome with stable dtypes instead
+            out = ldf.copy()
+            for c, t in zip(rschema.names, rschema.types):
+                if c not in out.columns:
+                    dt = ("Int64" if pa.types.is_integer(t) else
+                          "float64" if pa.types.is_floating(t) else "object")
+                    out[c] = pd.Series([None] * len(out), dtype=dt)
+        else:
+            rdf = rdf.sort_values([right_on, *tiebreak], kind="stable")
+            out = pd.merge_asof(ldf, rdf, left_on=on, right_on=right_on,
+                                left_by=by, right_by=right_by,
+                                direction="backward",
+                                allow_exact_matches=True)
         # unmatched rows turn integer right columns into float NaN —
         # restore nullable int64 so the Arrow schema is stable
         for c in rint:
@@ -146,10 +157,12 @@ def range_join_count(left, right, *, id_col: str, on: str, lo: int, hi: int,
             shift = int(span).bit_length()
             # segment key = (factorized (rank, bucket) pair, rebased-on)
             # packed into one int64 → ONE sorted array serves every
-            # segment's interval count via two searchsorteds
-            pair, _ = pd.factorize(np.concatenate((
-                lrank * np.int64(1 << 21) + lbkt,
-                rrank * np.int64(1 << 21) + rbkt)))
+            # segment's interval count via two searchsorteds. The pair is
+            # factorized in two collision-free steps (raw buckets can be
+            # ~2^33 — a shift-pack of rank and raw bucket could alias)
+            bcat, buniq = pd.factorize(np.concatenate((lbkt, rbkt)))
+            rank = np.concatenate((lrank, rrank)).astype(np.int64)
+            pair, _ = pd.factorize(rank * np.int64(len(buniq)) + bcat)
             lpair, rpair = pair[:len(ldf)], pair[len(ldf):]
             if (int(pair.max()) + 1).bit_length() + shift > 62:
                 raise ValueError(

@@ -123,3 +123,21 @@ def test_window_agg_matches_bruteforce():
         .agg(n_events=("vm", "size"), n_users=("user_id", "nunique"),
              sum_value_micro=("vm", "sum")).reset_index())
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+
+
+def test_asof_join_empty_side_partitions():
+    # left-only and right-only keys land in partitions where one side is
+    # empty; dtypes must stay stable and unmatched rows null
+    left = pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                         "user_id": np.array([1, 1, 3, 3], dtype=np.int64),
+                         "ts_us": np.array([10, 20, 10, 20], dtype=np.int64)})
+    right = pd.DataFrame({"r_id": np.array([7, 8], dtype=np.int64),
+                          "r_user": np.array([3, 3], dtype=np.int64),
+                          "r_ts": np.array([5, 15], dtype=np.int64)})
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="user_id", on="ts_us", right_by="r_user",
+                    right_on="r_ts", n_parts=37).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == [0, 1, 2, 3]
+    assert got["r_id"].isna().tolist() == [True, True, False, False]
+    assert got.loc[2, "r_id"] == 7 and got.loc[3, "r_id"] == 8
