@@ -271,6 +271,15 @@ def _q_jaccard_ngram(sf_dir: str):
     return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
 
 
+def _q_curate(sf_dir: str):
+    """Composed pretraining curation chain (quality/langid/token-budget
+    filters fused into one map pass + digest-keyed exact dedup) — the
+    pipeline-of-operators query."""
+    from blurrily_ray.pipelines.curate import curate_corpus
+
+    return _i64(curate_corpus(_docs(sf_dir)))
+
+
 def _q_video_frames(sf_dir: str):
     """Multimodal video actor-pool stage (REAL motion-BMP container: a
     frame index walk seeks to every sampled frame and decodes it with the
@@ -396,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_events": _q_range_join,
         "image_features": _q_image_features,
+        "curate_corpus_docs": _q_curate,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
@@ -436,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_click": oracles.sql_asof_purchase_click(),
         "range_join_events": oracles.sql_range_join_events(300),
         "video_frames": oracles.sql_video_frames(2),
+        "curate_corpus_docs": oracles.sql_curate_corpus(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),
     }

@@ -558,3 +558,26 @@ SELECT doc_id,
            AS frame_idx,
        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
 FROM n"""
+
+
+def sql_curate_corpus(min_tokens: int = 5, max_tokens: int = 10_000,
+                      max_punct_pct: int = 20) -> str:
+    """Composed curation filter (pipelines/curate.curate_corpus): English
+    heuristic + token-budget bounds + punctuation cap + exact dedup
+    keep-min-id. All-integer comparisons; dedup groups on md5(text)."""
+    toks = TOKS.format(col="text")
+    return f"""WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents),
+c AS (SELECT doc_id, text, length(ws) AS n_tok,
+      length(list_filter(ws, x -> list_contains({_stoplist_sql()}, lower(x))))
+          AS n_stop,
+      length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+          AS n_punct,
+      length(text) AS n_chars
+      FROM t),
+kept AS (SELECT doc_id, text, n_tok FROM c
+         WHERE n_tok >= {min_tokens} AND n_tok <= {max_tokens}
+           AND n_stop * {LANGID_NUM} >= n_tok
+           AND n_punct * 100 <= {max_punct_pct} * n_chars)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(MIN(n_tok) AS BIGINT) AS n_tokens
+FROM kept GROUP BY md5(text)"""

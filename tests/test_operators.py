@@ -468,3 +468,27 @@ def test_video_sampler_stub_row():
     out = sample_video_frames(media).take_all()
     assert len(out) == 1 and out[0]["frame_idx"] == -1
     assert out[0]["width"] == -1 and out[0]["height"] == -1
+
+
+def test_curate_corpus(docs):
+    import hashlib
+
+    from blurrily_ray.pipelines.curate import curate_corpus
+    from blurrily_ray.stages.textstats import LANGID_NUM, STOPWORDS
+
+    got = curate_corpus(docs, min_tokens=2, max_tokens=100,
+                        max_punct_pct=20, n_parts=5).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    src = docs.to_pandas()
+    keep, seen = [], {}
+    for _, r in src.sort_values("doc_id").iterrows():
+        toks = (r.text or "").split()
+        n_stop = sum(t.lower() in STOPWORDS for t in toks)
+        n_punct = sum(not (c.isalnum() or c.isspace()) for c in r.text or "")
+        ok = (2 <= len(toks) <= 100 and n_stop * LANGID_NUM >= len(toks)
+              and n_punct * 100 <= 20 * len(r.text or ""))
+        h = hashlib.md5((r.text or "").encode()).hexdigest()
+        if ok and h not in seen:
+            seen[h] = True
+            keep.append((r.doc_id, len(toks)))
+    assert [tuple(x) for x in got.to_numpy()] == keep
