@@ -669,21 +669,19 @@ def _popcount_gather(bits: np.ndarray, ia: np.ndarray, ib: np.ndarray,
     return m
 
 
-def _bitset_batch(batch: pa.Table) -> pa.Table:
-    """(ref, tris, …) → (ref, bits: fixed 2,744-byte bitset, ntri, weight).
-    Runs distributed inside map_batches; bit scatter via flat-index sort
-    (bitwise_or.at is an order of magnitude slower)."""
-    tris = batch["tris"].combine_chunks()
-    offsets = tris.offsets.to_numpy()
-    codes = tris.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(batch)
-    counts = np.diff(offsets)
+def _scatter_bits(codes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat trigram codes (sorted & distinct within each row's run) +
+    per-row counts → (n_rows, 2,744 B) bitset matrix. Bit scatter via
+    flat-index masked folds (bitwise_or.at is an order of magnitude
+    slower)."""
+    n = len(counts)
+    codes = codes.astype(np.int64, copy=False)
     row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
     flat = np.zeros(n * _BITSET_BYTES, dtype=np.uint8)
     pos = row_idx * _BITSET_BYTES + (codes >> 3)
     val = np.uint8(1) << (codes & 7).astype(np.uint8)
-    # codes are sorted & distinct per row → byte positions repeat at most
-    # 8×; fold with bitwise-or via 8 masked assignments
+    # sorted distinct codes per row → byte positions repeat at most 8×;
+    # fold with bitwise-or via 8 masked assignments
     for _ in range(8):
         first = np.ones(len(pos), dtype=bool)
         first[1:] = pos[1:] != pos[:-1]
@@ -691,6 +689,24 @@ def _bitset_batch(batch: pa.Table) -> pa.Table:
         pos, val = pos[~first], val[~first]
         if not len(pos):
             break
+    return flat.reshape(n, _BITSET_BYTES)
+
+
+def _list_csr(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list<uint16> column → (flat codes, per-row counts), honoring
+    any slice offset."""
+    lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = lst.offsets.to_numpy()
+    counts = np.diff(offsets)
+    return lst.flatten().to_numpy(zero_copy_only=False), counts
+
+
+def _bitset_batch(batch: pa.Table) -> pa.Table:
+    """(ref, tris, …) → (ref, bits: fixed 2,744-byte bitset, ntri, weight).
+    Runs distributed inside map_batches."""
+    codes, counts = _list_csr(batch["tris"])
+    n = len(batch)
+    flat = _scatter_bits(codes, counts).reshape(-1)
     return pa.table({
         "ref": batch["ref"],
         "bits": pa.FixedSizeBinaryArray.from_buffers(

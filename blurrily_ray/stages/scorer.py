@@ -18,11 +18,16 @@ Dataflow (two pair-stream shuffles, zero corpus shuffles):
             ─ actor: attach bits_b, matches = popcount(AND), threshold
             → edges (a, b, matches, ntri_a, ntri_b, weight_a, weight_b)
 
-The only per-pair payload crossing a shuffle is one 2,744-byte bitset
-(bits_a), paid once per DISTINCT candidate pair — candidate pairs are
-O(corpus) after blocking, so this stays linear. Shard files live on
-shared storage (here a directory; S3/NFS on a real cluster) and double as
-a reusable index artifact.
+The only per-pair payload crossing a shuffle is the a-side's SPARSE
+trigram list (~2 bytes/trigram ≈ 630 B at the corpus's ~313-trigram mean
+— 4.4× less than shipping the 2,744-byte bitset, which out-disked the
+sf1.0 single-box run via object-store spill), paid once per DISTINCT
+candidate pair; the scorer re-scatters it to bitsets batch-locally (a
+vectorized flat-index fold, ~µs per thousand rows) so scoring stays the
+cache-resident popcount(AND) kernel. Candidate pairs are O(corpus) after
+blocking, so the exchange stays linear. Shard files store the same sparse
+lists (smaller + splittable), live on shared storage (here a directory;
+S3/NFS on a real cluster) and double as a reusable index artifact.
 """
 
 from __future__ import annotations
@@ -39,22 +44,25 @@ import pyarrow.parquet as pq
 from blurrily_ray.config import DEFAULT, ERConfig
 from blurrily_ray.stages.pairs import (
     _BITSET_BYTES,
-    _bitset_batch,
+    _list_csr,
     _popcount_and,
+    _scatter_bits,
     _u64_of_refs,
     rel_fraction,
 )
 
 SHARD_MANIFEST = "SHARDS.json"
+SHARD_FORMAT = "tris-v2"  # sparse lists in shards; bitsets built at load
 
 
 def build_bitset_shards(docsets, path: str, n_shards: int, *,
                         lineage: dict | None = None) -> str:
-    """docsets → ``path/shard=K/*.parquet`` of (ref, bits, ntri, weight),
+    """docsets → ``path/shard=K/*.parquet`` of (ref, tris, ntri, weight),
     K = stable_hash(ref) % n_shards. Built fully distributed (map_batches +
     partitioned write); a manifest makes the build resumable/skippable."""
     mf = os.path.join(path, SHARD_MANIFEST)
-    want = {"n_shards": n_shards, "lineage": lineage or {}}
+    want = {"n_shards": n_shards, "format": SHARD_FORMAT,
+            "lineage": lineage or {}}
     if os.path.exists(mf):
         with open(mf) as fh:
             have = json.load(fh)
@@ -62,16 +70,15 @@ def build_bitset_shards(docsets, path: str, n_shards: int, *,
             return path
 
     def with_shard(batch: pa.Table) -> pa.Table:
-        bt = _bitset_batch(batch)
-        r = np.asarray(bt["ref"].combine_chunks())
+        r = np.asarray(batch["ref"].combine_chunks())
         if r.dtype == object:
             r = r.astype(str)
         shard = (_u64_of_refs(r) % np.uint64(n_shards)).astype(np.int64)
         return pa.table({
-            "ref": bt["ref"],
-            "bits": bt["bits"].cast(pa.binary()),
-            "ntri": bt["ntri"],
-            "weight": bt["weight"],
+            "ref": batch["ref"],
+            "tris": batch["tris"],
+            "ntri": batch["ntri"].cast(pa.int64()),
+            "weight": batch["weight"].cast(pa.int64()),
             "shard": pa.array(shard),
         })
 
@@ -100,20 +107,29 @@ class _ShardCache:
             if len(self.cache) >= self.max_shards:
                 self.cache.pop(next(iter(self.cache)))
             tbl = pq.read_table(os.path.join(self.shard_dir, f"shard={k}"),
-                                columns=["ref", "bits", "ntri", "weight"])
+                                columns=["ref", "tris", "ntri", "weight"])
             refs = np.asarray(tbl["ref"].combine_chunks())
             if refs.dtype == object:
                 refs = refs.astype(str)
-            bits_col = tbl["bits"].combine_chunks().cast(
-                pa.binary(_BITSET_BYTES))
-            buf = np.frombuffer(bits_col.buffers()[1], dtype=np.uint8)
-            start = bits_col.offset * _BITSET_BYTES
-            bits = buf[start:start + len(tbl) * _BITSET_BYTES] \
-                .reshape(len(tbl), _BITSET_BYTES)
+            codes, counts = _list_csr(tbl["tris"])
             ntri = tbl["ntri"].to_numpy(zero_copy_only=False).astype(np.int64)
             wt = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(refs, kind="stable")
-            self.cache[k] = (refs[order], bits[order], ntri[order], wt[order])
+            # shard rows → bitset matrix ONCE per shard load (vectorized
+            # scatter); per-row sparse codes kept as CSR for the a-side
+            # attach, both in ref-sorted order
+            bits = _scatter_bits(codes, counts)[order]
+            sorted_counts = counts[order]
+            offs = np.zeros(len(order) + 1, dtype=np.int64)
+            np.cumsum(sorted_counts, out=offs[1:])
+            starts = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            sorted_codes = np.empty(len(codes), dtype=np.uint16)
+            src = np.repeat(starts[order] - offs[:-1], sorted_counts) \
+                + np.arange(len(codes), dtype=np.int64)
+            sorted_codes = codes[src]
+            self.cache[k] = (refs[order], bits, ntri[order], wt[order],
+                             sorted_codes, offs)
         return self.cache[k]
 
     def lookup(self, shard_of: np.ndarray, refs: np.ndarray):
@@ -124,13 +140,56 @@ class _ShardCache:
         ntri = np.empty(n, dtype=np.int64)
         wt = np.empty(n, dtype=np.int64)
         for k in np.unique(shard_of):
-            ref_sorted, sb, sn, sw = self.get(k)
+            ref_sorted, sb, sn, sw, _, _ = self.get(k)
             m = shard_of == k
             idx = np.searchsorted(ref_sorted, refs[m])
             bits[m] = sb[idx]
             ntri[m] = sn[idx]
             wt[m] = sw[idx]
         return bits, ntri, wt
+
+    def lookup_tris(self, shard_of: np.ndarray, refs: np.ndarray):
+        """Row-wise lookup of (tris list array, ntri, weight) — the sparse
+        payload the a-side attach ships across the b-shard shuffle."""
+        n = len(refs)
+        ntri = np.empty(n, dtype=np.int64)
+        wt = np.empty(n, dtype=np.int64)
+        counts = np.empty(n, dtype=np.int64)
+        row_starts = np.empty(n, dtype=np.int64)
+        for k in np.unique(shard_of):
+            ref_sorted, _, sn, sw, _codes, offs = self.get(k)
+            m = shard_of == k
+            idx = np.searchsorted(ref_sorted, refs[m])
+            ntri[m] = sn[idx]
+            wt[m] = sw[idx]
+            counts[m] = offs[idx + 1] - offs[idx]
+            row_starts[m] = offs[idx]
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_offs[1:])
+        flat = np.empty(int(out_offs[-1]), dtype=np.uint16)
+        # variable-length run gather per shard (few shards per batch)
+        elem = _ranges(counts)
+        dsti = np.repeat(out_offs[:-1], counts) + elem
+        srci = np.repeat(row_starts, counts) + elem
+        shard_of_elem = np.repeat(shard_of, counts)
+        for k in np.unique(shard_of):
+            _, _, _, _, codes, _ = self.get(int(k))
+            m = shard_of_elem == k
+            flat[dsti[m]] = codes[srci[m]]
+        lst = pa.ListArray.from_arrays(
+            pa.array(out_offs.astype(np.int32), type=pa.int32()),
+            pa.array(flat, type=pa.uint16()))
+        return lst, ntri, wt
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3, 1, 2] → [0, 1, 2, 0, 0, 1] — per-run element offsets."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def _refs_np(col) -> np.ndarray:
@@ -149,12 +208,10 @@ class AttachA:
     def __call__(self, batch: pa.Table) -> pa.Table:
         a = _refs_np(batch["a"])
         shard = (_u64_of_refs(a) % np.uint64(self.n_shards)).astype(np.int64)
-        bits, ntri, wt = self.cache.lookup(shard, a)
+        tris, ntri, wt = self.cache.lookup_tris(shard, a)
         return pa.table({
             "a": batch["a"], "b": batch["b"],
-            "bits_a": pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(_BITSET_BYTES), len(batch),
-                [None, pa.py_buffer(bits.tobytes())]).cast(pa.binary()),
+            "tris_a": tris,
             "ntri_a": pa.array(ntri), "weight_a": pa.array(wt),
         })
 
@@ -174,12 +231,10 @@ class ScoreB:
         b = _refs_np(batch["b"])
         shard = (_u64_of_refs(b) % np.uint64(self.n_shards)).astype(np.int64)
         bits_b, ntri_b, wt_b = self.cache.lookup(shard, b)
-        ba_col = batch["bits_a"].combine_chunks().cast(
-            pa.binary(_BITSET_BYTES))
-        buf = np.frombuffer(ba_col.buffers()[1], dtype=np.uint8)
-        start = ba_col.offset * _BITSET_BYTES
-        bits_a = buf[start:start + len(batch) * _BITSET_BYTES] \
-            .reshape(len(batch), _BITSET_BYTES)
+        # re-scatter the sparse a-side payload to a batch-local bitset
+        # matrix — the cost the 4.4×-smaller exchange buys back
+        codes, counts = _list_csr(batch["tris_a"])
+        bits_a = _scatter_bits(codes, counts)
         m = _popcount_and(bits_a, bits_b)
         ntri_a = batch["ntri_a"].to_numpy(zero_copy_only=False)
         lo = np.minimum(ntri_a, ntri_b)
@@ -247,8 +302,8 @@ def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
         batch_size=16384, batch_format="pyarrow", concurrency=concurrency)
 
     # shuffle 2: cluster by b-shard for the score-side attach (this one
-    # carries the 2,744 B/row bits_a payload — the linear-in-pairs cost
-    # the module docstring budgets for)
+    # carries the sparse ~2·ntri-byte tris_a payload — the linear-in-pairs
+    # cost the module docstring budgets for)
     def part_b(batch: pa.Table) -> np.ndarray:
         b = _refs_np(np.asarray(batch["b"].combine_chunks()))
         return (_u64_of_refs(b) % np.uint64(n_shards)).astype(np.int64)
