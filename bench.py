@@ -160,12 +160,40 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     lsh_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=2).count()
     queries["lsh_neardup"] = round(time.perf_counter() - t0, 3)
 
-    from blurrily_ray.stages.windows import sessionize
+    from blurrily_ray.stages.windows import sessionize, window_agg
 
     t0 = time.perf_counter()
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     sessionize(ev).count()
     queries["sessionize"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ev_full = rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "event_type", "user_id", "value"])
+    window_agg(ev_full).count()
+    queries["window_agg"] = round(time.perf_counter() - t0, 3)
+
+    import pyarrow as _pa
+
+    from blurrily_ray.stages.joins import range_join_count
+
+    def _us(b):
+        return _pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                          "ts_us": b["ts"].cast(_pa.int64())})
+
+    t0 = time.perf_counter()
+    evu = rd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "user_id", "ts"]) \
+        .map_batches(_us, batch_format="pyarrow")
+    range_join_count(evu, evu, id_col="event_id", on="ts_us", lo=0,
+                     hi=300_000_000, by="user_id").count()
+    queries["range_join"] = round(time.perf_counter() - t0, 3)
+
+    from blurrily_ray.pipelines.curate import curate_corpus
+
+    t0 = time.perf_counter()
+    curate_corpus(docs).count()
+    queries["curate"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
     return {
