@@ -147,6 +147,12 @@ def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
     import pyarrow as pa
 
     ls, rs = ds_left.schema(), ds_right.schema()
+    if ls is None or rs is None:
+        # a zero-row side whose lazy transforms left no block to infer a
+        # schema from — the caller knows its output contract, we don't
+        raise ValueError("partitioned_map2: a side has no rows and no "
+                         "derivable schema; handle empty sides in the "
+                         "calling operator")
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))
     for c in set(ls.names) & set(rs.names):

@@ -49,6 +49,18 @@ def asof_join(left, right, *, by: str, on: str, right_by: str | None = None,
     right_by = right_by or by
     right_on = right_on or on
     rschema = right.schema()
+    if left.schema() is None:
+        # zero left rows with no derivable schema: the as-of result is
+        # empty; without left dtypes there is nothing better to type it as
+        import ray.data
+
+        return ray.data.from_items([])
+    if rschema is None:
+        # zero right rows: every left row keeps null right columns — but a
+        # schemaless right side doesn't even tell us the column names, so
+        # the output degrades to the left columns alone
+        return left
+
     rint = {c for c, t in zip(rschema.names, rschema.types)
             if pa.types.is_integer(t)}
     tiebreak = [c for c in rschema.names if c not in (right_by, right_on)]
@@ -98,6 +110,21 @@ def range_join_count(left, right, *, id_col: str, on: str, lo: int, hi: int,
     right_by = right_by or by
     right_on = right_on or on
     B = np.int64(hi - lo)
+
+    if left.schema() is None:  # zero left rows: typed empty result
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.int64())}))
+    if right.schema() is None:  # zero right rows: every count is 0
+        def zeros(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch[id_col].cast(pa.int64()),
+                out_col: pa.array(np.zeros(len(batch), dtype=np.int64))})
+
+        return left.select_columns([id_col]).map_batches(
+            zeros, batch_format="pyarrow")
 
     def replicate(batch: pa.Table) -> pa.Table:
         onv = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)

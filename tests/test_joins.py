@@ -141,3 +141,38 @@ def test_asof_join_empty_side_partitions():
     assert got["event_id"].tolist() == [0, 1, 2, 3]
     assert got["r_id"].isna().tolist() == [True, True, False, False]
     assert got.loc[2, "r_id"] == 7 and got.loc[3, "r_id"] == 8
+
+
+def test_empty_inputs_are_total():
+    # transformed-to-empty datasets lose their schema in Ray; the join
+    # operators must stay total instead of crashing on schema() == None
+    empty = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64")})) \
+        .map_batches(lambda b: b, batch_format="pyarrow")
+    full = rd.from_pandas(_events(n=20))
+    assert asof_join(empty, full, by="user_id", on="ts_us").count() == 0
+    assert asof_join(full, empty, by="user_id", on="ts_us").count() == 20
+    assert range_join_count(empty, full, id_col="event_id", on="ts_us",
+                            lo=0, hi=100).count() == 0
+    got = range_join_count(full, empty, id_col="event_id", on="ts_us",
+                           lo=0, hi=100).to_pandas()
+    assert len(got) == 20 and (got["n_in_range"] == 0).all()
+
+
+def test_range_join_negative_lo_symmetric_window():
+    # lo < 0: neighbors BEFORE the row count too (window straddles it)
+    ev = _events(n=300, users=4, span_us=1_000_000, seed=9)
+    ds = rd.from_pandas(ev)
+    lo, hi = -50_000, 50_000
+    got = range_join_count(ds, ds, id_col="event_id", on="ts_us",
+                           lo=lo, hi=hi, by="user_id", out_col="n",
+                           n_parts=6).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    exp = []
+    for _, e in ev.iterrows():
+        m = ev[(ev.user_id == e.user_id) & (ev.ts_us > e.ts_us + lo)
+               & (ev.ts_us <= e.ts_us + hi)]
+        exp.append(len(m))
+    assert got["n"].tolist() == exp
