@@ -415,9 +415,13 @@ def oracle_sql() -> dict[str, str]:
     from blurrily_ray import oracles
     from blurrily_ray.sources.synth import ensure_transcripts
 
-    # the driver runs oracles at sf0.01 — make sure the synthetic
-    # transcripts parquet exists before DuckDB reads it
-    tpath = ensure_transcripts(0.01)["transcripts"]
+    # the driver runs oracles at sf0.01 (the env override lets
+    # scripts/check_oracles.py verify other scales) — make sure the
+    # synthetic transcripts parquet exists before DuckDB reads it
+    import os
+
+    sf = float(os.environ.get("GRAFT_ORACLE_SF", "0.01"))
+    tpath = ensure_transcripts(sf)["transcripts"]
     return {
         "normalize_docs": oracles.sql_normalize_docs(),
         "postings_docs": oracles.sql_postings_docs(),

@@ -34,6 +34,15 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # point transcript-table oracles (er_clusters) at THIS sf, not the
+    # driver's fixed 0.01
+    import os
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if m:
+        os.environ["GRAFT_ORACLE_SF"] = m.group(1)
+
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
