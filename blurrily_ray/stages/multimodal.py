@@ -2,11 +2,12 @@
 
 Media lands as opaque ``binary`` columns with typed metadata. Heavyweight
 codecs (PIL / torchaudio / ffmpeg) don't exist in this container, so the
-shipped decoders are REAL pure-numpy codecs for the two formats that are
-plain little-endian structs: 24-bit uncompressed BMP (BITMAPINFOHEADER +
-padded BGR rows) and mono 16-bit PCM WAV (RIFF chunks) — both decodable
-with ``np.frombuffer`` alone. Payloads the codecs do not recognize fall
-back to a clearly-marked deterministic stub, so the pipelines stay total.
+shipped decoders are REAL pure-numpy codecs: 24-bit uncompressed BMP
+(BITMAPINFOHEADER + padded BGR rows), 8-bit truecolor PNG (stdlib zlib
+inflate + full scanline unfiltering incl. Paeth), mono 16-bit PCM WAV
+(RIFF chunks), and a length-prefixed motion-BMP video container. Payloads
+no codec recognizes fall back to a clearly-marked deterministic stub, so
+the pipelines stay total.
 
 Everything Ray-side follows the stateful-stage pattern: callable-class
 actor pool (setup once per actor in ``__init__``), small batch_size for
@@ -63,21 +64,23 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
 
 
 def attach_binary_payload(docs, *, id_col: str = "doc_id",
-                          text_col: str = "text"):
-    """Test helper: derive a deterministic REAL 8×8 24-bit BMP payload
-    from each doc's text (md5-seeded pixels) — a stand-in image source
-    that the real decoder genuinely decodes."""
+                          text_col: str = "text", fmt: str = "bmp"):
+    """Test helper: derive a deterministic REAL 8×8 image payload (24-bit
+    BMP or 8-bit PNG per ``fmt``) from each doc's text (md5-seeded
+    pixels) — a stand-in image source the real decoders genuinely
+    decode."""
+    enc = {"bmp": encode_bmp, "png": lambda px: encode_png(px)}[fmt]
 
     def fn(batch: pa.Table) -> pa.Table:
         payloads = []
         for t in batch[text_col].to_pylist():
             seed = hashlib.md5((t or "").encode("utf-8")).digest()
             px = np.frombuffer((seed * 12)[:8 * 8 * 3], dtype=np.uint8)
-            payloads.append(encode_bmp(px.reshape(8, 8, 3)))
+            payloads.append(enc(px.reshape(8, 8, 3)))
         return pa.table({
             id_col: batch[id_col],
             "payload": pa.array(payloads, type=pa.binary()),
-            "media_type": pa.array(["image/bmp"] * len(batch)),
+            "media_type": pa.array([f"image/{fmt}"] * len(batch)),
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
@@ -94,7 +97,7 @@ class ImageFeatureExtractor:
 
     Small batch_size on purpose: batches of large binary payloads must fit
     worker heaps. Features: per-channel means + quadrant brightness —
-    computed from REAL decoded pixels for BMP payloads; unrecognized
+    computed from REAL decoded pixels for BMP/PNG payloads; unrecognized
     payloads take the deterministic md5 stub (marked by width=height=-1
     plus stub features) so mixed media never crashes the stage.
     """
@@ -128,7 +131,7 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, feats = [], [], []
         for payload in batch["payload"].to_pylist():
-            px = decode_bmp(payload or b"")
+            px = decode_image(payload or b"")
             if px is not None:
                 h, w, _ = px.shape
                 widths.append(w)
@@ -175,7 +178,7 @@ class ImageResizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads, ok = [], []
         for payload in batch["payload"].to_pylist():
-            px = decode_bmp(payload or b"")
+            px = decode_image(payload or b"")
             if px is None:
                 payloads.append(payload)  # pass through undecodable media
                 ok.append(False)
@@ -429,3 +432,114 @@ def sample_video_frames(media, stride: int = 2, *, concurrency=(1, 4),
     return media.map_batches(FrameSampler, fn_constructor_args=(stride,),
                              concurrency=concurrency, batch_size=batch_size,
                              batch_format="pyarrow")
+
+
+# --- PNG: real stdlib-zlib + numpy codec (8-bit RGB/RGBA, no interlace) --
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 → PNG bytes (8-bit color, filter 0 scanlines,
+    one zlib IDAT). Standard layout every PNG reader accepts."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    color_type = {3: 2, 4: 6}[ch]
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * ch)  # filter byte 0 per scanline
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG bytes → (h, w, 3|4) uint8, or None if not an 8-bit truecolor
+    non-interlaced PNG. Full filter support (None/Sub/Up/Average/Paeth):
+    Sub/Average/Paeth carry a within-row dependency, so rows decode in a
+    numpy loop over scanlines with vectorized column math — O(h) Python
+    iterations, not O(h·w)."""
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != _PNG_SIG:
+        return None
+    pos, w = 8, None
+    idat = []
+    h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if (w is None or bit_depth != 8 or color_type not in (2, 6)
+            or interlace != 0 or not idat):
+        return None
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * ch, np.int32)
+        f = filters[y]
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):
+            # left-dependent filters: per-pixel recurrence along the row
+            line = np.empty(w * ch, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                up = prev[s]
+                if f == 1:
+                    line[s] = (cur[s] + left) & 0xFF
+                elif f == 3:
+                    line[s] = (cur[s] + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    ul = (prev[s.start - ch:s.start] if x
+                          else np.zeros(ch, np.int32))
+                    p = left + up - ul
+                    pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up),
+                                     np.abs(p - ul))
+                    pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                    np.where(pb_ <= pc_, up, ul))
+                    line[s] = (cur[s] + pred) & 0xFF
+                left = line[s]
+        else:
+            return None
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Try every real codec (BMP, then PNG; alpha dropped) — the single
+    entry the image stages use, so adding a codec upgrades them all."""
+    px = decode_bmp(payload)
+    if px is not None:
+        return px
+    px = decode_png(payload)
+    if px is not None:
+        return px[:, :, :3] if px.shape[2] == 4 else px
+    return None
