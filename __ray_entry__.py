@@ -253,14 +253,31 @@ def _q_sessionize(sf_dir: str):
 
 def _q_image_features(sf_dir: str):
     """Multimodal actor-pool stage over binary payloads (real pure-numpy
-    24-bit BMP decode; md5 stub only for unrecognized formats) — feature
-    extraction is not SQL-expressible, so rows-only check, no oracle."""
+    BMP/PNG decode). The md5-seeded 8×8 payload pixels tile the 16 digest
+    bytes, so each channel's mean equals the digest-byte mean — giving
+    decode + feature math a FULL DuckDB oracle (quadrant features and std
+    stay pytest-covered)."""
     from blurrily_ray.stages.multimodal import (
         attach_binary_payload, extract_image_features)
 
     media = attach_binary_payload(_docs(sf_dir))
-    return _i64(extract_image_features(media).select_columns(
-        ["doc_id", "width", "height"]))
+    feats = extract_image_features(media)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = batch["feature"].combine_chunks()
+        flat = f.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(batch), -1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "mean_r": pa.array(mat[:, 0]),
+            "mean_g": pa.array(mat[:, 1]),
+            "mean_b": pa.array(mat[:, 2])})
+
+    return _i64(feats.map_batches(unpack, batch_format="pyarrow"))
 
 
 def _q_jaccard_ngram(sf_dir: str):
@@ -451,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": oracles.sql_range_join_events(300),
         "video_frames": oracles.sql_video_frames(2),
         "curate_corpus_docs": oracles.sql_curate_corpus(),
+        "image_features": oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),
     }

@@ -581,3 +581,24 @@ kept AS (SELECT doc_id, text, n_tok FROM c
 SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
        CAST(MIN(n_tok) AS BIGINT) AS n_tokens
 FROM kept GROUP BY md5(text)"""
+
+
+def sql_image_features() -> str:
+    """Decode-path oracle for the synthetic image payloads
+    (multimodal.attach_binary_payload): pixels tile the 16 md5 bytes over
+    8×8×3, and 192 ≡ 0 (mod 3·16 interleave) makes every channel's mean
+    equal the digest-byte mean — sum16/16/255, exact in float64 on both
+    engines (integer sums, power-of-two divide, one shared /255
+    rounding). A stubbed decode would return width = -1 and md5-derived
+    features instead, so this catches any decode regression."""
+    return """WITH b AS (SELECT doc_id, md5(COALESCE(text, '')) AS hx
+           FROM documents),
+v AS (SELECT doc_id,
+             CAST(('0x' || substr(hx, 1 + 2 * i, 2)) AS INTEGER) AS byte
+      FROM b, LATERAL (SELECT unnest(generate_series(0, 15)) AS i) g),
+s AS (SELECT doc_id, SUM(byte) AS s16 FROM v GROUP BY doc_id)
+SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       s16 / 16.0 / 255.0 AS mean_r,
+       s16 / 16.0 / 255.0 AS mean_g,
+       s16 / 16.0 / 255.0 AS mean_b
+FROM s"""
