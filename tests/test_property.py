@@ -39,3 +39,62 @@ def test_pipeline_composition_bounds(raw):
     assert all(0 <= c < NUM_TRIGRAMS for c in codes)
     # L+1 windows before dedup bounds the distinct count
     assert 1 <= len(codes) <= len(norm) + 1
+
+
+# --- codecs ---------------------------------------------------------------
+
+import numpy as np
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.sampled_from([3, 4]),
+       st.integers(0, 2**32 - 1))
+def test_png_roundtrip_any_shape(h, w, ch, seed):
+    from blurrily_ray.stages.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, ch)) \
+        .astype(np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    from blurrily_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3)) \
+        .astype(np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+# --- join kernels (partition function vs whole-table pandas gold) ---------
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 4),
+       st.integers(0, 2**31 - 1))
+def test_range_count_partition_kernel_matches_bruteforce(nl, nr, users, seed):
+    """The per-partition interval-count kernel (single partition = no
+    hashing in play) must equal the O(n²) reference for arbitrary data,
+    including duplicate timestamps and bucket-edge values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from blurrily_ray.stages.joins import range_join_count
+
+    rng = np.random.default_rng(seed)
+    lo, hi = 0, 50
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.integers(0, users, nl).astype(np.int64),
+        "ts_us": rng.integers(0, 300, nl).astype(np.int64)})
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, users, nr).astype(np.int64),
+        "ts_us": rng.integers(0, 300, nr).astype(np.int64)})
+    got = range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                           id_col="event_id", on="ts_us", lo=lo, hi=hi,
+                           by="user_id", out_col="n", n_parts=3) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = [int(((right.user_id == e.user_id) & (right.ts_us > e.ts_us + lo)
+                & (right.ts_us <= e.ts_us + hi)).sum())
+           for _, e in left.iterrows()]
+    assert got["n"].tolist() == exp
