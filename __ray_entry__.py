@@ -288,6 +288,18 @@ def _q_jaccard_ngram(sf_dir: str):
     return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
 
 
+def _q_top_events(sf_dir: str):
+    """Keep-best-k curation primitive: each user's top-3 events by value."""
+    import ray.data
+
+    from blurrily_ray.stages.windows import top_k_per_group
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    return _i64(top_k_per_group(ev, by="user_id", order_col="value", k=3,
+                                tiebreak_col="event_id"))
+
+
 def _q_curate(sf_dir: str):
     """Composed pretraining curation chain (quality/langid/token-budget
     filters fused into one map pass + digest-keyed exact dedup) — the
@@ -423,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join,
         "image_features": _q_image_features,
         "curate_corpus_docs": _q_curate,
+        "top_events_per_user": _q_top_events,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
@@ -468,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": oracles.sql_range_join_events(300),
         "video_frames": oracles.sql_video_frames(2),
         "curate_corpus_docs": oracles.sql_curate_corpus(),
+        "top_events_per_user": oracles.sql_top_events_per_user(3),
         "image_features": oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),

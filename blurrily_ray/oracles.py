@@ -602,3 +602,13 @@ SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
        s16 / 16.0 / 255.0 AS mean_g,
        s16 / 16.0 / 255.0 AS mean_b
 FROM s"""
+
+
+def sql_top_events_per_user(k: int = 3) -> str:
+    """top_k_per_group oracle: each user's top-k events by value
+    (event_id ascending breaks ties)."""
+    return f"""SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= {k}"""

@@ -85,7 +85,9 @@ def window_agg(events, *, window_minutes: int = 60, ts_col: str = "ts",
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         us = df[ts_col].astype("datetime64[us]").astype(np.int64)
         w = (us // window_us) * window_us
-        vm = np.floor(df[value_col].to_numpy() * 1e6).astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        # NULL values contribute 0 to the sum — same as SQL SUM's skip
+        vm = np.floor(np.nan_to_num(v, nan=0.0) * 1e6).astype(np.int64)
         g = (pd.DataFrame({"window_start_us": w.to_numpy(),
                            type_col: df[type_col].to_numpy(),
                            user_col: df[user_col].to_numpy(), "_vm": vm})
@@ -106,3 +108,29 @@ def window_agg(events, *, window_minutes: int = 60, ts_col: str = "ts",
         partial, batch_format="pandas")
     return partitioned_map(partials, ["window_start_us", type_col], final,
                            n_parts=n_parts)
+
+
+def top_k_per_group(ds, *, by: str, order_col: str, k: int,
+                    descending: bool = True, tiebreak_col: str | None = None,
+                    n_parts: int = 64):
+    """Keep each key's top-``k`` rows by ``order_col`` — the keep-best-k
+    curation primitive (best documents per domain, latest events per
+    user). One coarse hash shuffle on ``by``; every partition ranks ALL
+    its keys in one vectorized sort + groupby-head (never per-key UDFs).
+
+    ``tiebreak_col`` (ascending) makes equal ``order_col`` rows rank
+    deterministically — required for oracle parity; defaults to the
+    first non-``by``, non-``order_col`` column.
+    """
+    from blurrily_ray.stages.common import partitioned_map
+
+    names = ds.schema().names
+    tb = tiebreak_col or next(c for c in names
+                              if c not in (by, order_col))
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, order_col, tb], kind="stable",
+                            ascending=[True, not descending, True])
+        return df.groupby(by, sort=False).head(k).reset_index(drop=True)
+
+    return partitioned_map(ds, [by], head_k, n_parts=n_parts)

@@ -176,3 +176,22 @@ def test_range_join_negative_lo_symmetric_window():
                & (ev.ts_us <= e.ts_us + hi)]
         exp.append(len(m))
     assert got["n"].tolist() == exp
+
+
+def test_top_k_per_group_matches_bruteforce():
+    from blurrily_ray.stages.windows import top_k_per_group
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "user_id": rng.integers(0, 9, 200).astype(np.int64),
+        "value": rng.integers(0, 5, 200).astype(np.int64)})  # many ties
+    got = top_k_per_group(rd.from_pandas(df), by="user_id",
+                          order_col="value", k=3,
+                          tiebreak_col="event_id", n_parts=4).to_pandas()
+    got = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    exp = (df.sort_values(["user_id", "value", "event_id"], kind="stable",
+                          ascending=[True, False, True])
+           .groupby("user_id", sort=False).head(3)
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
