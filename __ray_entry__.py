@@ -288,6 +288,14 @@ def _q_jaccard_ngram(sf_dir: str):
     return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
 
 
+def _q_vocab(sf_dir: str):
+    """Corpus token-frequency table (map-side combining; one row per
+    distinct token per block crosses the shuffle)."""
+    from blurrily_ray.stages.textstats import vocab_top_k
+
+    return _i64(vocab_top_k(_docs(sf_dir), k=100))
+
+
 def _q_top_events(sf_dir: str):
     """Keep-best-k curation primitive: each user's top-3 events by value."""
     import ray.data
@@ -436,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "curate_corpus_docs": _q_curate,
         "top_events_per_user": _q_top_events,
+        "vocab_top100_docs": _q_vocab,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
@@ -482,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": oracles.sql_video_frames(2),
         "curate_corpus_docs": oracles.sql_curate_corpus(),
         "top_events_per_user": oracles.sql_top_events_per_user(3),
+        "vocab_top100_docs": oracles.sql_vocab_top_k(100),
         "image_features": oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),

@@ -612,3 +612,11 @@ def sql_top_events_per_user(k: int = 3) -> str:
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= {k}"""
+
+
+def sql_vocab_top_k(k: int = 100) -> str:
+    """Corpus token-frequency oracle (textstats.vocab_top_k)."""
+    toks = TOKS.format(col="text")
+    return f"""SELECT lower(t) AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest({toks}) AS t FROM documents)
+GROUP BY lower(t) ORDER BY n DESC, token LIMIT {k}"""

@@ -151,3 +151,40 @@ def fingerprint(docs, *, id_col: str = "doc_id", text_col: str = "text",
                              "fingerprint": df[text_col].map(fp)})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def vocab_top_k(docs, *, text_col: str = "text", k: int = 100,
+                lowercase: bool = True, n_parts: int = 64):
+    """Corpus token-frequency table: the ``k`` most frequent tokens as
+    (token, n), ordered (n DESC, token ASC).
+
+    The 100-TB shape: every batch pre-aggregates to (token, partial n) —
+    the shuffle moves one row per DISTINCT token per block, never one per
+    occurrence; partitions merge their tokens vectorized and keep a local
+    top-k (safe: the global top-k is a subset of the union of per-token-
+    partition top-ks because each token lives in exactly one partition);
+    only n_parts × k tiny rows reach the final sort."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df[text_col])
+        flat, _ = _token_arrays(toks)
+        s = pd.Series(flat, dtype=object)
+        if lowercase:
+            s = s.str.lower()
+        vc = s.value_counts()
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(k)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    local = partitioned_map(partials, ["token"], merge_topk,
+                            n_parts=n_parts)
+    return local.sort(["n", "token"], descending=[True, False]).limit(k)

@@ -567,3 +567,18 @@ def test_image_stages_accept_png(docs):
         batch_size=4).take_all()}
     for r in out:
         assert np.allclose(r["feature"], bmp[r["doc_id"]])
+
+
+def test_vocab_top_k_boundary_ties():
+    import ray.data as rdata
+
+    from blurrily_ray.stages.textstats import vocab_top_k
+
+    # counts: zz×5, then aa/bb/cc ×3 each — k=2 must cut INSIDE the tie
+    # group and keep the lexicographically smallest
+    rows = [{"doc_id": 1, "text": "zz zz zz aa bb cc"},
+            {"doc_id": 2, "text": "zz zz aa bb cc"},
+            {"doc_id": 3, "text": "aa bb cc"}]
+    got = vocab_top_k(rdata.from_items(rows), k=2, n_parts=3).to_pandas()
+    assert got["token"].tolist() == ["zz", "aa"]
+    assert got["n"].tolist() == [5, 3]
