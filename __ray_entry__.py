@@ -288,6 +288,15 @@ def _q_jaccard_ngram(sf_dir: str):
     return _i64(jaccard_ngram_pairs(_docs(sf_dir)))
 
 
+def _q_sample(sf_dir: str):
+    """Deterministic hash-bucket split (reproducible train/val sampling;
+    pure map, no shuffle)."""
+    from blurrily_ray.stages.sample import deterministic_split
+
+    return _i64(deterministic_split(_docs(sf_dir), key_col="doc_id",
+                                    lo=0, hi=10))
+
+
 def _q_vocab(sf_dir: str):
     """Corpus token-frequency table (map-side combining; one row per
     distinct token per block crosses the shuffle)."""
@@ -445,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus_docs": _q_curate,
         "top_events_per_user": _q_top_events,
         "vocab_top100_docs": _q_vocab,
+        "sample_docs_10pct": _q_sample,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
     }
@@ -492,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus_docs": oracles.sql_curate_corpus(),
         "top_events_per_user": oracles.sql_top_events_per_user(3),
         "vocab_top100_docs": oracles.sql_vocab_top_k(100),
+        "sample_docs_10pct": oracles.sql_sample_docs(0, 10),
         "image_features": oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),

@@ -620,3 +620,13 @@ def sql_vocab_top_k(k: int = 100) -> str:
     return f"""SELECT lower(t) AS token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest({toks}) AS t FROM documents)
 GROUP BY lower(t) ORDER BY n DESC, token LIMIT {k}"""
+
+
+def sql_sample_docs(lo: int = 0, hi: int = 10, buckets: int = 100,
+                    salt: str = "split") -> str:
+    """deterministic_split oracle: same md5-bucket expression in SQL."""
+    return f"""SELECT doc_id, text FROM documents
+WHERE CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 16))
+           AS UBIGINT) % {buckets} >= {lo}
+  AND CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 16))
+           AS UBIGINT) % {buckets} < {hi}"""

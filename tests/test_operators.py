@@ -582,3 +582,24 @@ def test_vocab_top_k_boundary_ties():
     got = vocab_top_k(rdata.from_items(rows), k=2, n_parts=3).to_pandas()
     assert got["token"].tolist() == ["zz", "aa"]
     assert got["n"].tolist() == [5, 3]
+
+
+def test_deterministic_split_partitions_disjoint_and_stable(docs):
+    from blurrily_ray.stages.sample import deterministic_split
+
+    a = deterministic_split(docs, key_col="doc_id", lo=0, hi=40,
+                            salt="s").to_pandas()
+    b = deterministic_split(docs, key_col="doc_id", lo=40, hi=100,
+                            salt="s").to_pandas()
+    ids_a, ids_b = set(a.doc_id), set(b.doc_id)
+    assert ids_a.isdisjoint(ids_b)
+    assert ids_a | ids_b == set(range(1, 9))  # complete cover
+    # stable across runs
+    a2 = deterministic_split(docs, key_col="doc_id", lo=0, hi=40,
+                             salt="s").to_pandas()
+    assert set(a2.doc_id) == ids_a
+    # different salt → different assignment allowed, still a partition
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_split(docs, key_col="doc_id", lo=10, hi=10)
