@@ -61,10 +61,18 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         return run_stage(name, os.path.join(checkpoint_dir, name), fn,
                          lineage=lineage)
 
-    with metrics.timeit("assemble_docs"):
-        docs = assemble_docs(transcripts, assume_grouped=assume_grouped)
     with metrics.timeit("docsets"):
-        docsets = ckpt("docsets", lambda: docsets_from_docs(docs))
+        if assume_grouped:
+            # fused assemble+tokenize: the corpus TEXT never enters the
+            # object store — only per-doc trigram sets (~8× smaller) are
+            # pinned. At 100 TB this is the difference between spilling
+            # the corpus and never moving it past the read stage.
+            from blurrily_ray.stages.tokenize import docsets_grouped
+
+            docsets = ckpt("docsets", lambda: docsets_grouped(transcripts))
+        else:
+            docs = assemble_docs(transcripts, assume_grouped=False)
+            docsets = ckpt("docsets", lambda: docsets_from_docs(docs))
         docsets = docsets.materialize()  # reused by 4 downstream stages
     with metrics.timeit("histogram"):
         hist = trigram_histogram(docsets)

@@ -86,6 +86,86 @@ def assemble_docs(transcripts, *, id_col: str = "conv_id", order_col: str = "tur
     return docs.union(fixed)
 
 
+def docsets_grouped(transcripts, *, id_col: str = "conv_id",
+                    order_col: str = "turn_idx", text_col: str = "text"):
+    """transcripts (conversation-contiguous in file order) → docsets with
+    the corpus TEXT never materialized: each block assembles AND tokenizes
+    its interior conversations in one pass — only per-doc trigram sets
+    (~8× smaller than text) are pinned — while the ≤2 conversations
+    touching block boundaries pass their raw turns to the tiny fix-up
+    shuffle. Equal output to ``docsets_from_docs(assemble_docs(...,
+    assume_grouped=True))``; at 100 TB the difference is whether the whole
+    corpus text sits in the object store or never leaves the read stage.
+    """
+    from blurrily_ray.stages.common import partitioned_map
+
+    def all_convs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, order_col], kind="stable")
+        g = df.groupby(id_col, sort=False)[text_col].agg(" ".join)
+        return pd.DataFrame({"ref": g.index.to_numpy(),
+                             "text": g.to_numpy()})
+
+    empty_tris = pa.list_(pa.uint16())
+
+    def split_tokenize(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({
+                "ref": pa.array([], pa.string()),
+                "ntri": pa.array([], pa.uint32()),
+                "weight": pa.array([], pa.uint32()),
+                "tris": pa.array([], empty_tris),
+                "text": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "is_doc": pa.array([], pa.int64())})
+        ids = df[id_col]
+        edge = (ids == ids.iloc[0]) | (ids == ids.iloc[-1])
+        if (~edge).any():
+            docs = all_convs(df[~edge])
+            dsets = _docsets_batch(
+                pa.table({"ref": pa.array(docs["ref"]),
+                          "text": pa.array(docs["text"])}), "ref", "text")
+        else:
+            dsets = None
+        n_d = len(dsets) if dsets is not None else 0
+        frag = df.loc[edge]
+        n_f = len(frag)
+        cols = {
+            "ref": pa.concat_arrays(
+                ([dsets["ref"].combine_chunks()] if n_d else [])
+                + [pa.array(frag[id_col].to_numpy(), pa.string())]),
+            "ntri": pa.concat_arrays(
+                ([dsets["ntri"].combine_chunks()] if n_d else [])
+                + [pa.nulls(n_f, pa.uint32())]),
+            "weight": pa.concat_arrays(
+                ([dsets["weight"].combine_chunks()] if n_d else [])
+                + [pa.nulls(n_f, pa.uint32())]),
+            "tris": pa.concat_arrays(
+                ([dsets["tris"].combine_chunks()] if n_d else [])
+                + [pa.nulls(n_f, empty_tris)]),
+            "text": pa.concat_arrays(
+                [pa.nulls(n_d, pa.string())]
+                + [pa.array(frag[text_col].to_numpy(), pa.string())]),
+            "turn_idx": pa.concat_arrays(
+                [pa.array(np.full(n_d, -1, dtype=np.int64))]
+                + [pa.array(frag[order_col].to_numpy(dtype=np.int64))]),
+            "is_doc": pa.concat_arrays(
+                [pa.array(np.ones(n_d, dtype=np.int64))]
+                + [pa.array(np.zeros(n_f, dtype=np.int64))]),
+        }
+        return pa.table(cols)
+
+    ts = transcripts.select_columns([id_col, order_col, text_col])
+    mixed = ts.map_batches(split_tokenize, batch_size=None,
+                           batch_format="pandas").materialize()
+    interior = mixed.filter(expr="is_doc == 1").select_columns(
+        ["ref", "ntri", "weight", "tris"])
+    frags = mixed.filter(expr="is_doc == 0").select_columns(
+        ["ref", "turn_idx", "text"]).rename_columns(
+        {"ref": id_col, "turn_idx": order_col})
+    fixed = partitioned_map(frags, [id_col], all_convs, n_parts=16)
+    return interior.union(docsets_from_docs(fixed))
+
+
 def _docsets_batch(batch: pa.Table, ref_col: str, text_col: str) -> pa.Table:
     norm = normalize_array(batch[text_col])
     doc_idx, codes, lengths = explode_batch(norm)

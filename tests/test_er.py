@@ -272,3 +272,25 @@ def test_assemble_grouped_matches_default(sf0001_paths):
     fast2 = {r["ref"]: r["text"]
              for r in assemble_docs(tiny, assume_grouped=True).take_all()}
     assert base == fast2
+
+
+def test_docsets_grouped_equals_two_stage(sf0001_paths):
+    """Fused assemble+tokenize (text never materialized) must equal the
+    two-stage path exactly — refs, counts, weights and trigram sets."""
+    import ray.data as rd
+
+    from blurrily_ray.stages.tokenize import (
+        assemble_docs, docsets_from_docs, docsets_grouped)
+
+    ts = rd.read_parquet(sf0001_paths["transcripts"],
+                         columns=["conv_id", "turn_idx", "text"])
+    old = docsets_from_docs(assemble_docs(ts, assume_grouped=True)) \
+        .to_pandas().sort_values("ref").reset_index(drop=True)
+    ts2 = rd.read_parquet(sf0001_paths["transcripts"],
+                          columns=["conv_id", "turn_idx", "text"])
+    new = docsets_grouped(ts2) \
+        .to_pandas().sort_values("ref").reset_index(drop=True)
+    assert old["ref"].tolist() == new["ref"].tolist()
+    assert old["ntri"].tolist() == new["ntri"].tolist()
+    assert old["weight"].tolist() == new["weight"].tolist()
+    assert all(list(x) == list(y) for x, y in zip(old["tris"], new["tris"]))
