@@ -163,6 +163,12 @@ def _q_dedup_exact(sf_dir: str):
     return _i64(exact_dedup(_docs(sf_dir)))
 
 
+def _q_para_dedup(sf_dir: str):
+    from blurrily_ray.stages.dedup import dedup_paragraphs
+
+    return _i64(dedup_paragraphs(_docs(sf_dir)))
+
+
 def _q_token_count(sf_dir: str):
     from blurrily_ray.stages.textstats import token_count
 
@@ -434,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs_triple": _q_pairs_triple,
         "er_clusters": _q_er_clusters,
         "dedup_exact_docs": _q_dedup_exact,
+        "dedup_paragraphs_docs": _q_para_dedup,
         "token_count_docs": _q_token_count,
         "token_count_bpe_docs": _q_token_count_bpe,
         "quality_docs": _q_quality,
@@ -482,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
             oracles.TRIPLE_MODE),
         "er_clusters": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
+        "dedup_paragraphs_docs": oracles.sql_dedup_paragraphs(),
         "token_count_docs": oracles.sql_token_count_docs(),
         "token_count_bpe_docs": oracles.sql_token_count_bpe_docs(),
         "quality_docs": oracles.sql_quality_docs(),

@@ -212,6 +212,31 @@ def sql_exact_dedup_docs() -> str:
     return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def sql_dedup_paragraphs(words_per_para: int = 10) -> str:
+    """Paragraph-level exact dedup (stages/dedup.dedup_paragraphs): fixed
+    word-window paragraphs, first occurrence by (doc_id, pidx) wins
+    corpus-wide, survivors reassemble per doc."""
+    w = words_per_para
+    return f"""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+           FROM documents),
+paras AS (
+  SELECT doc_id, CAST((i - 1) // {w} AS BIGINT) AS pidx,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {w - 1}), ' ') AS para
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws), {w})) AS i FROM t)
+),
+ranked AS (
+  SELECT doc_id, pidx, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_orig
+  FROM paras
+)
+SELECT doc_id, string_agg(para, ' ' ORDER BY pidx) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n_orig) AS BIGINT) AS n_orig
+FROM ranked WHERE rn = 1
+GROUP BY doc_id"""
+
+
 def sql_token_count_docs() -> str:
     return (f"SELECT doc_id, CAST(length({TOKS.format(col='text')}) AS BIGINT) "
             f"AS n_tokens FROM documents")

@@ -417,6 +417,90 @@ def jaccard_ngram_pairs(docs, *, id_col: str = "doc_id",
                           blobs=blobs)
 
 
+PARA_WORDS = 10  # fixed word-window "paragraph" (docs carry no newlines)
+
+
+def dedup_paragraphs(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                     words_per_para: int = PARA_WORDS):
+    """C4/RefinedWeb-style paragraph-level exact dedup: split every doc
+    into fixed ``words_per_para``-word windows, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide (ordered by
+    (doc_id, para_idx)), and reassemble the surviving paragraphs per doc.
+    Returns (doc_id, text, n_kept, n_orig); docs whose every paragraph
+    lost drop out.
+
+    Scale shape: the first exchange ships only (doc_id, pidx, h) int64
+    rows — paragraph TEXT never enters the winner shuffle. Winners (one
+    row per distinct paragraph) co-partition with the doc table by
+    doc_id (partitioned_map2) and each partition re-derives its own
+    docs' paragraphs locally, so the corpus text moves exactly once.
+    """
+    from blurrily_ray.stages.common import partitioned_map, partitioned_map2
+
+    mod = 1 << 63
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids, pidx, paras = [], [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            toks = (t or "").split(" ")
+            for p0 in range(0, len(toks), words_per_para):
+                ids.append(i)
+                pidx.append(p0 // words_per_para)
+                paras.append(" ".join(toks[p0:p0 + words_per_para]))
+        if paras:
+            # md5 once per DISTINCT paragraph in the batch
+            uniq, inv = np.unique(np.asarray(paras, dtype=object),
+                                  return_inverse=True)
+            uh = np.fromiter((md5_num(s) % mod for s in uniq),
+                             dtype=np.int64, count=len(uniq))
+            hs = uh[inv]
+        else:
+            hs = np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=df[id_col].dtype),
+            "pidx": pd.Series(pidx, dtype=np.int64),
+            "h": hs})
+
+    def winners_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df[[id_col, "pidx"]]
+        df = df.sort_values(["h", id_col, "pidx"], kind="stable")
+        h = df["h"].to_numpy()
+        keep = np.concatenate(([True], h[1:] != h[:-1]))
+        return df.loc[keep, [id_col, "pidx"]]
+
+    emissions = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pandas")
+    winners = partitioned_map(emissions, ["h"], winners_part)
+
+    def reassemble(docs_df: pd.DataFrame, win_df: pd.DataFrame) -> pd.DataFrame:
+        if len(docs_df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "text": pd.Series([], dtype=object),
+                "n_kept": pd.Series([], dtype=np.int64),
+                "n_orig": pd.Series([], dtype=np.int64)})
+        rows = []
+        for i, t in zip(docs_df[id_col], docs_df[text_col]):
+            toks = (t or "").split(" ")
+            for p0 in range(0, len(toks), words_per_para):
+                rows.append((i, p0 // words_per_para,
+                             " ".join(toks[p0:p0 + words_per_para])))
+        paras = pd.DataFrame(rows, columns=[id_col, "pidx", "para"])
+        n_orig = paras.groupby(id_col, sort=False).size().rename("n_orig")
+        kept = paras.merge(win_df, on=[id_col, "pidx"], how="inner") \
+            .sort_values([id_col, "pidx"], kind="stable")
+        g = kept.groupby(id_col, sort=False)
+        out = pd.DataFrame({
+            "text": g["para"].agg(" ".join),
+            "n_kept": g.size().astype(np.int64)})
+        out = out.join(n_orig.astype(np.int64)).reset_index()
+        return out[[id_col, "text", "n_kept", "n_orig"]]
+
+    return partitioned_map2(docs.select_columns([id_col, text_col]),
+                            winners, [id_col], [id_col], reassemble)
+
+
 def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash): 60-bit SimHash over word tokens; bit j of the output
     is 1 iff the count-weighted majority of token-hash bits j is 1 (ties →

@@ -33,6 +33,31 @@ def test_exact_dedup(docs):
     assert kept == [1, 3, 4, 5, 6, 7, 8]  # 2 deduped into 1
 
 
+def test_dedup_paragraphs(docs):
+    """First occurrence of each 3-word window wins corpus-wide; survivors
+    reassemble in order; docs whose every window lost drop out."""
+    from blurrily_ray.stages.dedup import dedup_paragraphs
+
+    out = {r["doc_id"]: r
+           for r in dedup_paragraphs(docs, words_per_para=3).take_all()}
+    # doc 2 is an exact dup of doc 1: every window of 2 loses to 1 → dropped
+    assert 2 not in out
+    d1 = out[1]
+    assert d1["text"] == "the quick brown fox jumps over the lazy dog"
+    assert d1["n_kept"] == d1["n_orig"] == 3
+    # doc 3 differs from 1 only in window 2 ('fox leaps over'): windows
+    # 1 and 3 are dups of doc 1's → only the middle window survives
+    assert out[3]["text"] == "fox leaps over"
+    assert out[3]["n_kept"] == 1 and out[3]["n_orig"] == 3
+    # the empty doc's single empty paragraph is unique → kept verbatim
+    assert out[5]["text"] == "" and out[5]["n_kept"] == 1
+    # within-doc repeats dedupe too
+    rep = ray.data.from_items(
+        [{"doc_id": 10, "text": "a b c a b c d e f"}])
+    r = dedup_paragraphs(rep, words_per_para=3).take_all()[0]
+    assert r["text"] == "a b c d e f" and r["n_orig"] == 3 and r["n_kept"] == 2
+
+
 def test_minhash_near_dup(docs):
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 
