@@ -163,6 +163,22 @@ def _q_dedup_exact(sf_dir: str):
     return _i64(exact_dedup(_docs(sf_dir)))
 
 
+def _q_repetition(sf_dir: str):
+    from blurrily_ray.stages.textstats import repetition_stats
+
+    return _i64(repetition_stats(_docs(sf_dir)))
+
+
+def _q_length_quantiles(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.textstats import group_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+    return group_quantiles(docs)
+
+
 def _q_para_dedup(sf_dir: str):
     from blurrily_ray.stages.dedup import dedup_paragraphs
 
@@ -441,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "dedup_exact_docs": _q_dedup_exact,
         "dedup_paragraphs_docs": _q_para_dedup,
+        "repetition_docs": _q_repetition,
+        "length_quantiles_docs": _q_length_quantiles,
         "token_count_docs": _q_token_count,
         "token_count_bpe_docs": _q_token_count_bpe,
         "quality_docs": _q_quality,
@@ -490,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
         "dedup_paragraphs_docs": oracles.sql_dedup_paragraphs(),
+        "repetition_docs": oracles.sql_repetition_stats(),
+        "length_quantiles_docs": oracles.sql_group_quantiles(),
         "token_count_docs": oracles.sql_token_count_docs(),
         "token_count_bpe_docs": oracles.sql_token_count_bpe_docs(),
         "quality_docs": oracles.sql_quality_docs(),

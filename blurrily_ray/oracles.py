@@ -212,6 +212,37 @@ def sql_exact_dedup_docs() -> str:
     return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def sql_repetition_stats() -> str:
+    """Word-bigram repetition signals (stages/textstats.repetition_stats)."""
+    toks = TOKS.format(col="lower(text)")
+    return f"""WITH w AS (SELECT doc_id, {toks} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS b
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - 1)) AS i
+        FROM w WHERE length(ws) >= 2)
+),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+agg AS (SELECT doc_id, SUM(c) AS n_bg, COUNT(*) AS n_distinct, MAX(c) AS max_c
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bg, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COALESCE(a.max_c, 0) AS BIGINT) AS max_bigram_count
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def sql_group_quantiles() -> str:
+    """Per-source exact discrete length quantiles
+    (stages/textstats.group_quantiles)."""
+    return """SELECT source,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS q95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY source"""
+
+
 def sql_dedup_paragraphs(words_per_para: int = 10) -> str:
     """Paragraph-level exact dedup (stages/dedup.dedup_paragraphs): fixed
     word-window paragraphs, first occurrence by (doc_id, pidx) wins

@@ -188,3 +188,91 @@ def vocab_top_k(docs, *, text_col: str = "text", k: int = 100,
     local = partitioned_map(partials, ["token"], merge_topk,
                             n_parts=n_parts)
     return local.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def repetition_stats(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_bigrams, n_distinct_bigrams, max_bigram_count): word-bigram
+    repetition signals per doc (Gopher-style quality rules derive their
+    duplicate-n-gram fractions from these integer counts). Docs with
+    fewer than 2 tokens report zeros.
+
+    Vectorized: one (doc_idx, bigram) frame per batch, a single pandas
+    groupby for counts — no shuffle (per-doc stats are map-local)."""
+    from blurrily_ray.functions.trigram import _concat_ranges
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df[text_col].str.lower())
+        flat, counts = _token_arrays(toks)
+        n = len(df)
+        n_bg = np.maximum(counts - 1, 0)
+        zeros = pd.DataFrame({
+            id_col: df[id_col],
+            "n_bigrams": n_bg.astype(np.int64),
+            "n_distinct_bigrams": np.zeros(n, dtype=np.int64),
+            "max_bigram_count": np.zeros(n, dtype=np.int64)})
+        if int(n_bg.sum()) == 0:
+            return zeros
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.repeat(starts, n_bg) + _concat_ranges(n_bg)
+        big = pd.DataFrame({
+            "d": np.repeat(np.arange(n), n_bg),
+            "b": pd.Series(flat[idx], dtype=object).str.cat(
+                pd.Series(flat[idx + 1], dtype=object), sep=" "),
+        })
+        cnt = big.groupby(["d", "b"], sort=False).size()
+        per_doc = cnt.groupby(level=0).agg(["count", "max"])
+        zeros.loc[per_doc.index, "n_distinct_bigrams"] = \
+            per_doc["count"].to_numpy().astype(np.int64)
+        zeros.loc[per_doc.index, "max_bigram_count"] = \
+            per_doc["max"].to_numpy().astype(np.int64)
+        return zeros
+
+    return docs.map_batches(fn, batch_format="pandas")
+
+
+def group_quantiles(ds, *, group_col: str = "source",
+                    value_col: str = "n_chars",
+                    qs: tuple = ((25, 100), (50, 100), (75, 100), (95, 100))):
+    """Exact per-group discrete quantiles of an integer column →
+    one row per group: (group, q25, q50, q75, q95, n).
+
+    100-TB shape: each batch pre-aggregates to (group, value, partial
+    count) — the shuffle moves one row per distinct (group, value) per
+    block, never one per input row; the merged histogram (bounded by
+    |groups| x |distinct values|, NOT by corpus size) finalizes with a
+    cumulative-count scan. Quantile rank uses DuckDB quantile_disc's
+    rule, idx = ceil(q*n) - 1, in exact integer arithmetic.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, value_col], sort=False).size()
+        out = g.reset_index()
+        out.columns = [group_col, value_col, "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    hist = ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby([group_col, value_col]).aggregate(Sum("n", alias_name="n"))
+    df = hist.to_pandas().sort_values([group_col, value_col],
+                                      kind="stable")
+    rows = []
+    for g, gdf in df.groupby(group_col, sort=True):
+        cnt = gdf["n"].to_numpy()
+        vals = gdf[value_col].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        row = {group_col: g}
+        for num, den in qs:
+            rank = (num * n + den - 1) // den  # 1-based ceil(q*n)
+            row[f"q{num * 100 // den}"] = int(
+                vals[np.searchsorted(cum, max(rank, 1))])
+        row["n"] = n
+        rows.append(row)
+    cols = ([group_col] + [f"q{num * 100 // den}" for num, den in qs]
+            + ["n"])
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

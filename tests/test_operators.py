@@ -58,6 +58,49 @@ def test_dedup_paragraphs(docs):
     assert r["text"] == "a b c d e f" and r["n_orig"] == 3 and r["n_kept"] == 2
 
 
+def test_repetition_stats(docs):
+    from blurrily_ray.stages.textstats import repetition_stats
+
+    out = {r["doc_id"]: r for r in repetition_stats(docs).take_all()}
+    # doc 1: "the quick brown fox jumps over the lazy dog" → 8 bigrams,
+    # all distinct
+    assert out[1]["n_bigrams"] == 8
+    assert out[1]["n_distinct_bigrams"] == 8
+    assert out[1]["max_bigram_count"] == 1
+    # empty doc and 2-token doc
+    assert out[5]["n_bigrams"] == 0 and out[5]["max_bigram_count"] == 0
+    assert out[6]["n_bigrams"] == 1 and out[6]["n_distinct_bigrams"] == 1
+    # repeated bigrams counted: "a b a b a b" → 5 bigrams, 2 distinct,
+    # 'a b' ×3
+    rep = ray.data.from_items([{"doc_id": 10, "text": "a b a b a b"}])
+    r = repetition_stats(rep).take_all()[0]
+    assert (r["n_bigrams"], r["n_distinct_bigrams"],
+            r["max_bigram_count"]) == (5, 2, 3)
+
+
+def test_group_quantiles():
+    import duckdb
+
+    from blurrily_ray.stages.textstats import group_quantiles
+
+    rows = [{"source": s, "n_chars": v}
+            for s, vals in {"a": [5, 1, 3, 2, 4], "b": [10, 20, 30, 40],
+                            "c": [7]}.items() for v in vals]
+    out = group_quantiles(ray.data.from_items(rows)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    import pandas as pd
+
+    rows_df = pd.DataFrame(rows)  # noqa: F841 (registered by name below)
+    ora = duckdb.sql(
+        "SELECT source, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) q25,"
+        " CAST(quantile_disc(n_chars, 0.50) AS BIGINT) q50,"
+        " CAST(quantile_disc(n_chars, 0.75) AS BIGINT) q75,"
+        " CAST(quantile_disc(n_chars, 0.95) AS BIGINT) q95,"
+        " CAST(COUNT(*) AS BIGINT) n FROM rows_df"
+        " GROUP BY source ORDER BY source").df()
+    assert out.equals(ora), f"\n{out}\nvs\n{ora}"
+
+
 def test_minhash_near_dup(docs):
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 
