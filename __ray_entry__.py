@@ -157,6 +157,17 @@ def _q_er_clusters(sf_dir: str):
     return run_er_grouped(_transcripts_path(sf_dir))["clusters"]
 
 
+def _q_er_clusters_sharded(sf_dir: str):
+    """The beyond-heap scale path, driver-verified: the partitioned
+    scorer actor pool (nothing corpus-sized broadcast or on the driver)
+    must produce the exact clusters the broadcast path does — same
+    DuckDB oracle as er_clusters."""
+    from blurrily_ray.pipelines.er import run_er_grouped
+
+    return run_er_grouped(_transcripts_path(sf_dir),
+                          score_mode="sharded")["clusters"]
+
+
 def _q_dedup_exact(sf_dir: str):
     from blurrily_ray.stages.dedup import exact_dedup
 
@@ -455,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs": _q_pairs,
         "pairs_docs_triple": _q_pairs_triple,
         "er_clusters": _q_er_clusters,
+        "er_clusters_sharded": _q_er_clusters_sharded,
         "dedup_exact_docs": _q_dedup_exact,
         "dedup_paragraphs_docs": _q_para_dedup,
         "repetition_docs": _q_repetition,
@@ -506,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "pairs_docs_triple": oracles.sql_candidate_pairs_docs(
             oracles.TRIPLE_MODE),
         "er_clusters": oracles.sql_er_clusters(tpath),
+        "er_clusters_sharded": oracles.sql_er_clusters(tpath),
         "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
         "dedup_paragraphs_docs": oracles.sql_dedup_paragraphs(),
         "repetition_docs": oracles.sql_repetition_stats(),

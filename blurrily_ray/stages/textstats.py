@@ -237,13 +237,16 @@ def group_quantiles(ds, *, group_col: str = "source",
     one row per group: (group, q25, q50, q75, q95, n).
 
     100-TB shape: each batch pre-aggregates to (group, value, partial
-    count) — the shuffle moves one row per distinct (group, value) per
-    block, never one per input row; the merged histogram (bounded by
-    |groups| x |distinct values|, NOT by corpus size) finalizes with a
-    cumulative-count scan. Quantile rank uses DuckDB quantile_disc's
-    rule, idx = ceil(q*n) - 1, in exact integer arithmetic.
+    count), so the ONLY shuffle moves one row per distinct (group,
+    value) per block — never one per input row — and every group's
+    histogram lands whole in one partition where a cumulative-count
+    scan finalizes it. Nothing is materialized on the driver; output is
+    one row per group. Quantile rank uses DuckDB quantile_disc's rule,
+    idx = ceil(q*n) - 1, in exact integer arithmetic.
     """
-    from ray.data.aggregate import Sum
+    from blurrily_ray.stages.common import partitioned_map
+
+    qcols = [f"q{num * 100 // den}" for num, den in qs]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([group_col, value_col], sort=False).size()
@@ -252,27 +255,33 @@ def group_quantiles(ds, *, group_col: str = "source",
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    hist = ds.select_columns([group_col, value_col]) \
-        .map_batches(partial, batch_format="pandas") \
-        .groupby([group_col, value_col]).aggregate(Sum("n", alias_name="n"))
-    df = hist.to_pandas().sort_values([group_col, value_col],
-                                      kind="stable")
-    rows = []
-    for g, gdf in df.groupby(group_col, sort=True):
-        cnt = gdf["n"].to_numpy()
-        vals = gdf[value_col].to_numpy()
-        cum = np.cumsum(cnt)
-        n = int(cum[-1])
-        row = {group_col: g}
-        for num, den in qs:
-            rank = (num * n + den - 1) // den  # 1-based ceil(q*n)
-            row[f"q{num * 100 // den}"] = int(
-                vals[np.searchsorted(cum, max(rank, 1))])
-        row["n"] = n
-        rows.append(row)
-    cols = ([group_col] + [f"q{num * 100 // den}" for num, den in qs]
-            + ["n"])
-    out = pd.DataFrame(rows, columns=cols)
-    for c in cols[1:]:
-        out[c] = out[c].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        """All partial counts of every group hashed here are present:
+        sum per (group, value), then a per-group cumulative scan."""
+        empty = {group_col: pd.Series([], dtype=df[group_col].dtype)}
+        empty.update({c: pd.Series([], dtype=np.int64)
+                      for c in qcols + ["n"]})
+        if len(df) == 0:
+            return pd.DataFrame(empty)
+        h = df.groupby([group_col, value_col], sort=True)["n"].sum() \
+            .reset_index()
+        rows = []
+        for g, gdf in h.groupby(group_col, sort=True):
+            cnt = gdf["n"].to_numpy()
+            vals = gdf[value_col].to_numpy()  # sorted: groupby(sort=True)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            row = {group_col: g}
+            for (num, den), qc in zip(qs, qcols):
+                rank = (num * n + den - 1) // den  # 1-based ceil(q*n)
+                row[qc] = int(vals[np.searchsorted(cum, max(rank, 1))])
+            row["n"] = n
+            rows.append(row)
+        out = pd.DataFrame(rows, columns=[group_col] + qcols + ["n"])
+        for c in qcols + ["n"]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pandas")
+    return partitioned_map(partials, [group_col], finalize)
