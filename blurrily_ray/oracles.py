@@ -382,9 +382,11 @@ WHERE COALESCE(i.n_inter, 0) * {JACCARD_THRESHOLD_DEN}
   AND (za.n + zb.n - COALESCE(i.n_inter, 0)) > 0"""
 
 
-def sql_simhash_docs() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in sh(doc_id, simhash) — shared by the signature
+    query and the banded near-dup pair query."""
     toks = TOKS.format(col="lower(text)")
-    return f"""WITH w AS (SELECT doc_id, {toks} AS ws FROM documents),
+    return f"""w AS (SELECT doc_id, {toks} AS ws FROM documents),
 tok AS (SELECT doc_id, unnest(ws) AS tk FROM w),
 tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
 th AS (SELECT doc_id, c, CAST(md5_number(tk) % {1 << SIMHASH_BITS} AS BIGINT) AS h FROM tc),
@@ -393,9 +395,31 @@ bits AS (SELECT doc_id, CAST(j AS INT) AS j,
          FROM th, unnest(generate_series(0, {SIMHASH_BITS - 1})) AS t(j)
          GROUP BY doc_id, j),
 vals AS (SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-         FROM bits GROUP BY doc_id)
-SELECT d.doc_id, CAST(COALESCE(v.simhash, 0) AS BIGINT) AS simhash
-FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id"""
+         FROM bits GROUP BY doc_id),
+sh AS (SELECT d.doc_id, CAST(COALESCE(v.simhash, 0) AS BIGINT) AS simhash
+       FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id)"""
+
+
+def sql_simhash_docs() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh"
+
+
+def sql_simhash_pairs(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Banded SimHash near-dup pairs (stages/dedup.simhash_pairs):
+    candidates = docs agreeing exactly on ≥ 1 of the n_bands bit-bands;
+    keep pairs with XOR-popcount ≤ max_hamming."""
+    bb = SIMHASH_BITS // n_bands
+    return f"""WITH {_simhash_cte()},
+bands AS (SELECT doc_id, simhash,
+          (simhash >> (CAST(b AS INT) * {bb})) & {(1 << bb) - 1} AS bval,
+          CAST(b AS INT) AS band
+          FROM sh, unnest(generate_series(0, {n_bands - 1})) AS t(b)),
+cand AS (SELECT DISTINCT x.doc_id AS ca, y.doc_id AS cb,
+                x.simhash AS sa, y.simhash AS sb
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+SELECT ca AS a, cb AS b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
 def sql_knn_embeddings(n_queries: int = 10, k: int = 10) -> str:

@@ -417,6 +417,84 @@ def jaccard_ngram_pairs(docs, *, id_col: str = "doc_id",
                           blobs=blobs)
 
 
+SIMHASH_HAMMING_MAX = 3
+SIMHASH_PAIR_BANDS = 4  # 15 bits each; pigeonhole: ham<=3 ⇒ ≥1 equal band
+
+
+def simhash_pairs(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = SIMHASH_HAMMING_MAX,
+                  n_bands: int = SIMHASH_PAIR_BANDS, sigs=None):
+    """Near-dup pairs by SimHash Hamming distance → (a, b, hamming ≤
+    max_hamming). Banding pigeonhole: a pair differing in fewer bits
+    than there are bands must agree EXACTLY on ≥ 1 of the n_bands
+    bit-bands, so every doc emits one (band, band_value) bucket key per
+    band and only bucket-mates are compared — exact recall, never
+    all-pairs. The 8-byte signature rides along with each emission, so
+    verification (XOR + SWAR popcount) happens IN the bucket partition:
+    no second lookup, no broadcast, one shuffle + the tiny pair-distinct
+    shuffle. Pass ``sigs`` to reuse already-computed signatures."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs n_bands > max_hamming")
+    if SIMHASH_BITS % n_bands:
+        raise ValueError("n_bands must divide SIMHASH_BITS")
+    band_bits = SIMHASH_BITS // n_bands
+    mask = np.int64((1 << band_bits) - 1)
+    if sigs is None:
+        sigs = simhash(docs, id_col=id_col, text_col=text_col)
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        sig = df["simhash"].to_numpy(np.int64)
+        rep_ids = np.repeat(df[id_col].to_numpy(), n_bands)
+        rep_sig = np.repeat(sig, n_bands)
+        b = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        bval = (rep_sig >> (b * band_bits)) & mask
+        return pd.DataFrame({id_col: rep_ids, "sig": rep_sig,
+                             "k": (b << band_bits) | bval})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from blurrily_ray.stages.pairs import _popcount_rows
+
+        empty = pd.DataFrame({
+            "a": pd.Series([], dtype=df[id_col].dtype),
+            "b": pd.Series([], dtype=df[id_col].dtype),
+            "hamming": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["k", id_col], kind="stable")
+        keys = df["k"].to_numpy()
+        ids = df[id_col].to_numpy()
+        sig = df["sig"].to_numpy(np.int64)
+        boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(df)]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            x = (sig[s:e][ia] ^ sig[s:e][ib]).astype(np.uint64)
+            ham = _popcount_rows(x.view(np.uint8).reshape(len(x), 8))
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][ia[keep]])
+            out_b.append(ids[s:e][ib[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    emissions = sigs.map_batches(bands, batch_format="pandas")
+    raw = partitioned_map(emissions, ["k"], bucket_pairs)
+    # a pair can match in up to n_bands bands (hamming identical on
+    # every copy) — one distinct pass on the tiny verified set
+    return partitioned_map(raw, ["a", "b"],
+                           lambda df: df.drop_duplicates(["a", "b"]))
+
+
 PARA_WORDS = 10  # fixed word-window "paragraph" (docs carry no newlines)
 
 

@@ -101,6 +101,25 @@ def test_group_quantiles():
     assert out.equals(ora), f"\n{out}\nvs\n{ora}"
 
 
+def test_simhash_pairs_matches_bruteforce(docs):
+    """Banded candidate generation must find EXACTLY the brute-force
+    hamming<=3 pair set (pigeonhole guarantees recall; verify is exact)."""
+    from blurrily_ray.stages.dedup import simhash, simhash_pairs
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs).take_all()}
+    expect = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_pairs(docs).take_all()}
+    assert got == expect
+    assert got[(1, 2)] == 0  # exact dup pair always present at hamming 0
+
+
 def test_minhash_near_dup(docs):
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 
