@@ -244,6 +244,12 @@ def _q_simhash_pairs(sf_dir: str):
     return _i64(simhash_pairs(_docs(sf_dir)))
 
 
+def _q_decontaminate(sf_dir: str):
+    from blurrily_ray.stages.dedup import decontaminate
+
+    return _i64(decontaminate(_docs(sf_dir)))
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -486,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_ngram_pairs_docs": _q_jaccard_ngram,
         "simhash_docs": _q_simhash,
         "simhash_pairs_docs": _q_simhash_pairs,
+        "decontaminate_docs": _q_decontaminate,
         "knn_embeddings": _q_knn,
         "ivf_knn_embeddings": _q_ivf_knn,
         "embed_neardup": _q_embed_neardup,
@@ -539,6 +546,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_ngram_pairs_docs": oracles.sql_jaccard_ngram_pairs(),
         "simhash_docs": oracles.sql_simhash_docs(),
         "simhash_pairs_docs": oracles.sql_simhash_pairs(),
+        "decontaminate_docs": oracles.sql_decontaminate(),
         "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
         "ivf_knn_embeddings": oracles.sql_ivf_knn(10, 10),
         "embed_neardup": oracles.sql_embed_neardup(0.4),

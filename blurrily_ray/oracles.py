@@ -212,6 +212,27 @@ def sql_exact_dedup_docs() -> str:
     return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def sql_decontaminate(bench_lo: int = 0, bench_hi: int = 10,
+                      buckets: int = 100, salt: str = "split") -> str:
+    """Benchmark decontamination (stages/dedup.decontaminate): per
+    non-benchmark doc, distinct shingle hashes shared with any benchmark
+    doc; benchmark = the deterministic md5-bucket split [lo, hi)."""
+    bexpr = (f"CAST(('0x' || substr(md5('{salt}:' || "
+             f"CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % {buckets}")
+    return f"""WITH {_shingle_cte()},
+bench AS (SELECT doc_id FROM documents
+          WHERE {bexpr} >= {bench_lo} AND {bexpr} < {bench_hi}),
+bh AS (SELECT DISTINCT s.h FROM sh s JOIN bench ON s.ref = bench.doc_id),
+cnt AS (SELECT s.ref, COUNT(*) AS n_shingles,
+               COUNT(bh.h) AS n_shared
+        FROM sh s LEFT JOIN bh ON s.h = bh.h
+        GROUP BY s.ref)
+SELECT d.doc_id, CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared
+FROM documents d LEFT JOIN cnt c ON c.ref = d.doc_id
+WHERE NOT ({bexpr} >= {bench_lo} AND {bexpr} < {bench_hi})"""
+
+
 def sql_repetition_stats() -> str:
     """Word-bigram repetition signals (stages/textstats.repetition_stats)."""
     toks = TOKS.format(col="lower(text)")

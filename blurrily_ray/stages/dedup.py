@@ -579,6 +579,128 @@ def dedup_paragraphs(docs, *, id_col: str = "doc_id", text_col: str = "text",
                             winners, [id_col], [id_col], reassemble)
 
 
+def decontaminate(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                  bench_lo: int = 0, bench_hi: int = 10, buckets: int = 100,
+                  salt: str = "split", mode: str = "auto",
+                  broadcast_limit_bytes: int = 256 << 20):
+    """Benchmark decontamination: for every NON-benchmark doc, count how
+    many of its distinct word-shingle hashes also occur in ANY benchmark
+    doc → (doc_id, n_shingles, n_shared). The benchmark set is the
+    deterministic md5-bucket split [bench_lo, bench_hi) (stages/sample),
+    i.e. exactly the docs ``deterministic_split`` would hold out — so a
+    training pipeline can score train-split contamination against its
+    own eval split with no extra input.
+
+    Broadcast-or-join duality (same rule as score_pairs/verify_jaccard):
+    'broadcast' ships the benchmark's sorted distinct hash array once via
+    ray.put and membership is one searchsorted per batch (zero shuffles);
+    'join' is the corpus-scale path — the benchmark hash set is deduped
+    by hash partition and matches are counted via two-sided
+    co-partitioning on the hash, so nothing is driver-materialized."""
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages.sample import _bucket_array
+
+    blobs = _shingle_blob_table(docs, id_col, text_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _bucket_array(batch["ref"].to_pylist(), salt, buckets)
+        return batch.append_column("_bk", pa.array(b, type=pa.int64()))
+
+    tagged = blobs.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["_bk"], pa.scalar(bench_lo)),
+                    pc.less(batch["_bk"], pa.scalar(bench_hi)))
+        return batch.filter(m if keep_bench else pc.invert(m))
+
+    bench = tagged.map_batches(lambda b: _split(b, True),
+                               batch_format="pyarrow")
+    rest = tagged.map_batches(lambda b: _split(b, False),
+                              batch_format="pyarrow")
+
+    if mode == "auto":
+        est = bench.count() * 400  # ~bytes/doc of shingle hashes, rough
+        mode = "broadcast" if est <= broadcast_limit_bytes else "join"
+
+    if mode == "broadcast":
+        hs = []
+        for batch in bench.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            f, _ = _blob_arrays(batch["shb"])
+            hs.append(np.unique(f))
+        bench_h = (np.unique(np.concatenate(hs)) if hs
+                   else np.empty(0, np.uint64))
+        ref_h = ray.put(bench_h)
+
+        def score(batch: pa.Table) -> pa.Table:
+            bh = _cached_get(ref_h)
+            flat, counts = _blob_arrays(batch["shb"])
+            if len(flat) and len(bh):
+                pos = np.searchsorted(bh, flat)
+                hit = (pos < len(bh)) & (bh[np.minimum(pos, len(bh) - 1)]
+                                         == flat)
+            else:
+                hit = np.zeros(len(flat), dtype=bool)
+            doc_idx = np.repeat(np.arange(len(batch)), counts)
+            n_shared = np.bincount(doc_idx[hit], minlength=len(batch))
+            return pa.table({
+                id_col: batch["ref"],
+                "n_shingles": pa.array(counts, type=pa.int64()),
+                "n_shared": pa.array(n_shared.astype(np.int64))})
+
+        return rest.map_batches(score, batch_format="pyarrow")
+
+    # join path: explode to (ref, h) / distinct h, co-partition on h,
+    # count partial matches per partition, sum per ref, attach nsh
+    from blurrily_ray.stages.common import partitioned_map, partitioned_map2
+
+    def explode(batch: pa.Table, with_ref: bool) -> pa.Table:
+        flat, counts = _blob_arrays(batch["shb"])
+        cols = {"h": pa.array(flat.astype(np.int64))}
+        if with_ref:
+            ridx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+            cols["ref"] = batch["ref"].take(pa.array(ridx))
+        return pa.table(cols)
+
+    bench_h = partitioned_map(
+        bench.map_batches(lambda b: explode(b, False), batch_format="pyarrow"),
+        ["h"], lambda df: df.drop_duplicates())
+    rest_h = rest.map_batches(lambda b: explode(b, True),
+                              batch_format="pyarrow")
+
+    def count_matches(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = rest (ref, h); right = bench distinct h — all copies of
+        # an h co-partitioned, so membership is exact in-partition
+        if len(left) == 0:
+            return pd.DataFrame({"ref": pd.Series([], dtype=left["ref"].dtype),
+                                 "n": pd.Series([], dtype=np.int64)})
+        hit = left[left["h"].isin(set(right["h"]))] if len(right) else \
+            left.iloc[0:0]
+        g = hit.groupby("ref", sort=False).size()
+        return pd.DataFrame({"ref": g.index.to_numpy(),
+                             "n": g.to_numpy().astype(np.int64)})
+
+    partials = partitioned_map2(rest_h, bench_h, ["h"], ["h"], count_matches)
+
+    def attach(rest_df: pd.DataFrame, n_df: pd.DataFrame) -> pd.DataFrame:
+        if len(rest_df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=rest_df["ref"].dtype),
+                "n_shingles": pd.Series([], dtype=np.int64),
+                "n_shared": pd.Series([], dtype=np.int64)})
+        n = n_df.groupby("ref", sort=False)["n"].sum() if len(n_df) \
+            else pd.Series(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: rest_df["ref"].to_numpy(),
+            "n_shingles": rest_df["nsh"].to_numpy().astype(np.int64),
+            "n_shared": rest_df["ref"].map(n).fillna(0)
+                        .to_numpy().astype(np.int64)})
+
+    rest_meta = rest.select_columns(["ref", "nsh"])
+    return partitioned_map2(rest_meta, partials, ["ref"], ["ref"], attach)
+
+
 def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash): 60-bit SimHash over word tokens; bit j of the output
     is 1 iff the count-weighted majority of token-hash bits j is 1 (ties →

@@ -101,6 +101,38 @@ def test_group_quantiles():
     assert out.equals(ora), f"\n{out}\nvs\n{ora}"
 
 
+def test_decontaminate_modes_equal(docs):
+    """Join path (co-partitioned, nothing driver-side) must equal the
+    broadcast path exactly; an exact dup whose twin is in the benchmark
+    is 100% contaminated."""
+    from blurrily_ray.stages.dedup import _shingles, decontaminate
+    from blurrily_ray.stages.sample import _bucket_array
+
+    kw = dict(bench_lo=0, bench_hi=50)  # ~half the fixture as benchmark
+    out_b = {r["doc_id"]: (r["n_shingles"], r["n_shared"])
+             for r in decontaminate(docs, mode="broadcast", **kw).take_all()}
+    out_j = {r["doc_id"]: (r["n_shingles"], r["n_shared"])
+             for r in decontaminate(docs, mode="join", **kw).take_all()}
+    assert out_b == out_j
+    assert out_b  # some docs are outside the benchmark split
+    buckets = {i: _bucket_array([i], "split", 100)[0] for i in range(1, 9)}
+    bench = {i for i, b in buckets.items() if b < 50}
+    assert set(out_b) == {i for i in range(1, 9) if i not in bench}
+    # docs 1 and 2 are identical: if exactly one is benchmark, the other
+    # must be fully contaminated
+    if (1 in bench) != (2 in bench):
+        other = 2 if 1 in bench else 1
+        ns, sh = out_b[other]
+        assert ns == sh > 0
+    # every count is bounded by the doc's own shingle count
+    for i, (ns, sh) in out_b.items():
+        assert 0 <= sh <= ns
+        texts = {1: "the quick brown fox jumps over the lazy dog",
+                 2: "the quick brown fox jumps over the lazy dog"}
+        if i in texts:
+            assert ns == len(set(_shingles(texts[i])))
+
+
 def test_simhash_pairs_matches_bruteforce(docs):
     """Banded candidate generation must find EXACTLY the brute-force
     hamming<=3 pair set (pigeonhole guarantees recall; verify is exact)."""
