@@ -208,11 +208,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     queries["curate"] = round(best_of(lambda: curate_corpus(docs).count()), 3)
 
-    from blurrily_ray.stages.dedup import dedup_paragraphs
+    from blurrily_ray.stages.dedup import (decontaminate, dedup_paragraphs,
+                                           simhash_pairs)
     from blurrily_ray.stages.textstats import group_quantiles, repetition_stats
 
     queries["para_dedup"] = round(
         best_of(lambda: dedup_paragraphs(docs).count()), 3)
+    queries["simhash_pairs"] = round(
+        best_of(lambda: simhash_pairs(docs).count()), 3)
+    queries["decontaminate"] = round(
+        best_of(lambda: decontaminate(docs).count()), 3)
     queries["repetition"] = round(
         best_of(lambda: repetition_stats(docs).count()), 3)
     dq = rd.read_parquet(f"{sf_dir}/documents.parquet",
