@@ -468,6 +468,42 @@ def _q_range_join(sf_dir: str):
                                  out_col="n_next"))
 
 
+def _q_pricing_summary(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return _i64(pricing_summary(li))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.relational import revenue_by_nation
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey", "c_nationkey"])
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"])
+    return _i64(revenue_by_nation(orders, customer, nation))
+
+
+def _q_redact_tickets(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.sources.synth import ensure_tickets
+    from blurrily_ray.stages.redact import redact_pii
+
+    path = ensure_tickets(sf_dir)
+    return _i64(redact_pii(ray.data.read_parquet(path)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -508,12 +544,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_10pct": _q_sample,
         "video_frames": _q_video_frames,
         "audio_features": _q_audio_features,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "redact_tickets": _q_redact_tickets,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from blurrily_ray import oracles
-    from blurrily_ray.sources.synth import ensure_transcripts
+    from blurrily_ray.sources.synth import ensure_tickets, ensure_transcripts
 
     # the driver runs oracles at sf0.01 (the env override lets
     # scripts/check_oracles.py verify other scales) — make sure the
@@ -563,4 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
         "audio_features": oracles.sql_audio_duration(),
+        "pricing_summary": oracles.sql_pricing_summary(),
+        "revenue_by_nation": oracles.sql_revenue_by_nation(),
+        "redact_tickets": oracles.sql_redact_tickets(ensure_tickets(sf)),
     }

@@ -225,6 +225,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["group_quantiles"] = round(
         best_of(lambda: group_quantiles(dq).count()), 3)
 
+    from blurrily_ray.sources.synth import ensure_tickets
+    from blurrily_ray.stages.redact import redact_pii
+    from blurrily_ray.stages.relational import pricing_summary
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_tax"])
+    queries["pricing_summary"] = round(
+        best_of(lambda: pricing_summary(li).count()), 3)
+    tix = rd.read_parquet(ensure_tickets(sf_dir))
+    queries["redact_pii"] = round(
+        best_of(lambda: redact_pii(tix).count()), 3)
+
     ray.shutdown()
     return {
         "metric": "er_wall_sec",

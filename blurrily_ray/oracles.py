@@ -731,3 +731,49 @@ WHERE CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 16))
            AS UBIGINT) % {buckets} >= {lo}
   AND CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 16))
            AS UBIGINT) % {buckets} < {hi}"""
+
+
+def sql_pricing_summary() -> str:
+    """TPC-H-Q1-shaped rollup (stages/relational.py pricing_summary).
+    Micro-integer sums: CAST(FLOOR(x*1e6) AS BIGINT) per row, summed —
+    FLOOR not ROUND, and the multiplication chains are left-associated in
+    both engines so the IEEE doubles (and hence the floors) bit-match."""
+    return """SELECT *, sum_qty_micro // n_rows AS avg_qty_micro,
+       sum_base_micro // n_rows AS avg_price_micro
+FROM (SELECT l_returnflag, l_linestatus,
+             SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) AS sum_qty_micro,
+             SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT)) AS sum_base_micro,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)
+                      AS BIGINT)) AS sum_disc_micro,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 1e6) AS BIGINT)) AS sum_charge_micro,
+             COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag, l_linestatus)"""
+
+
+def sql_revenue_by_nation() -> str:
+    """orders ⋈ customer ⋈ nation revenue rollup
+    (stages/relational.py revenue_by_nation)."""
+    return """SELECT n_name,
+       SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS revenue_micro,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def sql_redact_tickets(path: str) -> str:
+    """PII redaction oracle (stages/redact.py) over the synthetic tickets
+    parquet: byte-identical RE2/re-intersection patterns, counts on the
+    original text, replacements applied email -> phone -> ip."""
+    from blurrily_ray.stages.redact import EMAIL_RE, IP_RE, PHONE_RE
+
+    return f"""SELECT ticket_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g') AS red_text,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(text, '{IP_RE}')) AS n_ip
+FROM read_parquet('{path}')"""

@@ -126,6 +126,49 @@ def generate(sf: float) -> dict[str, pa.Table]:
     return {"transcripts": transcripts, "ground_truth": truth}
 
 
+def generate_tickets(sf: float) -> pa.Table:
+    """Deterministic PII-bearing support-ticket table (ticket_id, text):
+    vocab prose with 0-2 emails, 0-1 phone, 0-1 IPv4 injected as
+    whitespace-separated tokens. Feeds ``stages.redact.redact_pii`` and
+    its DuckDB oracle (both read the same cached parquet)."""
+    rng = np.random.RandomState(SEED + 1)
+    vocab = np.array(_make_vocab(rng, size=2000), dtype=object)
+    n = max(200, int(50_000 * sf))
+    texts = []
+    for _ in range(n):
+        words = list(vocab[rng.randint(0, len(vocab), size=rng.randint(10, 31))])
+        for _e in range(rng.randint(0, 3)):
+            w = vocab[rng.randint(0, len(vocab), size=3)]
+            words.insert(rng.randint(0, len(words) + 1),
+                         f"{w[0]}.{w[1]}@{w[2]}.com")
+        if rng.randint(0, 2):
+            words.insert(rng.randint(0, len(words) + 1),
+                         f"{rng.randint(200, 1000)}-{rng.randint(200, 1000)}"
+                         f"-{rng.randint(1000, 10000)}")
+        if rng.randint(0, 2):
+            words.insert(rng.randint(0, len(words) + 1),
+                         f"10.{rng.randint(0, 256)}.{rng.randint(0, 256)}"
+                         f".{rng.randint(0, 256)}")
+        texts.append(" ".join(words))
+    return pa.table({
+        "ticket_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+def ensure_tickets(sf, root: str = ROOT) -> str:
+    """Generate-once cache; returns the tickets parquet path."""
+    sf = sf if isinstance(sf, float) else sf_from_dir(sf)
+    d = os.path.join(root, f"sf{sf:g}")
+    path = os.path.join(d, "tickets.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(generate_tickets(sf), tmp, row_group_size=32_768)
+        os.replace(tmp, path)
+    return path
+
+
 def ensure_transcripts(sf, root: str = ROOT) -> dict[str, str]:
     """Generate-once cache; returns {'transcripts': path, 'ground_truth': path}."""
     sf = sf if isinstance(sf, float) else sf_from_dir(sf)

@@ -1,0 +1,139 @@
+"""Generic relational operators (stages/relational.py) and PII redaction
+(stages/redact.py): pandas-merge references on seeded random inputs, join
+strategy equivalence (broadcast == shuffle), and redaction edge cases.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from blurrily_ray.stages.redact import redact_pii
+from blurrily_ray.stages.relational import (broadcast_join, hash_join,
+                                            pricing_summary)
+
+
+def _sides(n=300, keys=40, seed=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, keys, n).astype(np.int64),
+        "lv": rng.integers(0, 1000, n).astype(np.int64)})
+    # right: unique keys, some keys absent from the dim
+    rk = np.arange(0, keys, 2, dtype=np.int64)
+    right = pd.DataFrame({"rk": rk, "rv": rk * 10 + 1})
+    return left, right
+
+
+def test_broadcast_join_inner_matches_pandas():
+    left, right = _sides()
+    got = broadcast_join(rd.from_pandas(left), right, on="k",
+                         right_on="rk").to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+    key = ["k", "lv", "rv"]
+    assert got[key].sort_values(key).reset_index(drop=True).equals(
+        exp.sort_values(key).reset_index(drop=True))
+
+
+def test_broadcast_join_left_nullfills_misses():
+    left, right = _sides()
+    got = broadcast_join(rd.from_pandas(left), right, on="k",
+                         right_on="rk", how="left").to_pandas()
+    assert len(got) == len(left)
+    miss = got[got.k % 2 == 1]
+    assert miss["rv"].isna().all()
+    hit = got[got.k % 2 == 0]
+    assert (hit["rv"].astype(np.int64) == hit["k"] * 10 + 1).all()
+
+
+def test_hash_join_matches_broadcast_join():
+    left, right = _sides(n=500, keys=60, seed=7)
+    a = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  on="k", right_on="rk", n_parts=9).to_pandas()
+    b = broadcast_join(rd.from_pandas(left), right, on="k",
+                       right_on="rk").to_pandas()
+    cols = ["k", "lv", "rv"]
+    assert a[cols].sort_values(cols).reset_index(drop=True).equals(
+        b[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_broadcast_join_rejects_dup_keys():
+    left, _ = _sides()
+    dup = pd.DataFrame({"rk": np.array([1, 1], dtype=np.int64),
+                        "rv": np.array([2, 3], dtype=np.int64)})
+    import pytest
+
+    with pytest.raises(ValueError, match="unique"):
+        broadcast_join(rd.from_pandas(left), dup, on="k", right_on="rk")
+
+
+def test_pricing_summary_matches_pandas():
+    rng = np.random.default_rng(11)
+    n = 2000
+    li = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["F", "O"], n),
+        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(900, 100_000, n), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, n), 2),
+    })
+    got = pricing_summary(rd.from_pandas(li)).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df = li.copy()
+    df["q"] = np.floor(df.l_quantity * 1e6).astype(np.int64)
+    df["disc"] = np.floor(
+        df.l_extendedprice * (1 - df.l_discount) * 1e6).astype(np.int64)
+    exp = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty_micro=("q", "sum"), sum_disc_micro=("disc", "sum"),
+        n_rows=("q", "size"))
+    exp = exp.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert (got["sum_qty_micro"].to_numpy() == exp["sum_qty_micro"].to_numpy()).all()
+    assert (got["sum_disc_micro"].to_numpy() == exp["sum_disc_micro"].to_numpy()).all()
+    assert (got["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
+    assert (got["avg_qty_micro"].to_numpy()
+            == got["sum_qty_micro"].to_numpy() // got["n_rows"].to_numpy()).all()
+
+
+def test_redact_pii_counts_and_replacements():
+    rows = pd.DataFrame({
+        "ticket_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "contact alice.b@corp.com now",
+            "call 555-123-4567 or 800-555-0199",
+            "host 10.0.0.1 and 192.168.255.3",
+            "mixed bob@x.io at 10.1.2.3 phone 212-555-7777",
+            "no pii here at all",
+            "",
+        ]})
+    got = redact_pii(rd.from_pandas(rows)).to_pandas() \
+        .sort_values("ticket_id").reset_index(drop=True)
+    assert got.loc[0, "red_text"] == "contact <EMAIL> now"
+    assert got.loc[0, ["n_email", "n_phone", "n_ip"]].tolist() == [1, 0, 0]
+    assert got.loc[1, "red_text"] == "call <PHONE> or <PHONE>"
+    assert got.loc[1, "n_phone"] == 2
+    assert got.loc[2, "red_text"] == "host <IP> and <IP>"
+    assert got.loc[2, "n_ip"] == 2
+    assert got.loc[3, "red_text"] == "mixed <EMAIL> at <IP> phone <PHONE>"
+    assert got.loc[4, "red_text"] == "no pii here at all"
+    assert got.loc[5, "red_text"] == ""
+    assert got[["n_email", "n_phone", "n_ip"]].to_numpy().sum() == 8
+
+
+def test_redact_word_boundaries():
+    # digits glued to letters are NOT phones/IPs (\b with re.ASCII)
+    rows = pd.DataFrame({
+        "ticket_id": np.array([0], dtype=np.int64),
+        "text": ["x555-123-4567 ver1.2.3.4beta a@b.co"]})
+    got = redact_pii(rd.from_pandas(rows)).to_pandas()
+    assert got.loc[0, "n_phone"] == 0
+    assert got.loc[0, "n_ip"] == 0
+    assert got.loc[0, "n_email"] == 1
+
+
+def test_broadcast_join_accepts_arrow_table():
+    left, right = _sides(n=50, keys=10, seed=9)
+    got = broadcast_join(rd.from_pandas(left),
+                         pa.Table.from_pandas(right, preserve_index=False),
+                         on="k", right_on="rk").to_pandas()
+    exp = left.merge(right, left_on="k", right_on="rk")
+    assert len(got) == len(exp)
