@@ -494,6 +494,22 @@ def _q_revenue_by_nation(sf_dir: str):
     return _i64(revenue_by_nation(orders, customer, nation))
 
 
+def _q_keep_best_turns(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.dedup import dedup_keep_best
+
+    turns = ray.data.read_parquet(_transcripts_path(sf_dir),
+                                  columns=["conv_id", "turn_idx", "text"])
+    return _i64(dedup_keep_best(turns))
+
+
+def _q_unigram_rank(sf_dir: str):
+    from blurrily_ray.stages.textstats import unigram_rank_score
+
+    return _i64(unigram_rank_score(_docs(sf_dir), top_v=20))
+
+
 def _q_redact_tickets(sf_dir: str):
     import ray.data
 
@@ -547,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "redact_tickets": _q_redact_tickets,
+        "keep_best_turns": _q_keep_best_turns,
+        "unigram_rank_docs": _q_unigram_rank,
     }
 
 
@@ -605,4 +623,6 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracles.sql_pricing_summary(),
         "revenue_by_nation": oracles.sql_revenue_by_nation(),
         "redact_tickets": oracles.sql_redact_tickets(ensure_tickets(sf)),
+        "keep_best_turns": oracles.sql_dedup_keep_best(tpath),
+        "unigram_rank_docs": oracles.sql_unigram_rank(20),
     }

@@ -238,6 +238,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["redact_pii"] = round(
         best_of(lambda: redact_pii(tix).count()), 3)
 
+    from blurrily_ray.stages.dedup import dedup_keep_best
+
+    turns = rd.read_parquet(paths["transcripts"],
+                            columns=["conv_id", "turn_idx", "text"])
+    queries["keep_best"] = round(
+        best_of(lambda: dedup_keep_best(turns).count()), 3)
+
     ray.shutdown()
     return {
         "metric": "er_wall_sec",

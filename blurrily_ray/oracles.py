@@ -777,3 +777,43 @@ def sql_redact_tickets(path: str) -> str:
        len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone,
        len(regexp_extract_all(text, '{IP_RE}')) AS n_ip
 FROM read_parquet('{path}')"""
+
+
+NORM_FOLD = ("trim(regexp_replace(strip_accents(lower({col})), "
+             "'[^a-z]+', ' ', 'g'))")
+
+
+def sql_dedup_keep_best(path: str) -> str:
+    """Best-put-wins dedup oracle (stages/dedup.dedup_keep_best) over the
+    synthetic transcripts. strip_accents == the engine's NFKD fold for
+    decomposable accents (all this corpus has — parity pinned row-exact in
+    tests); length() and Python len() agree on single-codepoint text."""
+    norm = NORM_FOLD.format(col="text")
+    return f"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text
+FROM (SELECT conv_id, turn_idx, text,
+             ROW_NUMBER() OVER (PARTITION BY md5({norm})
+                 ORDER BY length(text) DESC, conv_id, turn_idx) AS rn
+      FROM read_parquet('{path}'))
+WHERE rn = 1"""
+
+
+def sql_unigram_rank(top_v: int = 1000) -> str:
+    """Unigram-rank quality score oracle (textstats.unigram_rank_score):
+    all-integer corpus-frequency ranks, OOV beyond top_v."""
+    toks = TOKS.format(col="text")
+    return f"""WITH lt AS (SELECT doc_id, lower(t) AS t
+           FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)),
+cnt AS (SELECT t, COUNT(*) AS n FROM lt GROUP BY t),
+vocab AS (SELECT t, rank FROM
+          (SELECT t, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rank FROM cnt)
+          WHERE rank <= {top_v}),
+agg AS (SELECT lt.doc_id,
+               SUM(COALESCE(vocab.rank, {top_v + 1})) AS sum_rank,
+               COUNT(*) AS n_tokens,
+               SUM(CASE WHEN vocab.rank IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM lt LEFT JOIN vocab ON lt.t = vocab.t
+        GROUP BY lt.doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.sum_rank, 0) AS BIGINT) AS sum_rank,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""

@@ -734,3 +734,42 @@ def simhash(docs, *, id_col: str = "doc_id", text_col: str = "text"):
         return pd.DataFrame({id_col: df[id_col], "simhash": out})
 
     return docs.map_batches(fn, batch_format="pandas")
+
+
+def dedup_keep_best(ds, *, key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                    text_col: str = "text", n_parts: int = 64):
+    """Priority dedup across near-identical corpus variants: group rows by
+    md5(normalized text) and keep ONE best row per group — longest RAW
+    text first (most information preserved), then smallest key. This is
+    the reference's first-put-wins PUT (storage.c:408) generalized to
+    best-put-wins with an explicit rank instead of arrival order.
+
+    One digest-keyed shuffle; each partition resolves ALL of its groups
+    with a single vectorized sort + drop_duplicates (never per-group).
+    Normalization is the reference normalizer (functions/normalize.py);
+    the DuckDB mirror is oracles.NORM_FOLD — parity holds whenever
+    non-ASCII chars are decomposable accents (NFKD fold == strip_accents);
+    non-decomposable symbols (the engine drops them joining neighbors,
+    SQL spaces them) would diverge, and the synth corpus has none.
+    """
+    from blurrily_ray.functions.normalize import normalize_array
+    from blurrily_ray.stages.common import partitioned_map
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        norm = normalize_array(batch[text_col])
+        h = pa.array([hashlib.md5(s.encode()).hexdigest()
+                      for s in norm.to_pylist()], type=pa.string())
+        return batch.append_column("_h", h)
+
+    keys = list(key_cols)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_len=df[text_col].str.len().astype(np.int64))
+        df = df.sort_values(["_h", "_len"] + keys,
+                            ascending=[True, False] + [True] * len(keys),
+                            kind="stable")
+        return df.drop_duplicates("_h", keep="first") \
+            .drop(columns=["_len", "_h"])
+
+    tagged = ds.map_batches(add_h, batch_format="pyarrow")
+    return partitioned_map(tagged, ["_h"], keep, n_parts=n_parts)

@@ -285,3 +285,48 @@ def group_quantiles(ds, *, group_col: str = "source",
     partials = ds.select_columns([group_col, value_col]) \
         .map_batches(partial, batch_format="pandas")
     return partitioned_map(partials, [group_col], finalize)
+
+
+def unigram_rank_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                       top_v: int = 1000, n_parts: int = 64):
+    """Corpus-relative quality score (KenLM-style filtering, integer-exact):
+    rank every token by corpus frequency (rank 1 = most frequent, ties
+    broken by token text; ranks beyond ``top_v`` are out-of-vocabulary at
+    rank ``top_v``+1) and emit per doc the rank sum, token count, and OOV
+    count. Rare-token-heavy docs score high — the standard "perplexity"
+    filter signal with all-integer arithmetic so the DuckDB oracle
+    bit-matches under any partitioning.
+
+    Two passes, both scale-shaped: pass 1 is ``vocab_top_k`` (map-side
+    combining, one row per distinct token per block crosses the shuffle;
+    the materialized vocab is ≤ top_v rows — driver-small by construction);
+    pass 2 broadcasts the rank table once via ``ray.put`` and scores each
+    batch with one hash-index lookup + segment sums.
+    """
+    import ray
+
+    from blurrily_ray.stages.pairs import _cached_get
+
+    vocab = vocab_top_k(docs, text_col=text_col, k=top_v,
+                        n_parts=n_parts).to_pandas()
+    vocab = vocab.sort_values(["n", "token"], ascending=[False, True],
+                              kind="stable").reset_index(drop=True)
+    ref = ray.put(pd.Index(vocab["token"].to_numpy()))
+    oov_rank = np.int64(top_v + 1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idx = _cached_get(ref)
+        toks = _tokens(df[text_col])
+        flat, counts = _token_arrays(toks)
+        lowered = pd.Series(flat, dtype=object).str.lower().to_numpy()
+        pos = idx.get_indexer(lowered) if len(lowered) else \
+            np.empty(0, dtype=np.int64)
+        ranks = np.where(pos >= 0, pos + 1, oov_rank).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "sum_rank": _segment_sum(ranks, counts),
+            "n_tokens": counts,
+            "n_oov": _segment_sum((pos < 0).astype(np.int64), counts),
+        })
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -137,3 +137,59 @@ def test_broadcast_join_accepts_arrow_table():
                          on="k", right_on="rk").to_pandas()
     exp = left.merge(right, left_on="k", right_on="rk")
     assert len(got) == len(exp)
+
+
+def test_dedup_keep_best_picks_longest_then_smallest_key():
+    from blurrily_ray.stages.dedup import dedup_keep_best
+
+    rows = pd.DataFrame({
+        "conv_id": ["a", "b", "c", "d", "e"],
+        "turn_idx": np.array([0, 0, 0, 0, 0], dtype=np.int64),
+        "text": [
+            "Hello, World",      # group 1: normalized "hello world"
+            "héllo wörld!!",     # group 1: same after NFKD fold, len 13
+            "hello world",       # group 1: len 11
+            "unique text here",  # singleton
+            "HELLO WORLD",       # group 1: len 11 — tie with "c", c < e
+        ]})
+    got = dedup_keep_best(rd.from_pandas(rows), n_parts=3).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    # winner of group 1: "héllo wörld!!" (len 13 beats 12, 11, 11)
+    assert set(got["conv_id"]) == {"b", "d"}
+    assert got.set_index("conv_id").loc["b", "text"] == "héllo wörld!!"
+
+
+def test_dedup_keep_best_tiebreak_smallest_key():
+    from blurrily_ray.stages.dedup import dedup_keep_best
+
+    rows = pd.DataFrame({
+        "conv_id": ["z", "m", "a"],
+        "turn_idx": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["same text", "same text", "same text"]})
+    got = dedup_keep_best(rd.from_pandas(rows), n_parts=2).to_pandas()
+    assert len(got) == 1 and got.iloc[0]["conv_id"] == "a"
+
+
+def test_unigram_rank_score_matches_bruteforce():
+    from collections import Counter
+
+    from blurrily_ray.stages.textstats import unigram_rank_score
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+             for _ in range(200)] + [""]
+    docs = pd.DataFrame({"doc_id": np.arange(201, dtype=np.int64),
+                         "text": texts})
+    top_v = 10
+    got = unigram_rank_score(rd.from_pandas(docs), top_v=top_v).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cnt = Counter(t for s in texts for t in s.split())
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    rank = {t: i + 1 for i, (t, _) in enumerate(ranked)}
+    for i, s in enumerate(texts):
+        toks = s.split()
+        exp_sum = sum(rank.get(t, top_v + 1) for t in toks)
+        assert got.loc[i, "sum_rank"] == exp_sum
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_oov"] == sum(t not in rank for t in toks)
