@@ -510,6 +510,16 @@ def _q_unigram_rank(sf_dir: str):
     return _i64(unigram_rank_score(_docs(sf_dir), top_v=20))
 
 
+def _q_hll_registers(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.sketch import hll_token_registers
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return _i64(hll_token_registers(docs))
+
+
 def _q_redact_tickets(sf_dir: str):
     import ray.data
 
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_tickets": _q_redact_tickets,
         "keep_best_turns": _q_keep_best_turns,
         "unigram_rank_docs": _q_unigram_rank,
+        "hll_registers_docs": _q_hll_registers,
     }
 
 
@@ -625,4 +636,5 @@ def oracle_sql() -> dict[str, str]:
         "redact_tickets": oracles.sql_redact_tickets(ensure_tickets(sf)),
         "keep_best_turns": oracles.sql_dedup_keep_best(tpath),
         "unigram_rank_docs": oracles.sql_unigram_rank(20),
+        "hll_registers_docs": oracles.sql_hll_registers(),
     }

@@ -817,3 +817,21 @@ SELECT d.doc_id, CAST(COALESCE(a.sum_rank, 0) AS BIGINT) AS sum_rank,
        CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
+def sql_hll_registers(p: int = 8) -> str:
+    """HLL register-table oracle (stages/sketch.hll_token_registers):
+    hash = first 8 md5 bytes big-endian (== hashing.stable_u64), bucket =
+    top p bits, rank = 64-p+1 - bitlength(remainder); all integer."""
+    toks = TOKS.format(col="text")
+    rem_bits = 64 - p
+    mask = (1 << rem_bits) - 1
+    return f"""WITH lt AS (SELECT source, lower(t) AS t
+           FROM (SELECT source, unnest({toks}) AS t FROM documents)),
+h AS (SELECT source, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+      FROM lt)
+SELECT source, CAST(h >> {rem_bits} AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1}
+                ELSE {rem_bits + 1} - length(bin(h & {mask})) END)
+            AS BIGINT) AS max_rank
+FROM h GROUP BY source, CAST(h >> {rem_bits} AS BIGINT)"""

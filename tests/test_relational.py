@@ -193,3 +193,32 @@ def test_unigram_rank_score_matches_bruteforce():
         assert got.loc[i, "sum_rank"] == exp_sum
         assert got.loc[i, "n_tokens"] == len(toks)
         assert got.loc[i, "n_oov"] == sum(t not in rank for t in toks)
+
+
+def test_hll_registers_and_estimate():
+    from blurrily_ray.stages.sketch import hll_estimate, hll_token_registers
+
+    rng = np.random.default_rng(17)
+    # group A: 300 distinct tokens, group B: 40 distinct tokens
+    a_vocab = [f"alpha{i}" for i in range(300)]
+    b_vocab = [f"beta{i}" for i in range(40)]
+    rows = []
+    for _ in range(150):
+        rows.append(("A", " ".join(rng.choice(a_vocab, size=12))))
+        rows.append(("B", " ".join(rng.choice(b_vocab, size=12))))
+    docs = pd.DataFrame(rows, columns=["source", "text"])
+    regs = hll_token_registers(rd.from_pandas(docs), n_parts=4).to_pandas()
+    # register table invariants: one row per (group, bucket), ranks >= 1
+    assert not regs.duplicated(["source", "bucket"]).any()
+    assert (regs["max_rank"] >= 1).all()
+    # registers are merge-order independent: recompute at different widths
+    regs2 = hll_token_registers(
+        rd.from_pandas(docs).repartition(7), n_parts=2).to_pandas()
+    key = ["source", "bucket", "max_rank"]
+    assert regs[key].sort_values(key).reset_index(drop=True).equals(
+        regs2[key].sort_values(key).reset_index(drop=True))
+    est = hll_estimate(regs).set_index("source")["est_distinct"]
+    n_a = len(set(t for s, txt in rows if s == "A" for t in txt.split()))
+    n_b = len(set(t for s, txt in rows if s == "B" for t in txt.split()))
+    assert abs(est["A"] - n_a) / n_a < 0.25
+    assert abs(est["B"] - n_b) / n_b < 0.25
