@@ -510,6 +510,12 @@ def _q_unigram_rank(sf_dir: str):
     return _i64(unigram_rank_score(_docs(sf_dir), top_v=20))
 
 
+def _q_curate_full(sf_dir: str):
+    from blurrily_ray.pipelines.curate import curate_corpus_full
+
+    return _i64(curate_corpus_full(_docs(sf_dir)))
+
+
 def _q_hll_registers(sf_dir: str):
     import ray.data
 
@@ -576,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_turns": _q_keep_best_turns,
         "unigram_rank_docs": _q_unigram_rank,
         "hll_registers_docs": _q_hll_registers,
+        "curate_full_docs": _q_curate_full,
     }
 
 
@@ -637,4 +644,5 @@ def oracle_sql() -> dict[str, str]:
         "keep_best_turns": oracles.sql_dedup_keep_best(tpath),
         "unigram_rank_docs": oracles.sql_unigram_rank(20),
         "hll_registers_docs": oracles.sql_hll_registers(),
+        "curate_full_docs": oracles.sql_curate_full(),
     }

@@ -835,3 +835,58 @@ SELECT source, CAST(h >> {rem_bits} AS BIGINT) AS bucket,
                 ELSE {rem_bits + 1} - length(bin(h & {mask})) END)
             AS BIGINT) AS max_rank
 FROM h GROUP BY source, CAST(h >> {rem_bits} AS BIGINT)"""
+
+
+def sql_curate_full(min_tokens: int = 5, max_tokens: int = 10_000,
+                    max_punct_pct: int = 20, top_v: int = 20,
+                    max_mean_rank_x100: int = 1450,
+                    contamination_den: int = 5, bench_lo: int = 0,
+                    bench_hi: int = 10, buckets: int = 100,
+                    salt: str = "split") -> str:
+    """Full composed curation oracle (pipelines/curate.curate_corpus_full):
+    quality+dedup base ∩ decontaminated ∩ unigram-mean-rank cap."""
+    toks = TOKS.format(col="text")
+    bexpr = (f"CAST(('0x' || substr(md5('{salt}:' || "
+             f"CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % {buckets}")
+    return f"""WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents),
+c AS (SELECT doc_id, text, length(ws) AS n_tok,
+      length(list_filter(ws, x -> list_contains({_stoplist_sql()}, lower(x))))
+          AS n_stop,
+      length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+          AS n_punct,
+      length(text) AS n_chars
+      FROM t),
+kept AS (SELECT doc_id, text, n_tok FROM c
+         WHERE n_tok >= {min_tokens} AND n_tok <= {max_tokens}
+           AND n_stop * {LANGID_NUM} >= n_tok
+           AND n_punct * 100 <= {max_punct_pct} * n_chars),
+dd AS (SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+              CAST(MIN(n_tok) AS BIGINT) AS n_tokens
+       FROM kept GROUP BY md5(text)),
+{_shingle_cte()},
+bench AS (SELECT doc_id FROM documents
+          WHERE {bexpr} >= {bench_lo} AND {bexpr} < {bench_hi}),
+bh AS (SELECT DISTINCT s.h FROM sh s JOIN bench ON s.ref = bench.doc_id),
+dcnt AS (SELECT s.ref, COUNT(*) AS n_shingles, COUNT(bh.h) AS n_shared
+         FROM sh s LEFT JOIN bh ON s.h = bh.h GROUP BY s.ref),
+clean AS (SELECT d.doc_id FROM documents d
+          LEFT JOIN dcnt ON dcnt.ref = d.doc_id
+          WHERE NOT ({bexpr} >= {bench_lo} AND {bexpr} < {bench_hi})
+            AND COALESCE(dcnt.n_shared, 0) * {contamination_den}
+                <= COALESCE(dcnt.n_shingles, 0)),
+lt AS (SELECT doc_id, lower(tk) AS tk
+       FROM (SELECT doc_id, unnest({toks}) AS tk FROM documents)),
+ucnt AS (SELECT tk, COUNT(*) AS n FROM lt GROUP BY tk),
+vocab AS (SELECT tk, rank FROM
+          (SELECT tk, ROW_NUMBER() OVER (ORDER BY n DESC, tk) AS rank
+           FROM ucnt) WHERE rank <= {top_v}),
+uagg AS (SELECT lt.doc_id, SUM(COALESCE(vocab.rank, {top_v + 1})) AS sum_rank,
+                COUNT(*) AS n_tokens
+         FROM lt LEFT JOIN vocab ON lt.tk = vocab.tk GROUP BY lt.doc_id),
+smooth AS (SELECT d.doc_id FROM documents d LEFT JOIN uagg a
+           ON d.doc_id = a.doc_id
+           WHERE COALESCE(a.sum_rank, 0) * 100
+                 <= COALESCE(a.n_tokens, 0) * {max_mean_rank_x100})
+SELECT dd.doc_id, dd.n_tokens
+FROM dd JOIN clean ON dd.doc_id = clean.doc_id
+        JOIN smooth ON dd.doc_id = smooth.doc_id"""

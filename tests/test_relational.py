@@ -222,3 +222,28 @@ def test_hll_registers_and_estimate():
     n_b = len(set(t for s, txt in rows if s == "B" for t in txt.split()))
     assert abs(est["A"] - n_a) / n_a < 0.25
     assert abs(est["B"] - n_b) / n_b < 0.25
+
+
+def test_curate_full_is_intersection_of_stages():
+    """curate_corpus_full == base ∩ clean ∩ smooth computed independently
+    (per-stage correctness is oracled; this pins the bit-tag composition)."""
+    import ray.data
+
+    from blurrily_ray.pipelines.curate import curate_corpus, curate_corpus_full
+    from blurrily_ray.stages.dedup import decontaminate
+    from blurrily_ray.stages.textstats import unigram_rank_score
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    full = curate_corpus_full(docs).to_pandas()
+    base = curate_corpus(docs).to_pandas()
+    dec = decontaminate(docs).to_pandas()
+    clean = set(dec.loc[dec.n_shared * 5 <= dec.n_shingles, "doc_id"])
+    ur = unigram_rank_score(docs, top_v=20).to_pandas()
+    smooth = set(ur.loc[ur.sum_rank * 100 <= ur.n_tokens * 1450, "doc_id"])
+    exp = base[base.doc_id.isin(clean) & base.doc_id.isin(smooth)]
+    assert sorted(full.doc_id) == sorted(exp.doc_id)
+    assert len(full) > 0
+    m = full.set_index("doc_id")["n_tokens"]
+    e = exp.set_index("doc_id")["n_tokens"]
+    assert (m.sort_index() == e.sort_index()).all()
