@@ -510,6 +510,25 @@ def _q_unigram_rank(sf_dir: str):
     return _i64(unigram_rank_score(_docs(sf_dir), top_v=20))
 
 
+def _q_fuzzy_join(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from blurrily_ray.stages.index import fuzzy_join
+    from blurrily_ray.stages.tokenize import assemble_docs
+
+    ts = ray.data.read_parquet(_transcripts_path(sf_dir),
+                               columns=["conv_id", "turn_idx", "text"])
+    docs = assemble_docs(ts, assume_grouped=True)
+    needles = docs.map_batches(
+        lambda b: b.rename_columns(["needle_ref", "text"]),
+        batch_format="pyarrow")
+    catalog = docs.map_batches(
+        lambda b: b.filter(pc.ends_with(b["ref"], "v0")),
+        batch_format="pyarrow")
+    return _i64(fuzzy_join(needles, catalog, needle_id="needle_ref", k=3))
+
+
 def _q_curate_full(sf_dir: str):
     from blurrily_ray.pipelines.curate import curate_corpus_full
 
@@ -583,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_rank_docs": _q_unigram_rank,
         "hll_registers_docs": _q_hll_registers,
         "curate_full_docs": _q_curate_full,
+        "fuzzy_join_turns": _q_fuzzy_join,
     }
 
 
@@ -645,4 +665,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_rank_docs": oracles.sql_unigram_rank(20),
         "hll_registers_docs": oracles.sql_hll_registers(),
         "curate_full_docs": oracles.sql_curate_full(),
+        "fuzzy_join_turns": oracles.sql_fuzzy_join(tpath),
     }

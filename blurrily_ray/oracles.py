@@ -50,7 +50,13 @@ def _code_expr(pos: int) -> str:
 def postings_cte(src_sql: str, prefix: str = "") -> str:
     """CTE chain: src (ref, text) → postings (ref, trigram, weight).
     ``prefix`` renames every CTE so two chains can coexist in one query."""
-    norm = NORM.format(col="text")
+    # NORM_FOLD, not NORM: the engine normalizer NFKD-folds decomposable
+    # accents to their base letter (functions/normalize.py; map.rb:40-47)
+    # and strip_accents matches it exactly on such corpora (parity pinned
+    # row-exact on every sf0.01 transcript turn) — the accent-to-space
+    # NORM diverges by a few trigrams per accented doc, which exact-count
+    # oracles (fuzzy_join) catch even though cluster-level ones tolerate it
+    norm = NORM_FOLD.format(col="text")
     code = " + ".join(_code_expr(p) for p in (1, 2, 3))
     x = prefix
     return f"""
@@ -890,3 +896,22 @@ smooth AS (SELECT d.doc_id FROM documents d LEFT JOIN uagg a
 SELECT dd.doc_id, dd.n_tokens
 FROM dd JOIN clean ON dd.doc_id = clean.doc_id
         JOIN smooth ON dd.doc_id = smooth.doc_id"""
+
+
+def sql_fuzzy_join(path: str, k: int = 3) -> str:
+    """Fuzzy-linkage oracle (stages/index.fuzzy_join): every conversation
+    doc linked to its top-k v0 (canonical-variant) catalog docs by shared
+    trigram count, FIND ordering."""
+    nsrc = transcripts_src(path)
+    csrc = f"SELECT * FROM ({transcripts_src(path)}) WHERE ref LIKE '%v0'"
+    return f"""WITH {postings_cte(nsrc, "n")},
+{postings_cte(csrc, "c")},
+j AS (SELECT np.ref AS needle_ref, cp.ref AS ref, COUNT(*) AS matches,
+             MIN(cp.weight) AS weight
+      FROM npostings np JOIN cpostings cp ON np.trigram = cp.trigram
+      GROUP BY np.ref, cp.ref)
+SELECT needle_ref, ref, CAST(matches AS BIGINT) AS matches,
+       CAST(weight AS BIGINT) AS weight
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY needle_ref
+          ORDER BY matches DESC, weight ASC, ref ASC) AS rn FROM j)
+WHERE rn <= {k}"""

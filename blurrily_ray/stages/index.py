@@ -282,3 +282,66 @@ def load(path: str):
     from blurrily_ray.state.checkpoint import read_checkpoint
 
     return read_checkpoint(path)
+
+
+def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
+               needle_text: str = "text", catalog_ref: str = "ref",
+               catalog_text: str = "text", k: int = 3):
+    """Dataset-scale fuzzy linkage: for every needle row, the top-``k``
+    catalog rows by shared-trigram score with the reference's FIND
+    ordering (matches DESC, weight ASC, ref ASC; storage.c:477-580).
+
+    This is ``find_many`` with the roles inverted so the NEEDLE side is a
+    streamed Dataset of any size: the catalog — assumed dim-sized (a
+    canonical entity/record table; the same assumption as
+    ``relational.broadcast_join``) — is built into a bitset LUT once,
+    OFF-driver (``pairs.docsets_bitsets_ref``), and every needle batch
+    scores against the shared plasma copy vectorized (popcount of AND),
+    emitting its exact top-k immediately: the catalog is complete in
+    every task, so there is NO merge shuffle at all. For two large fuzzy
+    sides use the ER pair pipeline or the sharded scorer engine instead.
+
+    Returns (needle_id, ref, matches, weight); needles sharing zero
+    trigrams with every catalog row emit no rows (matches >= 1 otherwise).
+    """
+    from blurrily_ray.stages.pairs import (
+        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_and,
+        docsets_bitsets_ref)
+    from blurrily_ray.stages.tokenize import _docsets_batch, docsets_from_docs
+
+    lut_ref = docsets_bitsets_ref(
+        docsets_from_docs(catalog, ref_col=catalog_ref,
+                          text_col=catalog_text))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ref_sorted, cat_bits, _ntri, cat_wt, perm = _cached_get(lut_ref)
+        row_refs = np.empty_like(ref_sorted)
+        row_refs[perm] = ref_sorted
+        nb = _bitset_batch(_docsets_batch(batch, needle_id, needle_text))
+        qbuf = np.frombuffer(nb["bits"].combine_chunks().buffers()[1],
+                             dtype=np.uint8).reshape(-1, _BITSET_BYTES)
+        nids = batch[needle_id]
+        out = []
+        for qi in range(len(batch)):
+            m = _popcount_and(cat_bits, qbuf[qi])
+            hit = np.nonzero(m > 0)[0]
+            if len(hit) > k:
+                order = np.lexsort((row_refs[hit], cat_wt[hit],
+                                    -m[hit]))[:k]
+                hit = hit[order]
+            out.append(pa.table({
+                needle_id: pa.concat_arrays(
+                    [nids.slice(qi, 1).combine_chunks()] * len(hit))
+                if len(hit) else nids.slice(0, 0).combine_chunks(),
+                "ref": pa.array(row_refs[hit]),
+                "matches": pa.array(m[hit].astype(np.int64)),
+                "weight": pa.array(cat_wt[hit].astype(np.int64)),
+            }))
+        return pa.concat_tables(out) if out else pa.table({
+            needle_id: pa.array([], type=nids.type),
+            "ref": pa.array([], type=pa.string()),
+            "matches": pa.array([], type=pa.int64()),
+            "weight": pa.array([], type=pa.int64())})
+
+    return needles.map_batches(score_batch, batch_format="pyarrow",
+                               batch_size=512)

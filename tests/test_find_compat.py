@@ -137,3 +137,31 @@ def test_find_many_matches_single_find():
     assert by_needle["london"] == find_triples(postings, "london")
     assert by_needle["paris"] == find_triples(postings, "paris")
     assert "zzz" not in by_needle  # no shared trigram with any doc
+
+
+def test_fuzzy_join_links_variants_to_canonical():
+    """Every variant conversation's TOP match in the v0 catalog is its own
+    entity's canonical record (synthetic ground truth)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from blurrily_ray.sources.synth import ensure_transcripts
+    from blurrily_ray.stages.index import fuzzy_join
+    from blurrily_ray.stages.tokenize import assemble_docs
+
+    p = ensure_transcripts(0.001)["transcripts"]
+    ts = rd.read_parquet(p, columns=["conv_id", "turn_idx", "text"])
+    docs = assemble_docs(ts, assume_grouped=True)
+    needles = docs.map_batches(
+        lambda b: b.rename_columns(["needle_ref", "text"]),
+        batch_format="pyarrow")
+    catalog = docs.map_batches(
+        lambda b: b.filter(pc.ends_with(b["ref"], "v0")),
+        batch_format="pyarrow")
+    out = fuzzy_join(needles, catalog, needle_id="needle_ref", k=1).to_pandas()
+    assert len(out) > 0
+    ent = out.needle_ref.str.slice(0, 6)
+    cat_ent = out.ref.str.slice(0, 6)
+    assert (ent == cat_ent).mean() > 0.999  # top-1 = own entity's v0
+    # k respected and scores positive
+    assert (out.matches >= 1).all()
