@@ -757,14 +757,15 @@ def dedup_keep_best(ds, *, key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 
     def add_h(batch: pa.Table) -> pa.Table:
         norm = normalize_array(batch[text_col])
-        h = pa.array([hashlib.md5(s.encode()).hexdigest()
+        h = pa.array([hashlib.md5((s or "").encode()).hexdigest()
                       for s in norm.to_pylist()], type=pa.string())
         return batch.append_column("_h", h)
 
     keys = list(key_cols)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_len=df[text_col].str.len().astype(np.int64))
+        df = df.assign(
+            _len=df[text_col].fillna("").str.len().astype(np.int64))
         df = df.sort_values(["_h", "_len"] + keys,
                             ascending=[True, False] + [True] * len(keys),
                             kind="stable")

@@ -320,8 +320,9 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
         nb = _bitset_batch(_docsets_batch(batch, needle_id, needle_text))
         qbuf = np.frombuffer(nb["bits"].combine_chunks().buffers()[1],
                              dtype=np.uint8).reshape(-1, _BITSET_BYTES)
-        nids = batch[needle_id]
-        out = []
+        # per-needle top-k accumulated as numpy; ONE Arrow table per batch
+        # (a table per needle is pure object churn at dataset-scale needles)
+        qpos, hits, ms = [], [], []
         for qi in range(len(batch)):
             m = _popcount_and(cat_bits, qbuf[qi])
             hit = np.nonzero(m > 0)[0]
@@ -329,19 +330,20 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
                 order = np.lexsort((row_refs[hit], cat_wt[hit],
                                     -m[hit]))[:k]
                 hit = hit[order]
-            out.append(pa.table({
-                needle_id: pa.concat_arrays(
-                    [nids.slice(qi, 1).combine_chunks()] * len(hit))
-                if len(hit) else nids.slice(0, 0).combine_chunks(),
-                "ref": pa.array(row_refs[hit]),
-                "matches": pa.array(m[hit].astype(np.int64)),
-                "weight": pa.array(cat_wt[hit].astype(np.int64)),
-            }))
-        return pa.concat_tables(out) if out else pa.table({
-            needle_id: pa.array([], type=nids.type),
-            "ref": pa.array([], type=pa.string()),
-            "matches": pa.array([], type=pa.int64()),
-            "weight": pa.array([], type=pa.int64())})
+            qpos.append(np.full(len(hit), qi, dtype=np.int64))
+            hits.append(hit)
+            ms.append(m[hit])
+        qp = (np.concatenate(qpos) if qpos
+              else np.empty(0, dtype=np.int64))
+        hi = (np.concatenate(hits) if hits
+              else np.empty(0, dtype=np.int64))
+        mv = (np.concatenate(ms) if ms else np.empty(0, dtype=np.int64))
+        return pa.table({
+            needle_id: batch[needle_id].take(pa.array(qp)),
+            "ref": pa.array(row_refs[hi]),
+            "matches": pa.array(mv.astype(np.int64)),
+            "weight": pa.array(cat_wt[hi].astype(np.int64)),
+        })
 
     return needles.map_batches(score_batch, batch_format="pyarrow",
                                batch_size=512)

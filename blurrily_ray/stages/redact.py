@@ -38,7 +38,7 @@ def redact_pii(ds, *, id_col: str = "ticket_id", text_col: str = "text"):
     """→ (id, red_text, n_email, n_phone, n_ip) — one row per input row."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch[text_col].to_pandas(), copy=False)
+        s = pd.Series(batch[text_col].to_pandas(), copy=False).fillna("")
         n_email = s.str.count(EMAIL_RE, flags=re.ASCII).astype("int64")
         n_phone = s.str.count(PHONE_RE, flags=re.ASCII).astype("int64")
         n_ip = s.str.count(IP_RE, flags=re.ASCII).astype("int64")

@@ -60,13 +60,24 @@ def broadcast_join(ds, small, *, on: str, right_on: str | None = None,
     if right_on not in small.column_names:
         raise ValueError(f"right key {right_on!r} not in small side")
     keys = pd.Index(small[right_on].to_numpy(zero_copy_only=False))
-    if not keys.is_unique:
+    if len(keys) and not keys.is_unique:
         raise ValueError("broadcast_join small side must have unique keys")
     payload = small.drop_columns([right_on])
     ref = ray.put((keys, payload))
 
     def join_batch(batch: pa.Table) -> pa.Table:
         idx, pay = _cached_get(ref)
+        overlap = set(pay.column_names) & set(batch.column_names)
+        if overlap:
+            # hash_join suffixes collisions via pd.merge; here a silent
+            # duplicate Arrow column would break downstream selects —
+            # make the caller rename instead
+            raise ValueError(f"broadcast_join: column collision {overlap}; "
+                             "rename before joining")
+        if len(idx) == 0:
+            # empty dim: inner drops everything, left null-fills all rows
+            kept = batch.slice(0, 0) if how == "inner" else batch
+            return _append_nulls(kept, pay)
         pos = idx.get_indexer(batch[on].to_numpy(zero_copy_only=False))
         if how == "inner":
             keep = pos >= 0
@@ -89,6 +100,13 @@ def broadcast_join(ds, small, *, on: str, right_on: str | None = None,
         return out
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def _append_nulls(batch: pa.Table, payload: pa.Table) -> pa.Table:
+    for c in payload.column_names:
+        batch = batch.append_column(
+            c, pa.nulls(len(batch), payload[c].type))
+    return batch
 
 
 def hash_join(left, right, *, on: str, right_on: str | None = None,

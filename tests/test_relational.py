@@ -247,3 +247,44 @@ def test_curate_full_is_intersection_of_stages():
     m = full.set_index("doc_id")["n_tokens"]
     e = exp.set_index("doc_id")["n_tokens"]
     assert (m.sort_index() == e.sort_index()).all()
+
+
+def test_broadcast_join_empty_dim_and_collision():
+    import pytest
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                         "v": np.array([10, 20], dtype=np.int64)})
+    empty = pd.DataFrame({"rk": np.array([], dtype=np.int64),
+                          "rv": np.array([], dtype=np.int64)})
+    li = broadcast_join(rd.from_pandas(left), empty, on="k",
+                        right_on="rk").to_pandas()
+    # NB: Ray drops the schema of transformed-to-empty datasets (NOTES_r2
+    # gotcha), so only the row count is asserted on the inner path
+    assert len(li) == 0
+    ll = broadcast_join(rd.from_pandas(left), empty, on="k",
+                        right_on="rk", how="left").to_pandas()
+    assert len(ll) == 2 and ll["rv"].isna().all()
+    clash = pd.DataFrame({"rk": np.array([1], dtype=np.int64),
+                          "v": np.array([99], dtype=np.int64)})
+    with pytest.raises(Exception, match="collision"):
+        broadcast_join(rd.from_pandas(left), clash, on="k",
+                       right_on="rk").to_pandas()
+
+
+def test_redact_and_keep_best_null_text():
+    from blurrily_ray.stages.dedup import dedup_keep_best
+
+    rows = pa.table({
+        "ticket_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a@b.co ok", None], type=pa.string())})
+    got = redact_pii(rd.from_arrow(rows)).to_pandas() \
+        .sort_values("ticket_id").reset_index(drop=True)
+    assert got.loc[1, "red_text"] == "" and got.loc[1, "n_email"] == 0
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "b", "c"], type=pa.string()),
+        "turn_idx": pa.array([0, 0, 0], type=pa.int64()),
+        "text": pa.array(["hello", None, None], type=pa.string())})
+    kept = dedup_keep_best(rd.from_arrow(t), n_parts=2).to_pandas()
+    # both null texts share the empty-normalized digest -> one survives
+    assert sorted(kept.conv_id) == ["a", "b"]
