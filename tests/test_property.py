@@ -98,3 +98,43 @@ def test_range_count_partition_kernel_matches_bruteforce(nl, nr, users, seed):
                 & (right.ts_us <= e.ts_us + hi)).sum())
            for _, e in left.iterrows()]
     assert got["n"].tolist() == exp
+
+
+# --- round-2 additions ----------------------------------------------------
+
+import re as _re
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 2**64 - 1))
+def test_hll_rank_matches_bit_length(h):
+    from blurrily_ray.stages.sketch import HLL_P, _ranks
+
+    bucket, rank = _ranks(np.array([h], dtype=np.uint64))
+    assert bucket[0] == h >> (64 - HLL_P)
+    rem = h & ((1 << (64 - HLL_P)) - 1)
+    assert rank[0] == (64 - HLL_P) + 1 - rem.bit_length()
+    assert 0 <= bucket[0] < (1 << HLL_P) and 1 <= rank[0] <= 57
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefgh@.-0123456789 <>", max_size=80))
+def test_redact_counts_match_re_findall(text):
+    from blurrily_ray.stages.redact import EMAIL_RE, IP_RE, PHONE_RE
+
+    import pandas as pd
+
+    s = pd.Series([text])
+    for pat in (EMAIL_RE, PHONE_RE, IP_RE):
+        assert s.str.count(pat, flags=_re.ASCII).iloc[0] == \
+            len(_re.findall(pat, text, _re.ASCII))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(0, 1e8, allow_nan=False, allow_infinity=False))
+def test_micros_matches_python_floor(x):
+    import math
+
+    from blurrily_ray.stages.relational import _micros
+
+    assert _micros(np.array([x]))[0] == int(math.floor(np.float64(x) * 1e6))
