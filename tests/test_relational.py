@@ -288,3 +288,17 @@ def test_redact_and_keep_best_null_text():
     kept = dedup_keep_best(rd.from_arrow(t), n_parts=2).to_pandas()
     # both null texts share the empty-normalized digest -> one survives
     assert sorted(kept.conv_id) == ["a", "b"]
+
+
+def test_hash_join_left_matches_pandas():
+    left, right = _sides(n=200, keys=30, seed=21)
+    got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", right_on="rk", how="left", n_parts=7).to_pandas()
+    exp = left.merge(right, how="left", left_on="k", right_on="rk")
+    assert len(got) == len(exp)
+    # co-partitioning preserves per-key left-join semantics exactly
+    g = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    e = exp.sort_values(["k", "lv"]).reset_index(drop=True)
+    assert g["rv"].isna().sum() == e["rv"].isna().sum()
+    hit = g["rv"].notna()
+    assert (g.loc[hit, "rv"].to_numpy() == e.loc[hit, "rv"].to_numpy()).all()
