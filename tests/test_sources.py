@@ -53,3 +53,64 @@ def test_score_join_mode_matches_broadcast():
     jn = canon(score_pairs(pairs, docsets, cfg, mode="join"))
     assert len(bc) > 0
     assert bc == jn
+
+
+def test_jsonl_roundtrip_matches_parquet_path(tmp_path):
+    """parquet transcripts → write_jsonl → read_transcripts_jsonl == the
+    parquet read (schema + values), and ER over either input matches."""
+    import pandas as pd
+    import ray.data as rd
+
+    from blurrily_ray.sources.jsonl import (read_transcripts_jsonl,
+                                            write_jsonl)
+    from blurrily_ray.sources.synth import ensure_transcripts
+
+    p = ensure_transcripts(0.001)["transcripts"]
+    orig = rd.read_parquet(p)
+    out = str(tmp_path / "shards")
+    write_jsonl(orig, out)
+    back = read_transcripts_jsonl(out)
+    a = orig.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = back.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(b.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    for c in ["conv_id", "turn_idx", "role", "text", "tool"]:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    assert (pd.to_datetime(a["ts"]).to_numpy()
+            == pd.to_datetime(b["ts"]).to_numpy()).all()
+
+
+def test_jsonl_missing_column_raises(tmp_path):
+    import json
+
+    import pytest
+    import ray
+
+    from blurrily_ray.sources.jsonl import read_transcripts_jsonl
+
+    f = tmp_path / "bad.jsonl"
+    f.write_text(json.dumps({"conv_id": "a", "text": "x"}) + "\n")
+    with pytest.raises(Exception, match="missing columns"):
+        read_transcripts_jsonl(str(f)).materialize()
+
+
+def test_tsv_export_reimports(tmp_path):
+    """write_needle_tsv output loads back through read_needle_tsv with
+    identical (ref, text) rows — the reference-interchange round trip."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from blurrily_ray.sources.jsonl import write_needle_tsv
+    from blurrily_ray.sources.tsv import read_needle_tsv
+
+    docs = pd.DataFrame({
+        "ref": np.arange(50, dtype=np.int64),
+        "text": [f"needle text {i}" + ("\twith tab" if i % 7 == 0 else "")
+                 for i in range(50)]})
+    path = str(tmp_path / "export.tsv.gz")
+    write_needle_tsv(rd.from_pandas(docs), path)
+    back = read_needle_tsv(path).to_pandas().sort_values("ref").reset_index(drop=True)
+    assert len(back) == 50
+    assert (back["ref"].to_numpy() == docs["ref"].to_numpy()).all()
+    # tabs were flattened to spaces on export
+    assert back.loc[0, "text"] == "needle text 0 with tab"
