@@ -74,6 +74,11 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
             docs = assemble_docs(transcripts, assume_grouped=False)
             docsets = ckpt("docsets", lambda: docsets_from_docs(docs))
         docsets = docsets.materialize()  # reused by 4 downstream stages
+        # NB contiguity guard: the assume_grouped fast path would emit
+        # DUPLICATE refs on interleaved input. The broadcast path detects
+        # this for free inside the LUT's sorted-ref pass
+        # (pairs._lut_from_tables raises); the sharded path pays one tiny
+        # refs-only shuffle below.
     with metrics.timeit("histogram"):
         hist = trigram_histogram(docsets)
 
@@ -102,6 +107,9 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
 
         from blurrily_ray.stages.scorer import build_bitset_shards
 
+        if assume_grouped:
+            # no LUT build on this path to piggyback the dup check on
+            _validate_unique_refs(docsets)
         with metrics.timeit("bitset_shards"):
             shard_dir = (os.path.join(checkpoint_dir, "bitset_shards")
                          if checkpoint_dir else
@@ -196,6 +204,30 @@ def run_er_from_paths(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
                                columns=["conv_id", "turn_idx", "text"],
                                **kwargs)
     return run_er(ts, cfg, **kw)
+
+
+def _validate_unique_refs(docsets) -> None:
+    """Raise if any ref appears in more than one docset row — the symptom
+    of feeding NON-contiguous transcripts to the assume_grouped fast path
+    (a conversation interior to two different blocks assembles twice).
+    Cost: one shuffle of the ref column alone (n_docs tiny rows)."""
+    import pandas as pd
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    def dups(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["ref"].duplicated(), ["ref"]].drop_duplicates()
+        return d
+
+    bad = partitioned_map(docsets.select_columns(["ref"]), ["ref"], dups,
+                          n_parts=16).take(5)
+    if bad:
+        refs = [r["ref"] for r in bad]
+        raise ValueError(
+            "assume_grouped input is not conversation-contiguous: refs "
+            f"assembled more than once, e.g. {refs}. Re-run with "
+            "assume_grouped=False (full shuffle assemble) or sort the "
+            "input by (conv_id, turn_idx) first.")
 
 
 def run_er_grouped(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):

@@ -770,6 +770,17 @@ def _lut_from_tables(tables):
     ref_arr = (np.concatenate(refs) if refs
                else np.empty(0, dtype=np.int64))
     order = np.argsort(ref_arr)
+    srt = ref_arr[order]
+    if len(srt) > 1 and (srt[1:] == srt[:-1]).any():
+        # duplicate refs corrupt every searchsorted lookup downstream; the
+        # usual cause is non-contiguous input on the assume_grouped fast
+        # path (a conversation assembled once per block) — fail loudly
+        # here where the sorted pass makes the check free
+        dup = srt[1:][srt[1:] == srt[:-1]][:5]
+        raise ValueError(
+            f"duplicate docset refs {dup.tolist()}: input to the "
+            "assume_grouped path was not conversation-contiguous — re-run "
+            "with assume_grouped=False or sort by (conv_id, turn_idx)")
     # indirection instead of permuting the 1 GB bits array: surrogate id i
     # = position in ref_sorted; bits row = perm[i]
     return (ref_arr[order], bits, ntri, wt, order.astype(np.int64))

@@ -294,3 +294,50 @@ def test_docsets_grouped_equals_two_stage(sf0001_paths):
     assert old["ntri"].tolist() == new["ntri"].tolist()
     assert old["weight"].tolist() == new["weight"].tolist()
     assert all(list(x) == list(y) for x, y in zip(old["tris"], new["tris"]))
+
+
+def test_grouped_path_rejects_noncontiguous_input():
+    """Non-conversation-contiguous input on the assume_grouped fast path
+    raises (duplicate-ref validation) instead of silently assembling a
+    conversation once per block it appears interior to."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from blurrily_ray.pipelines.er import _validate_unique_refs
+    from blurrily_ray.stages.tokenize import docsets_grouped
+
+    # conversations a/b/c interleaved in blocks of unrelated convs so each
+    # appears INTERIOR to more than one block
+    rows = []
+    for blk in range(4):
+        rows.append((f"pad{blk}s", 0, "padding start words"))
+        for cid in ("a", "b", "c"):
+            rows.append((cid, blk, f"turn {blk} of {cid} with words"))
+        rows.append((f"pad{blk}e", 0, "padding end words"))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    per_block = len(rows) // 4
+    ds = rd.from_pandas([df.iloc[i:i + per_block]
+                         for i in range(0, len(df), per_block)])
+    docsets = docsets_grouped(ds).materialize()
+    with pytest.raises(ValueError, match="not conversation-contiguous"):
+        _validate_unique_refs(docsets)
+
+
+def test_broadcast_lut_rejects_duplicate_refs():
+    """The free sorted-pass dup check in the bitset LUT catches the same
+    corruption on the broadcast scoring path."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from blurrily_ray.stages.pairs import _docsets_bitsets
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docs = pd.DataFrame({"ref": ["a", "b", "a"],
+                         "text": ["first words", "other words", "again words"]})
+    dsets = docsets_from_docs(rd.from_pandas(docs))
+    with pytest.raises(ValueError, match="duplicate docset refs"):
+        _docsets_bitsets(dsets)
