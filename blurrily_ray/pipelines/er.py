@@ -55,9 +55,13 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
     def ckpt(name, fn):
         if checkpoint_dir is None:
             return fn()
-        # lineage includes the INPUT identity: rerunning with the same
-        # config but different transcripts must invalidate the checkpoint
-        lineage = {"config": cfg.digest(), "stage": name, "input": in_digest}
+        # lineage includes the INPUT identity (rerunning with the same
+        # config but different transcripts must invalidate the checkpoint)
+        # AND the assemble mode: a docsets checkpoint written by the
+        # assume_grouped fast path on bad input must NOT satisfy the
+        # assume_grouped=False re-run our own error message recommends
+        lineage = {"config": cfg.digest(), "stage": name, "input": in_digest,
+                   "assemble": "grouped" if assume_grouped else "shuffle"}
         return run_stage(name, os.path.join(checkpoint_dir, name), fn,
                          lineage=lineage)
 
@@ -77,8 +81,8 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
         # NB contiguity guard: the assume_grouped fast path would emit
         # DUPLICATE refs on interleaved input. The broadcast path detects
         # this for free inside the LUT's sorted-ref pass
-        # (pairs._lut_from_tables raises); the sharded path pays one tiny
-        # refs-only shuffle below.
+        # (pairs._lut_from_tables raises); every other scoring path runs
+        # the explicit refs-only check before scoring (below).
     with metrics.timeit("histogram"):
         hist = trigram_histogram(docsets)
 
@@ -94,6 +98,12 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
             else "sharded"
         metrics.stage("score_dispatch", mode=score_mode, est_bytes=est)
 
+    if assume_grouped and score_mode != "broadcast":
+        # every non-broadcast scoring path (sharded, join) skips the LUT
+        # build whose sorted-ref pass detects duplicate refs for free —
+        # run the explicit refs-only check instead
+        _validate_unique_refs(docsets)
+
     lut_ref = None
     if score_mode == "broadcast":
         with metrics.timeit("bitsets"):
@@ -107,9 +117,6 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
 
         from blurrily_ray.stages.scorer import build_bitset_shards
 
-        if assume_grouped:
-            # no LUT build on this path to piggyback the dup check on
-            _validate_unique_refs(docsets)
         with metrics.timeit("bitset_shards"):
             shard_dir = (os.path.join(checkpoint_dir, "bitset_shards")
                          if checkpoint_dir else

@@ -309,9 +309,13 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
         docsets_bitsets_ref)
     from blurrily_ray.stages.tokenize import _docsets_batch, docsets_from_docs
 
+    # check_dups=False: duplicate catalog refs are allowed by contract —
+    # scoring is positional (row_refs[perm]) and each duplicate row ranks
+    # independently; the dup check protects searchsorted lookups, which
+    # this operator never performs
     lut_ref = docsets_bitsets_ref(
         docsets_from_docs(catalog, ref_col=catalog_ref,
-                          text_col=catalog_text))
+                          text_col=catalog_text), check_dups=False)
 
     def score_batch(batch: pa.Table) -> pa.Table:
         ref_sorted, cat_bits, _ntri, cat_wt, perm = _cached_get(lut_ref)

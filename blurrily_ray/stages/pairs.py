@@ -716,7 +716,7 @@ def _bitset_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def docsets_bitsets_ref(docsets):
+def docsets_bitsets_ref(docsets, check_dups: bool = True):
     """Build the broadcast LUT WITHOUT the driver touching the byte
     matrix: per-block bitsets come from map_batches, and ONE Ray task
     concatenates them and returns the tuple (stored in plasma by the
@@ -729,7 +729,7 @@ def docsets_bitsets_ref(docsets):
 
     @ray.remote
     def assemble(*tables):
-        return _lut_from_tables(tables)
+        return _lut_from_tables(tables, check_dups=check_dups)
 
     return assemble.remote(*block_refs)
 
@@ -747,7 +747,7 @@ def _docsets_bitsets(docsets):
         ds.iter_batches(batch_size=None, batch_format="pyarrow"))
 
 
-def _lut_from_tables(tables):
+def _lut_from_tables(tables, check_dups: bool = True):
     refs, ntris, wts, rows = [], [], [], []
     for batch in tables:
         if len(batch) == 0:  # empty blocks can carry an empty schema
@@ -771,19 +771,22 @@ def _lut_from_tables(tables):
                else np.empty(0, dtype=np.int64))
     order = np.argsort(ref_arr)
     srt = ref_arr[order]
-    if len(srt) > 1 and (srt[1:] == srt[:-1]).any():
-        # duplicate refs corrupt every searchsorted lookup downstream; the
-        # usual cause is non-contiguous input on the assume_grouped fast
-        # path (a conversation assembled once per block) — fail loudly
-        # here where the sorted pass makes the check free
+    if check_dups and len(srt) > 1 and (srt[1:] == srt[:-1]).any():
+        # duplicate refs corrupt every searchsorted lookup downstream;
+        # most often caused by NON-contiguous input on the assume_grouped
+        # fast path (a conversation assembled once per block) — fail
+        # loudly here where the sorted pass makes the check free.
+        # check_dups=False for callers that score positionally and accept
+        # duplicate refs by contract (fuzzy_join catalogs).
         dup = srt[1:][srt[1:] == srt[:-1]][:5]
         raise ValueError(
-            f"duplicate docset refs {dup.tolist()}: input to the "
-            "assume_grouped path was not conversation-contiguous — re-run "
-            "with assume_grouped=False or sort by (conv_id, turn_idx)")
+            f"duplicate docset refs {dup.tolist()} — most often the "
+            "assume_grouped fast path fed non-contiguous transcripts; "
+            "re-run with assume_grouped=False or sort the input by "
+            "(conv_id, turn_idx)")
     # indirection instead of permuting the 1 GB bits array: surrogate id i
     # = position in ref_sorted; bits row = perm[i]
-    return (ref_arr[order], bits, ntri, wt, order.astype(np.int64))
+    return (srt, bits, ntri, wt, order.astype(np.int64))
 
 
 def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
@@ -797,6 +800,26 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
     if mode == "auto":
         est = docsets.count() * 700  # ~bytes/doc for codes+keys, rough
         mode = "broadcast" if est <= cfg.broadcast_limit_bytes else "join"
+
+    psch = pairs.schema()
+    if psch is None or "a" not in psch.names:
+        # zero candidate pairs: Ray strips transformed-to-empty datasets
+        # down to a None or ZERO-COLUMN schema and the Arrow hash join
+        # crashes on the missing key field — return a TYPED empty result
+        # instead (ref type from the docsets side, which always has one)
+        from ray.data import from_arrow
+
+        ds_schema = docsets.schema()
+        ref_type = dict(zip(ds_schema.names, ds_schema.types))["ref"]
+        empty = pa.table({
+            "a": pa.array([], type=ref_type),
+            "b": pa.array([], type=ref_type),
+            "matches": pa.array([], type=pa.int64()),
+            "ntri_a": pa.array([], type=pa.int64()),
+            "ntri_b": pa.array([], type=pa.int64()),
+            "weight_a": pa.array([], type=pa.int64()),
+            "weight_b": pa.array([], type=pa.int64())})
+        return from_arrow(empty)
 
     if mode == "broadcast":
         lut_ref = ray.put(_docsets_bitsets(docsets))
@@ -826,6 +849,15 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
     # scale path: two-sided hash join on ref. Arrow hash joins don't carry
     # list payloads, so the trigram set travels as its fixed-size BITSET
     # (plain binary, 2,744 bytes) and scoring stays popcount(AND).
+    # NB: shuffle stages (groupby upstreams, the join itself) emit
+    # ZERO-COLUMN empty blocks next to typed ones when partitions are
+    # empty; those blocks BYPASS map_batches (so they cannot be
+    # normalized away) and crash the Acero join's key-field resolution.
+    # A repartition before each join coalesces them into typed blocks —
+    # measured: repartition fixes the chained-join micro, materialize
+    # and a normalizing map do not.
+    cap = join_partitions_cap(cfg.join_partitions)
+    pairs = pairs.repartition(cap)
     side = docsets.select_columns(["ref", "tris", "ntri", "weight"]) \
         .map_batches(_bitset_batch, batch_format="pyarrow") \
         .map_batches(lambda t: t.set_column(
@@ -835,6 +867,8 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
                                         "ntri": "ntri_a", "weight": "weight_a"}),
                    join_type="inner", on=("a",),
                    num_partitions=join_partitions_cap(cfg.join_partitions))
+
+    j = j.repartition(cap)
     j = j.join(side.rename_columns({"ref": "b", "bits": "bits_b",
                                     "ntri": "ntri_b", "weight": "weight_b"}),
                join_type="inner", on=("b",),

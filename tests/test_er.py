@@ -341,3 +341,51 @@ def test_broadcast_lut_rejects_duplicate_refs():
     dsets = docsets_from_docs(rd.from_pandas(docs))
     with pytest.raises(ValueError, match="duplicate docset refs"):
         _docsets_bitsets(dsets)
+
+
+def test_run_er_wires_contiguity_guard_on_all_score_modes():
+    """End-to-end: run_er(assume_grouped=True) on interleaved input raises
+    on the join path (explicit check) AND the broadcast path (LUT check) —
+    the guard is wired into the pipeline, not just available."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from blurrily_ray.pipelines.er import run_er
+
+    rows = []
+    for blk in range(4):
+        rows.append((f"pad{blk}s", 0, "padding start words"))
+        for cid in ("a", "b", "c"):
+            rows.append((cid, blk, f"turn {blk} of {cid} with words"))
+        rows.append((f"pad{blk}e", 0, "padding end words"))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    per_block = len(rows) // 4
+
+    def ds():
+        return rd.from_pandas([df.iloc[i:i + per_block]
+                               for i in range(0, len(df), per_block)])
+
+    with pytest.raises(ValueError, match="not conversation-contiguous"):
+        run_er(ds(), assume_grouped=True, score_mode="join")
+    with pytest.raises(Exception, match="duplicate docset refs"):
+        res = run_er(ds(), assume_grouped=True, score_mode="broadcast")
+        res["clusters"].materialize()
+
+
+def test_fuzzy_join_allows_duplicate_catalog_refs():
+    """Duplicate catalog refs are legal for fuzzy_join (positional
+    scoring); each duplicate row ranks independently."""
+    import pandas as pd
+    import ray.data as rd
+
+    from blurrily_ray.stages.index import fuzzy_join
+
+    needles = pd.DataFrame({"needle_ref": ["q"], "text": ["hello world"]})
+    catalog = pd.DataFrame({"ref": ["c", "c"],
+                            "text": ["hello world", "hello world exactly"]})
+    out = fuzzy_join(rd.from_pandas(needles), rd.from_pandas(catalog),
+                     needle_id="needle_ref", k=5).to_pandas()
+    assert len(out) == 2 and set(out.ref) == {"c"}
