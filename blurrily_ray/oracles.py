@@ -744,15 +744,18 @@ def sql_pricing_summary() -> str:
     Micro-integer sums: CAST(FLOOR(x*1e6) AS BIGINT) per row, summed —
     FLOOR not ROUND, and the multiplication chains are left-associated in
     both engines so the IEEE doubles (and hence the floors) bit-match."""
-    return """SELECT *, sum_qty_micro // n_rows AS avg_qty_micro,
-       sum_base_micro // n_rows AS avg_price_micro
+    return """SELECT *, CAST(sum_qty_micro // n_rows AS BIGINT) AS avg_qty_micro,
+       CAST(sum_base_micro // n_rows AS BIGINT) AS avg_price_micro
 FROM (SELECT l_returnflag, l_linestatus,
-             SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT)) AS sum_qty_micro,
-             SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT)) AS sum_base_micro,
-             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)
-                      AS BIGINT)) AS sum_disc_micro,
-             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                            * 1e6) AS BIGINT)) AS sum_charge_micro,
+             CAST(SUM(CAST(FLOOR(l_quantity * 1e6) AS BIGINT))
+                  AS BIGINT) AS sum_qty_micro,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6) AS BIGINT))
+                  AS BIGINT) AS sum_base_micro,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6)
+                           AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 1e6) AS BIGINT))
+                  AS BIGINT) AS sum_charge_micro,
              COUNT(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag, l_linestatus)"""
 
@@ -761,7 +764,8 @@ def sql_revenue_by_nation() -> str:
     """orders ⋈ customer ⋈ nation revenue rollup
     (stages/relational.py revenue_by_nation)."""
     return """SELECT n_name,
-       SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT)) AS revenue_micro,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1e6) AS BIGINT))
+            AS BIGINT) AS revenue_micro,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

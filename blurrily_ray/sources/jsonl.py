@@ -14,16 +14,25 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def read_transcripts_jsonl(paths, *, columns: list[str] | None = None):
+def read_transcripts_jsonl(paths, *, columns: list[str] | None = None,
+                           ts_unit: str | None = None):
     """JSONL shards → transcript Dataset. Default projection is the
     BASELINE.json input_hint schema (conv_id, turn_idx, role, text, tool,
     ts); pass ``columns`` to prune harder. Raises on missing columns and
     casts turn_idx to int32 / ts to timestamp[us] for parity with the
-    parquet path."""
+    parquet path.
+
+    ``ts_unit`` fixes the epoch scale ('s'|'ms'|'us'|'ns') for integer ts
+    columns. When None it is detected ONCE for the whole dataset (max
+    magnitude aggregated across all blocks) — never per batch, which could
+    silently decode different blocks of one column at different scales
+    (e.g. a block of pre-1973 millisecond values reads as seconds)."""
     import ray.data
 
     want = columns or ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     ds = ray.data.read_json(paths)
+    if "ts" in want and ts_unit is None:
+        ts_unit = _detect_epoch_unit(ds)
 
     def project(batch: pa.Table) -> pa.Table:
         missing = [c for c in want if c not in batch.column_names]
@@ -37,32 +46,65 @@ def read_transcripts_jsonl(paths, *, columns: list[str] | None = None):
             if c == "turn_idx":
                 col = col.cast(pa.int32())
             elif c == "ts" and not pa.types.is_timestamp(col.type):
-                col = _parse_epoch(col)
+                col = _parse_epoch(col, unit=ts_unit)
             cols[c] = col
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def _parse_epoch(col) -> pa.Array:
-    """Integer epoch → timestamp[us], unit detected by magnitude (JSON
-    writers disagree: pandas-style emits seconds, Arrow emits ms/us; the
-    four units differ by 10^3 each so current-era values disambiguate).
-    String columns parse as ISO timestamps."""
+def _unit_for_magnitude(mx: int) -> str:
+    """Epoch unit from max |value| (the four units differ by 10^3 each so
+    current-era values disambiguate)."""
+    if mx < 10**11:        # seconds until year ~5138
+        return "s"
+    if mx < 10**14:        # milliseconds
+        return "ms"
+    if mx < 10**17:        # microseconds
+        return "us"
+    return "ns"
+
+
+def _detect_epoch_unit(ds) -> str | None:
+    """One cheap extra pass: per-block max |ts| (one row per block leaves
+    each task), maxed on the driver. Returns None when ts is already a
+    timestamp / string everywhere (nothing to detect)."""
+    import pyarrow.compute as pc
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names:
+            return pa.table({"mx": pa.array([], type=pa.int64())})
+        col = batch["ts"]
+        if (pa.types.is_timestamp(col.type) or pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
+            return pa.table({"mx": pa.array([], type=pa.int64())})
+        m = pc.max(pc.abs(col.cast(pa.int64()))).as_py()
+        return pa.table({"mx": pa.array([0 if m is None else m],
+                                        type=pa.int64())})
+
+    rows = ds.map_batches(block_max, batch_format="pyarrow").take_all()
+    if not rows:
+        return None
+    return _unit_for_magnitude(max(r["mx"] for r in rows))
+
+
+def _parse_epoch(col, *, unit: str | None = None) -> pa.Array:
+    """Integer epoch → timestamp[us] at a FIXED unit; callers that read
+    multi-block datasets must detect the unit once dataset-wide
+    (``_detect_epoch_unit``) — per-batch magnitude inference can decode
+    sibling blocks at different scales. ``unit=None`` falls back to
+    batch-local detection for single-table/driver use only. String
+    columns parse as ISO timestamps."""
     import pyarrow.compute as pc
 
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         return col.cast(pa.timestamp("us"))
     col = col.cast(pa.int64())
-    mx = pc.max(pc.abs(col)).as_py() or 0
-    if mx < 10**11:        # seconds until year ~5138
-        mult = 1_000_000
-    elif mx < 10**14:      # milliseconds
-        mult = 1_000
-    elif mx < 10**17:      # microseconds
-        mult = 1
-    else:                  # nanoseconds
+    if unit is None:
+        unit = _unit_for_magnitude(pc.max(pc.abs(col)).as_py() or 0)
+    if unit == "ns":
         return pc.divide(col, 1_000).cast(pa.timestamp("us"))
+    mult = {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
     return pc.multiply(col, mult).cast(pa.timestamp("us"))
 
 
@@ -90,6 +132,7 @@ def write_needle_tsv(docs, path: str, *, ref_col: str = "ref",
             refs = batch[ref_col].to_pylist()
             texts = batch[text_col].to_pylist()
             for r, t in zip(refs, texts):
-                t = (t or "").replace("\t", " ").replace("\n", " ")
+                t = (t or "").replace("\t", " ").replace("\n", " ") \
+                             .replace("\r", " ")
                 f.write(f"{r}\t{t}\n")
     return path

@@ -26,10 +26,18 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _col_hash(col: pd.Series) -> np.ndarray:
-    """Stable (process-independent) uint64 hash of a key column."""
+    """Stable (process-independent) uint64 hash of a key column. String
+    keys go through ``pd.util.hash_array`` (fixed-key siphash, vectorized
+    C, stable across processes) — this sits on the labeling pass of every
+    string-keyed ``partitioned_map`` (digests, dedup keys, hll groups,
+    vocab tokens), so a per-row Python loop here throttles the whole
+    generic path."""
     v = col.to_numpy()
     if np.issubdtype(v.dtype, np.integer):
         h = v.astype(np.uint64, copy=True)
+    elif v.dtype == object or v.dtype.kind in "US":
+        h = pd.util.hash_array(
+            v if v.dtype == object else v.astype(object), categorize=False)
     else:
         h = np.fromiter(
             (hash_str(s) for s in v.astype(str)), dtype=np.uint64, count=len(v))

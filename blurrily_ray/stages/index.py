@@ -330,10 +330,12 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
         for qi in range(len(batch)):
             m = _popcount_and(cat_bits, qbuf[qi])
             hit = np.nonzero(m > 0)[0]
-            if len(hit) > k:
-                order = np.lexsort((row_refs[hit], cat_wt[hit],
-                                    -m[hit]))[:k]
-                hit = hit[order]
+            # sort EVERY needle's hits (matches DESC, weight ASC, ref ASC),
+            # not just the >k case: consumers take the first row per needle
+            # as the best match, so catalog-row order is wrong even when
+            # everything fits in k
+            order = np.lexsort((row_refs[hit], cat_wt[hit], -m[hit]))[:k]
+            hit = hit[order]
             qpos.append(np.full(len(hit), qi, dtype=np.int64))
             hits.append(hit)
             ms.append(m[hit])

@@ -54,6 +54,11 @@ def broadcast_join(ds, small, *, on: str, right_on: str | None = None,
 
     from blurrily_ray.stages.pairs import _cached_get
 
+    if how not in ("inner", "left"):
+        # anything else ('outer', 'right', a typo) would silently take the
+        # left-join branch below and return wrong results
+        raise ValueError(f"broadcast_join: how={how!r} not supported; "
+                         "use 'inner' or 'left'")
     right_on = right_on or on
     if isinstance(small, pd.DataFrame):
         small = pa.Table.from_pandas(small, preserve_index=False)

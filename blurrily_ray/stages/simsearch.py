@@ -100,31 +100,28 @@ def ivf_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
     recall but needs an iteration loop). Assignment and ranking use
     round(cos, 6) with ties by id so both engines agree exactly.
     Output (query_id, rank, neighbor_id), recall < 1 by construction."""
-    cents_rows, cent_ids = [], []
-    for batch in embeddings.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ids < n_centroids
-        if keep.any():
-            cent_ids.append(ids[keep])
-            cents_rows.append(_matrix(batch.filter(pa.array(keep)), vec_col))
-    cent_ids = np.concatenate(cent_ids)
-    order = np.argsort(cent_ids)
-    cents = _unit(np.concatenate(cents_rows)[order])
-
+    # centroid + query rows selected by a DISTRIBUTED filter — only the
+    # ~n_centroids + |query_ids| matching rows reach the driver (same
+    # pattern as knn_brute's pick). Streaming the full table through the
+    # driver to select 26 rows would make this op a full-corpus pull at
+    # 100 TB.
     qarr = np.unique(np.fromiter((int(q) for q in query_ids), dtype=np.int64))
-    q_rows = []
-    for batch in embeddings.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
+
+    def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.isin(ids, qarr)
-        if keep.any():
-            sub = batch.filter(pa.array(keep))
-            q_rows.append((ids[keep], _matrix(sub, vec_col)))
-    q_ids = np.concatenate([r[0] for r in q_rows])
-    qo = np.argsort(q_ids)
-    q_ids = q_ids[qo]
-    q_mat = _unit(np.concatenate([r[1] for r in q_rows])[qo])
+        keep = (ids < n_centroids) | np.isin(ids, qarr)
+        return batch.filter(pa.array(keep))
+
+    rows = embeddings.select_columns([id_col, vec_col]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    cmask = ids_all < n_centroids
+    cents = _unit(mat_all[cmask][np.argsort(ids_all[cmask])])
+    qmask = np.isin(ids_all, qarr)
+    qo = np.argsort(ids_all[qmask])
+    q_ids = ids_all[qmask][qo]
+    q_mat = _unit(mat_all[qmask][qo])
     # per-query probe sets: n_probe closest cells (round 6dp, tie → cid)
     q_cos = np.round(q_mat @ cents.T, 6)
     # stable argsort keeps equal-cos cells in ascending-cid order — the

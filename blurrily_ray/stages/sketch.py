@@ -65,10 +65,18 @@ def hll_token_registers(docs, *, group_col: str = "source",
                             "max_rank": rank_u[inv]})
         out = out.groupby([group_col, "bucket"], as_index=False).max()
         # explicit Arrow types: an all-empty block must not emit null-typed
-        # columns (they poison the downstream union's schema)
+        # columns (they poison the downstream union's schema). The group
+        # column's type is DERIVED from the input (an int64 source id must
+        # stay int64); only genuinely type-less empty object columns fall
+        # back to string.
+        try:
+            gtype = pa.from_numpy_dtype(df[group_col].dtype)
+            garr = pa.array(out[group_col].to_numpy(), type=gtype)
+        except (pa.ArrowNotImplementedError, ValueError, TypeError):
+            garr = pa.array(out[group_col].to_numpy(dtype=object),
+                            type=pa.string())
         return pa.table({
-            group_col: pa.array(out[group_col].to_numpy(dtype=object),
-                                type=pa.string()),
+            group_col: garr,
             "bucket": pa.array(out["bucket"].to_numpy(), type=pa.int64()),
             "max_rank": pa.array(out["max_rank"].to_numpy(),
                                  type=pa.int64())})

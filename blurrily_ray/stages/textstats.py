@@ -134,21 +134,45 @@ def fingerprint(docs, *, id_col: str = "doc_id", text_col: str = "text",
     over all word ``ngram``-grams (winnowing-style min-sampling); documents
     with fewer than ``ngram`` tokens hash their whole trimmed text."""
 
-    def fp(text: str) -> str:
-        words = _TOKEN_RE.findall(text or "")
-        if len(words) < ngram:
-            return hashlib.md5((text or "").strip().encode()).hexdigest()
-        # byte-wise digest order == hex order (each byte maps to two fixed
-        # hex chars monotonically) — hex-encode only the winner. The md5
-        # per n-gram itself is irreducible: the fingerprint IS the min md5.
-        md5 = hashlib.md5
-        return min(
-            md5(" ".join(words[i:i + ngram]).encode()).digest()
-            for i in range(len(words) - ngram + 1)).hex()
-
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: df[id_col],
-                             "fingerprint": df[text_col].map(fp)})
+        # md5 once per DISTINCT n-gram of the batch (real corpora repeat
+        # grams heavily), then per-doc segment-min — the min-md5 contract
+        # doesn't require a digest per occurrence. Digest order == hex
+        # order == big-endian 128-bit order, so the min runs on (hi, lo)
+        # uint64 pairs: reduceat min on hi, tie-break min on lo among
+        # hi-minima. Hex-encode only the winners.
+        md5 = hashlib.md5
+        texts = df[text_col].to_numpy(dtype=object)
+        grams: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        out = np.empty(len(texts), dtype=object)
+        for i, t in enumerate(texts):
+            words = _TOKEN_RE.findall(t or "")
+            if len(words) < ngram:
+                out[i] = md5((t or "").strip().encode()).hexdigest()
+            else:
+                counts[i] = len(words) - ngram + 1
+                grams.extend(" ".join(words[j:j + ngram])
+                             for j in range(counts[i]))
+        if grams:
+            uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                                  return_inverse=True)
+            dig = b"".join(md5(g.encode()).digest() for g in uniq)
+            du = np.frombuffer(dig, dtype=">u8").reshape(-1, 2) \
+                   .astype(np.uint64)
+            hi, lo = du[:, 0][inv], du[:, 1][inv]
+            nz = counts > 0
+            offs = np.concatenate(
+                ([0], np.cumsum(counts[nz])[:-1])).astype(np.int64)
+            seg = np.repeat(np.arange(int(nz.sum())), counts[nz])
+            min_hi = np.minimum.reduceat(hi, offs)
+            lo_m = np.where(hi == min_hi[seg], lo,
+                            np.uint64(0xFFFFFFFFFFFFFFFF))
+            min_lo = np.minimum.reduceat(lo_m, offs)
+            out[np.nonzero(nz)[0]] = [
+                f"{a:016x}{b:016x}"
+                for a, b in zip(min_hi.tolist(), min_lo.tolist())]
+        return pd.DataFrame({id_col: df[id_col], "fingerprint": out})
 
     return docs.map_batches(fn, batch_format="pandas")
 

@@ -79,25 +79,31 @@ def main():
         ok_rows = len(ray_df) == len(ora_df)
         ok_cols = list(ray_df.columns) == list(ora_df.columns)
         ok_vals = False
+        ok_dtypes = True
         if ok_rows and ok_cols:
-            try:
-                import pandas as pd
-
-                a = ray_df.reset_index(drop=True)
-                b = ora_df.reset_index(drop=True)
-                for c in a.columns:  # tolerant dtype alignment like the driver
-                    if a[c].dtype != b[c].dtype:
-                        b[c] = b[c].astype(a[c].dtype)
-                ok_vals = a.equals(b)
-            except Exception as e:  # noqa: BLE001
-                ok_vals = False
-        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+            a = ray_df.reset_index(drop=True)
+            b = ora_df.reset_index(drop=True)
+            # STRICT dtypes: the driver hashes values post-sort, and a
+            # float64-vs-int64 divergence (e.g. DuckDB SUM(BIGINT)->HUGEINT
+            # ->float64) breaks its hash even when values are equal. Never
+            # coerce here, or this gate passes what the driver fails.
+            bad = [c for c in a.columns if a[c].dtype != b[c].dtype]
+            if bad:
+                ok_dtypes = False
+                print(f"  dtype mismatch (ray|oracle): "
+                      f"{[(c, str(a[c].dtype), str(b[c].dtype)) for c in bad]}")
+            else:
+                try:
+                    ok_vals = a.equals(b)
+                except Exception:  # noqa: BLE001
+                    ok_vals = False
+        status = "PASS" if (ok_rows and ok_cols and ok_dtypes and ok_vals) else "FAIL"
         print(f"{name:24s} {status} rows={len(ray_df)}/{len(ora_df)} "
               f"cols={'ok' if ok_cols else (list(ray_df.columns), list(ora_df.columns))} "
               f"vals={'ok' if ok_vals else 'MISMATCH'}  ray={t_ray:.1f}s sql={t_ora:.1f}s")
         if status == "FAIL":
             failures.append(name)
-            if ok_rows and ok_cols:
+            if ok_rows and ok_cols and ok_dtypes:
                 a = ray_df.reset_index(drop=True)
                 b = ora_df.reset_index(drop=True)
                 neq = (a != b).any(axis=1)
