@@ -12,11 +12,14 @@ command_processor.rb:12-51) over :class:`IndexGroup`:
 Error taxonomy and argument validation mirror command_processor.rb
 (golden strings from command_processor_spec.rb are pytest fixtures).
 
-Single PUTs buffer in memory per db (first-put-wins within the buffer)
-and flush to the IndexGroup as ONE delta segment before any read/delete —
-the batch analogue of the reference's O(1) in-memory put. Durability
-cadence mirrors server.rb:24-27: a background timer flushes every
-``save_interval`` seconds, SIGUSR1 forces a flush, and shutdown flushes.
+Single PUTs buffer in memory per db (first-put-wins within the buffer) and
+merge into the live LocalFinder arrays INCREMENTALLY on the next read
+(numpy appends + one re-sort — the serving analogue of the reference's
+O(1) in-place put, storage.c:398-473, so a mixed PUT/FIND workload like
+bin/bench:107-118's stress op stays in the ms regime). Durability is
+decoupled: buffered rows flush to the IndexGroup as ONE delta segment on
+the cadence of server.rb:24-27 — a background timer every
+``save_interval`` seconds, SIGUSR1, and shutdown.
 """
 
 from __future__ import annotations
@@ -53,8 +56,9 @@ class CommandProcessor:
 
     def __init__(self, group: IndexGroup):
         self.group = group
-        self._buf: dict[str, list] = {}
+        self._buf: dict[str, list] = {}          # rows pending DURABILITY
         self._buffered_refs: dict[str, set] = {}
+        self._pending: dict[str, list] = {}      # rows pending finder MERGE
         self._finders: dict = {}  # db → LocalFinder (serving kernel)
         self._lock = threading.Lock()
 
@@ -91,40 +95,59 @@ class CommandProcessor:
         refs = self._buffered_refs.setdefault(map_name, set())
         if int(ref) not in refs:  # first-put-wins inside the buffer
             refs.add(int(ref))
-            self._buf.setdefault(map_name, []).append(
-                {"ref": int(ref), "text": needle,
-                 "weight": int(weight) if weight else 0})
+            row = {"ref": int(ref), "text": needle,
+                   "weight": int(weight) if weight else 0}
+            self._buf.setdefault(map_name, []).append(row)
+            self._pending.setdefault(map_name, []).append(row)
         return None
 
     def on_DELETE(self, map_name, ref):
         if not (_NUM_RE.match(ref) and int(ref) in REF_RANGE):
             raise ProtocolError("Invalid reference")
+        # bring the live finder up to date BEFORE the delete so the
+        # buffered-put-then-delete ordering matches the durable replay
+        finder = self._finders.get(map_name)
+        if finder is not None:
+            finder.put_rows(self._pending.pop(map_name, None) or [])
         self._flush_locked(map_name)
         self.group.delete(map_name, [int(ref)])
-        self._finders.pop(map_name, None)
+        if finder is not None:
+            finder.delete_refs([int(ref)])
         return None
 
     def on_FIND(self, map_name, needle, limit=None):
         if limit is not None and not (_NUM_RE.match(limit)
                                       and int(limit) in LIMIT_RANGE):
             raise ProtocolError("Limit must be a number")
-        self._flush_locked(map_name)
         # serve from the in-memory inverted index (reference latency
-        # regime); (re)built only after the db changed
+        # regime). Buffered PUTs merge into the LIVE arrays incrementally
+        # (LocalFinder.put_rows — numpy appends + one re-sort, ms not
+        # seconds); the Ray-job flush to delta segments happens only on
+        # the durability timer / SIGUSR1 / shutdown, exactly like the
+        # reference's periodic save (server.rb:24-27).
         finder = self._finders.get(map_name)
         if finder is None:
             from blurrily_ray.stages.index import LocalFinder
 
             ix = self.group.db(map_name)
-            if ix is None:
+            buffered = self._buf.get(map_name) or []
+            if ix is None and not buffered:
                 return []
             finder = self._finders[map_name] = LocalFinder(ix)
+            # a fresh build reflects the GROUP; everything still buffered
+            # (flushed or not, _buf holds exactly the unflushed rows)
+            # merges on top — pending is subsumed by _buf here
+            self._pending.pop(map_name, None)
+            finder.put_rows(buffered)
+        else:
+            finder.put_rows(self._pending.pop(map_name, None) or [])
         triples = finder.find(needle, int(limit) if limit else 10)
         return [x for t in triples for x in t]
 
     def on_CLEAR(self, map_name):
         self._buf.pop(map_name, None)
         self._buffered_refs.pop(map_name, None)
+        self._pending.pop(map_name, None)
         self._finders.pop(map_name, None)
         self.group.clear(map_name)
         return None
@@ -141,7 +164,9 @@ class CommandProcessor:
         self.group.put_bulk(map_name, ray.data.from_items(rows),
                             ref_col="ref", text_col="text",
                             weight_col="weight")
-        self._finders.pop(map_name, None)  # index changed → rebuild lazily
+        # the live finder stays valid: rows it hasn't merged yet remain in
+        # _pending and merge on the next FIND; put_bulk's first-put-wins
+        # anti-join guarantees the durable state equals the served state
 
     def flush_all(self) -> None:
         """Durability point: buffered puts become delta segments (the

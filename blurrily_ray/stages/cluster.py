@@ -11,7 +11,9 @@ lexicographically smallest member ref of each component):
 
 - **Distributed hash-min label propagation** (the 10^12-turn path): labels
   start as self; each round ships every node's current label across its
-  edges and takes the min (groupby-aggregate). Converges in O(log n)
+  edges and takes the min (coarse hash-partitioned pandas merge + min —
+  see ``_distributed_hash_min`` for why not the native Ray aggregate).
+  Converges in O(log n)
   rounds for the diameter-bounded components ER produces ("Finding
   connected components in MapReduce in logarithmic rounds", ICDE 2013 —
   PAPERS.md). Convergence is detected with a distributed checksum
@@ -26,7 +28,8 @@ import pyarrow as pa
 import ray
 
 from blurrily_ray.config import DEFAULT, ERConfig
-from blurrily_ray.stages.common import join_partitions_cap
+from blurrily_ray.stages.common import (join_partitions_cap, partitioned_map,
+                                        partitioned_map2)
 from blurrily_ray.stages.pairs import _cached_get
 
 
@@ -102,7 +105,18 @@ def _checksum(labels) -> int:
 
 
 def _distributed_hash_min(edges, nodes, cfg: ERConfig) -> "ray.data.Dataset":
-    """labels dataset (node, label) via iterative hash-min over edges."""
+    """labels dataset (node, label) via iterative hash-min over edges.
+
+    Both per-round exchanges run on ``partitioned_map``/``partitioned_map2``
+    (pandas-fused coarse partitions) — NOT Ray's native ``Dataset.join`` /
+    ``groupby().aggregate(Min)``: the native aggregate was measured hanging
+    (>6 min) on 7.5M-row pair sets (NOTES_r2, same family as the round-1
+    HASH_SHUFFLE hang), and native joins emit zero-column empty blocks
+    that crash chained ops. Round = (1) co-partition propagation edges
+    with labels by src and merge per partition → messages (node, label);
+    (2) union messages with current labels, co-partition by node, min per
+    node. Identical semantics, exchange count unchanged (2/round)."""
+    n_parts = join_partitions_cap(cfg.join_partitions)
     edges_sym = edges.select_columns(["a", "b"]).map_batches(
         lambda t: pa.table({"src": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()]),
                             "dst": pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()])}),
@@ -110,7 +124,16 @@ def _distributed_hash_min(edges, nodes, cfg: ERConfig) -> "ray.data.Dataset":
     labels = nodes.map_batches(
         lambda t: pa.table({"node": t["ref"], "label": t["ref"]}),
         batch_format="pyarrow").materialize()
-    from ray.data.aggregate import Min
+    if edges_sym.count() == 0:
+        return labels.rename_columns({"node": "ref", "label": "cluster_id"})
+
+    def deliver(edf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        out = edf.merge(ldf, left_on="src", right_on="node", how="inner")
+        return pd.DataFrame({"node": out["dst"].to_numpy(),
+                             "label": out["label"].to_numpy()})
+
+    def node_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False, sort=False)["label"].min()
 
     prev_sum = _checksum(labels)
     converged = False
@@ -123,13 +146,18 @@ def _distributed_hash_min(edges, nodes, cfg: ERConfig) -> "ray.data.Dataset":
         lab_edges = labels.map_batches(
             lambda t: pa.table({"src": t["label"], "dst": t["node"]}),
             batch_format="pyarrow")
-        msgs = edges_sym.union(lab_edges).join(
-            labels.rename_columns({"node": "src"}), join_type="inner",
-            on=("src",), num_partitions=join_partitions_cap(cfg.join_partitions)) \
-            .select_columns(["dst", "label"]) \
-            .rename_columns({"dst": "node"})
-        labels_new = labels.union(msgs).groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
+        msgs = partitioned_map2(edges_sym.union(lab_edges), labels,
+                                ["src"], ["node"], deliver, n_parts=n_parts)
+        # repartition BEFORE materializing: groupby().map_groups emits
+        # roughly one (mostly empty) block per input block, so an
+        # iterative loop that feeds each round's output into the next
+        # TRIPLES its block count every round (measured 37 → 111 → 333 →
+        # 999 on a 13-node fixture) until the streaming executor wedges
+        # under thousands of empty blocks. Pinning labels back to n_parts
+        # blocks per round makes the loop steady-state.
+        labels_new = partitioned_map(labels.union(msgs), ["node"], node_min,
+                                     n_parts=n_parts) \
+            .repartition(n_parts).materialize()
         new_sum = _checksum(labels_new)
         labels = labels_new
         if new_sum == prev_sum:

@@ -222,10 +222,10 @@ class LocalFinder:
     remains the batch path; LocalFinder is the latency path (used by
     server.py for wire FINDs)."""
 
-    def __init__(self, postings):
+    def __init__(self, postings=None):
         tris_l, refs_l, wts_l = [], [], []
-        for batch in postings.iter_batches(batch_size=None,
-                                           batch_format="pyarrow"):
+        for batch in ([] if postings is None else postings.iter_batches(
+                batch_size=None, batch_format="pyarrow")):
             tris_l.append(batch["trigram"].to_numpy(zero_copy_only=False)
                           .astype(np.int64))
             r = np.asarray(batch["ref"])
@@ -269,6 +269,92 @@ class LocalFinder:
     def stats(self) -> dict:
         return {"references": int(len(self.refs)),
                 "trigrams": int(len(self.ref_ids))}
+
+    def _rebuild_postings(self, tri: np.ndarray, rid: np.ndarray) -> None:
+        order = np.argsort(tri, kind="stable")
+        self.ref_ids = rid[order].astype(np.int64)
+        counts = np.bincount(tri, minlength=NUM_TRIGRAMS)
+        self.offsets = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+
+    def _tri_column(self) -> np.ndarray:
+        """Reconstruct the (sorted) trigram column from the range offsets."""
+        return np.repeat(np.arange(NUM_TRIGRAMS, dtype=np.int64),
+                         np.diff(self.offsets))
+
+    def put_rows(self, rows) -> int:
+        """Incremental PUT: merge ``[{ref, text, weight}]`` rows into the
+        live arrays — the serving-path analogue of the reference's in-place
+        append (storage.c:398-473, ~100 µs PUT with the next FIND at 1-2
+        ms). A wire PUT must not cost a Ray job + full rebuild on the next
+        FIND; here it is tokenize-the-new-rows + one stable re-sort of the
+        postings, all local numpy. First-put-wins against refs already
+        live (storage.c:408) and within ``rows``; weight 0 defaults to the
+        normalized length (storage.c:409). Returns rows actually added."""
+        if not rows:
+            return 0
+        want_str = self.refs.dtype.kind in "UO"
+        new_refs, new_wts, code_lists = [], [], []
+        seen: set = set()
+        for r in rows:
+            ref = str(r["ref"]) if want_str else int(r["ref"])
+            if ref in seen:
+                continue
+            if len(self.refs):
+                p = int(np.searchsorted(self.refs, ref))
+                if p < len(self.refs) and self.refs[p] == ref:
+                    continue  # first-put-wins: ref already live
+            seen.add(ref)
+            norm = normalize_string(r.get("text") or "")
+            w = int(r.get("weight") or 0) or len(norm)
+            new_refs.append(ref)
+            new_wts.append(w)
+            code_lists.append(np.asarray(tokenize(norm), dtype=np.int64))
+        if not new_refs:
+            return 0
+        new_arr = np.asarray(new_refs)
+        combined = np.unique(np.concatenate([self.refs, new_arr])
+                             if len(self.refs) else new_arr)
+        old_map = np.searchsorted(combined, self.refs)
+        new_map = np.searchsorted(combined, new_arr)
+        weights = np.zeros(len(combined), dtype=np.int64)
+        weights[old_map] = self.weights
+        weights[new_map] = np.asarray(new_wts, dtype=np.int64)
+        tri = np.concatenate([self._tri_column()] + code_lists)
+        rid = np.concatenate(
+            [old_map[self.ref_ids],
+             np.repeat(new_map, [len(c) for c in code_lists])])
+        self.refs = combined
+        self.weights = weights
+        self._rebuild_postings(tri, rid)
+        return len(new_refs)
+
+    def delete_refs(self, refs) -> int:
+        """Incremental DELETE: drop the postings and dictionary entries of
+        ``refs``; missing refs are no-ops (storage.c:584-612). Returns the
+        number of refs actually removed."""
+        if not len(self.refs):
+            return 0
+        want_str = self.refs.dtype.kind in "UO"
+        arr = np.unique(np.asarray(
+            [str(r) if want_str else int(r) for r in refs]))
+        pos = np.searchsorted(self.refs, arr)
+        ok = pos < len(self.refs)
+        match = np.zeros(len(arr), dtype=bool)
+        match[ok] = self.refs[pos[ok]] == arr[ok]
+        del_ids = pos[match]
+        if not len(del_ids):
+            return 0
+        keep_ref = np.ones(len(self.refs), dtype=bool)
+        keep_ref[del_ids] = False
+        keep_post = keep_ref[self.ref_ids]
+        tri = self._tri_column()[keep_post]
+        remap = np.cumsum(keep_ref) - 1  # old id → compacted id
+        rid = remap[self.ref_ids[keep_post]]
+        self.refs = self.refs[keep_ref]
+        self.weights = self.weights[keep_ref]
+        self._rebuild_postings(tri, rid)
+        return int(len(del_ids))
 
 
 def save(postings, path: str) -> str:

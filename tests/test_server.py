@@ -114,3 +114,53 @@ def test_tcp_roundtrip(tmp_path):
     # save-on-shutdown: buffered puts became durable segments
     g = IndexGroup(str(tmp_path / "srv"))
     assert g.find("paris_db", "paris") == [[123, 6, 5]]
+
+
+def test_put_find_incremental_latency(tmp_path):
+    """A wire PUT followed by FIND must stay in the reference's ms regime
+    on a 5k-doc index (bin/bench:107-118's stress mix is exactly this):
+    the buffered rows merge into the live LocalFinder arrays instead of
+    triggering a Ray flush + full rebuild."""
+    import time
+
+    import ray.data as rd
+
+    g = IndexGroup(str(tmp_path / "srv"))
+    docs = rd.read_parquet("/root/testdata/sf0.1/documents.parquet",
+                           columns=["doc_id", "text"])
+    g.put_bulk("docs", docs, ref_col="doc_id", text_col="text")
+    proc = CommandProcessor(g)
+    assert proc.process_command("FIND\tdocs\twarm the finder") \
+        .startswith("OK")
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        assert proc.process_command(
+            f"PUT\tdocs\tcustomer query batch window {i}\t{900000 + i}") == "OK"
+        reply = proc.process_command(
+            f"FIND\tdocs\tcustomer query batch window {i}")
+        best = min(best, time.perf_counter() - t0)
+        assert reply.startswith("OK\t") and str(900000 + i) in reply
+    assert best < 0.1, f"PUT;FIND took {best * 1000:.1f} ms (want < 100 ms)"
+
+
+def test_incremental_serving_matches_rebuild(tmp_path):
+    """Interleaved PUT/FIND/DELETE served incrementally must equal a fresh
+    processor replaying the durable state (flush + rebuild path)."""
+    proc = CommandProcessor(IndexGroup(str(tmp_path / "srv")))
+    assert proc.process_command("PUT\tdb\tgreat london\t12") == "OK"
+    assert proc.process_command("FIND\tdb\tgreat") == "OK\t12\t6\t12"
+    # PUT after the finder exists → incremental merge on next FIND
+    assert proc.process_command("PUT\tdb\tgreater masovian\t13") == "OK"
+    live = proc.process_command("FIND\tdb\tgreat")
+    assert live == "OK\t12\t6\t12\t13\t5\t16"
+    # DELETE applies to the live arrays without a rebuild
+    assert proc.process_command("DELETE\tdb\t12") == "OK"
+    assert proc.process_command("FIND\tdb\tgreat") == "OK\t13\t5\t16"
+    # re-PUT of a deleted ref re-adds (tombstones are sequenced)
+    assert proc.process_command("PUT\tdb\tgreat london\t12") == "OK"
+    live = proc.process_command("FIND\tdb\tgreat")
+    proc.flush_all()
+    fresh = CommandProcessor(IndexGroup(str(tmp_path / "srv")))
+    assert fresh.process_command("FIND\tdb\tgreat") == live \
+        == "OK\t12\t6\t12\t13\t5\t16"
