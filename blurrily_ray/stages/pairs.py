@@ -552,7 +552,12 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
     from blurrily_ray.stages.common import partitioned_map
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_parts = max(cfg.join_partitions, 4 * n_cpus)
+    # scale partition count with the cluster, never a fixed floor: at low
+    # widths (2-8 CPUs) a 32-partition floor shreds the blob exchange into
+    # n_blocks × 32 tiny rows and pays 16 scheduling waves per 2 cores,
+    # fixed costs the wide run doesn't pay (the 2→8 exchange-floor study,
+    # BASELINE.md)
+    n_parts = max(8, 4 * n_cpus)
 
     def part_t1(batch: pa.Table) -> np.ndarray:
         k = batch["key"].to_numpy(zero_copy_only=False)
@@ -985,9 +990,11 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
         packed = "ab" in raw_pairs.schema().names
     key_cols = ["ab"] if packed else ["a", "b"]
     # packed (ab, n) rows take the blob exchange — the (a,b)-hash
-    # all-to-all is the pipeline's largest row count by far
+    # all-to-all is the pipeline's largest row count by far. Partition
+    # count scales with the cluster (no fixed floor) so low-width runs
+    # don't shred the exchange — see candidate_pairs_fused_blocking.
     return partitioned_map(raw_pairs, key_cols, fused,
-                           n_parts=max(cfg.join_partitions, 8 * n_cpus),
+                           n_parts=max(8, 8 * n_cpus),
                            packed_cols=["ab", "n"] if packed else None)
 
 
