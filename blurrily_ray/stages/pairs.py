@@ -567,17 +567,22 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
         t1 ^= t1 >> np.uint64(29)
         return (t1 % np.uint64(n_parts)).astype(np.int64)
 
-    # surrogate-id emissions are pure int64 → blob-packed exchange (the
+    # surrogate-id emissions are pure ints → blob-packed exchange (the
     # all-to-all sees n_blocks × n_parts blob rows, not 20M+ scalar rows).
+    # Wire dtypes are as NARROW as the value ranges allow — exchange bytes
+    # drive the all-to-all's single-box cost superlinearly (common.py):
+    # ref is an int32-range surrogate by contract; the composite key fits
+    # int32 up to arity 2 (21952² < 2^31) and needs int64 at arity 3.
     # int_refs comes from the caller when known — ds.schema() here would
     # trigger a partial execution barrier (measured 10-16 s at sf1.0).
     if int_refs is None:
         sch = keys_ds.schema()
         int_refs = pa.types.is_integer(
             dict(zip(sch.names, sch.types))["ref"])
-    pairs = partitioned_map(keys_ds, ["key"], pairgen_by_key,
-                            part_fn=part_t1, n_parts=n_parts,
-                            packed_cols=["key", "ref"] if int_refs else None)
+    key_dtype = np.int32 if arity <= 2 else np.int64
+    pairs = partitioned_map(
+        keys_ds, ["key"], pairgen_by_key, part_fn=part_t1, n_parts=n_parts,
+        packed_cols={"key": key_dtype, "ref": np.int32} if int_refs else None)
     return pairs, {"mode": "fused_blocking", "stoplist_cap": cap}
 
 
@@ -993,9 +998,13 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
     # all-to-all is the pipeline's largest row count by far. Partition
     # count scales with the cluster (no fixed floor) so low-width runs
     # don't shred the exchange — see candidate_pairs_fused_blocking.
+    # n rides the wire as uint16 (a pair's per-partition co-key count is
+    # bounded by one doc's blocking keys ≤ C(14,3)=364 composite / ntri
+    # single — far under 2^16), cutting the exchange 16 → 10 B/row.
     return partitioned_map(raw_pairs, key_cols, fused,
                            n_parts=max(8, 8 * n_cpus),
-                           packed_cols=["ab", "n"] if packed else None)
+                           packed_cols={"ab": np.int64, "n": np.uint16}
+                           if packed else None)
 
 
 def threshold_edges(scored, cfg: ERConfig = DEFAULT):
