@@ -268,6 +268,20 @@ def _q_ivf_knn(sf_dir: str):
     return _i64(ivf_knn(emb, query_ids=range(10), k=10))
 
 
+def _q_ivf_knn_kmeans(sf_dir: str):
+    # distributed spherical-kmeans centroids: iterative float means are
+    # not SQL-expressible, so this entry is deliberately NOT in
+    # oracle_sql() (driver records the rows-only check; determinism and
+    # exactness-at-full-probe are pytest-pinned instead)
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import ivf_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(ivf_knn(emb, query_ids=range(10), k=10,
+                        centroid_mode="kmeans"))
+
+
 def _q_embed_neardup(sf_dir: str):
     import ray.data
 
@@ -582,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": _q_decontaminate,
         "knn_embeddings": _q_knn,
         "ivf_knn_embeddings": _q_ivf_knn,
+        "ivf_knn_kmeans_embeddings": _q_ivf_knn_kmeans,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,

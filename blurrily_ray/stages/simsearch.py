@@ -87,37 +87,129 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
         .groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def kmeans_centroids(embeddings, k: int = 16, *, n_iters: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed spherical k-means — the iterative centroid source for
+    :func:`ivf_knn` on CLUSTERED corpora (real embedding tables), where
+    cells should track the data's cluster structure. NB on the synthetic
+    near-uniform test embeddings, data-point centroids measure BETTER
+    (recall@10 0.92 vs 0.64 at n_probe=4/16): normalized cluster means of
+    random data smooth toward each other and blur the probe ordering —
+    the id pick is not just an oracle convenience there.
+
+    Fully distributed, nothing corpus-sized touches the driver:
+
+    - **init**: the k vectors with the smallest stable hash(id) — each
+      block emits its local k smallest (k rows per block), the driver
+      merges k×n_blocks tiny rows.
+    - **iterations**: one ``map_batches`` pass per Lloyd round emits
+      per-cell partial (count, vector-sum) rows — k rows per block, the
+      classic map-side combiner — and the driver reduces k×dim floats
+      and re-broadcasts via ``ray.put``. Empty cells keep their previous
+      centroid.
+
+    Iterative float means are not SQL-expressible, so this path has no
+    DuckDB oracle; determinism and recall-vs-brute are pinned by pytest.
+    Returns a unit-normalized (k, dim) float64 matrix."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity imports)
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return batch.slice(0, 0)
+        h = pd.util.hash_array(ids)  # stable across processes
+        keep = np.argsort(h, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    seeds = embeddings.select_columns([id_col, vec_col]) \
+        .map_batches(seed_rows, batch_format="pyarrow").take_all()
+    sid = np.array([r[id_col] for r in seeds], dtype=np.int64)
+    smat = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    order = np.argsort(pd.util.hash_array(sid), kind="stable")[:k]
+    cents = _unit(smat[order])
+    dim = cents.shape[1]
+
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = _cached_get(cref)
+            m = _unit(_matrix(batch, vec_col))
+            if not len(m):
+                return pa.table({
+                    "cell": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            cell = np.argmax(np.round(m @ c.T, 6), axis=1)
+            o = np.argsort(cell, kind="stable")
+            cs = cell[o]
+            bnd = np.nonzero(cs[1:] != cs[:-1])[0] + 1
+            starts = np.concatenate(([0], bnd))
+            sums = np.add.reduceat(m[o], starts, axis=0)
+            cells = cs[starts]
+            cnts = np.diff(np.concatenate((starts, [len(cs)])))
+            return pa.table({
+                "cell": pa.array(cells.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64()))})
+
+        rows = embeddings.select_columns([vec_col]) \
+            .map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((len(cents), dim))
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            cnts[r["cell"]] += r["cnt"]
+        new = cents.copy()  # empty cells keep their previous centroid
+        nz = cnts > 0
+        new[nz] = _unit(sums[nz] / cnts[nz, None])
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents
+
+
 def ivf_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
             n_probe: int = 4, id_col: str = "vec_id",
-            vec_col: str = "embedding"):
+            vec_col: str = "embedding", centroid_mode: str = "ids"):
     """IVF (inverted-file) approximate kNN — the cell-probing scale path:
     every vector is assigned to its nearest of ``n_centroids`` centroid
     cells ONCE; a query exhaustively scores only its ``n_probe`` closest
     cells (n_probe/n_centroids of the corpus instead of all of it).
 
-    Centroids are the vectors with ids 0..n_centroids-1 (deterministic —
-    a DuckDB oracle reproduces the identical cells; k-means would improve
-    recall but needs an iteration loop). Assignment and ranking use
+    ``centroid_mode="ids"`` (default) uses the vectors with ids
+    0..n_centroids-1 — deterministic so a DuckDB oracle reproduces the
+    identical cells; ``"kmeans"`` uses :func:`kmeans_centroids`
+    (iterative Lloyd cells for clustered corpora, pytest-pinned instead
+    of oracled — see its recall note). Assignment and ranking use
     round(cos, 6) with ties by id so both engines agree exactly.
     Output (query_id, rank, neighbor_id), recall < 1 by construction."""
     # centroid + query rows selected by a DISTRIBUTED filter — only the
     # ~n_centroids + |query_ids| matching rows reach the driver (same
     # pattern as knn_brute's pick). Streaming the full table through the
     # driver to select 26 rows would make this op a full-corpus pull at
-    # 100 TB.
+    # 100 TB. centroid_mode="kmeans" replaces the id-based pick with
+    # distributed spherical k-means (better recall, no SQL oracle).
     qarr = np.unique(np.fromiter((int(q) for q in query_ids), dtype=np.int64))
+    want_cents = centroid_mode == "ids"
 
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (ids < n_centroids) | np.isin(ids, qarr)
+        keep = np.isin(ids, qarr)
+        if want_cents:
+            keep |= ids < n_centroids
         return batch.filter(pa.array(keep))
 
     rows = embeddings.select_columns([id_col, vec_col]) \
         .map_batches(pick, batch_format="pyarrow").take_all()
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    cmask = ids_all < n_centroids
-    cents = _unit(mat_all[cmask][np.argsort(ids_all[cmask])])
+    if want_cents:
+        cmask = ids_all < n_centroids
+        cents = _unit(mat_all[cmask][np.argsort(ids_all[cmask])])
+    else:
+        cents = kmeans_centroids(embeddings, n_centroids,
+                                 id_col=id_col, vec_col=vec_col)
     qmask = np.isin(ids_all, qarr)
     qo = np.argsort(ids_all[qmask])
     q_ids = ids_all[qmask][qo]

@@ -722,3 +722,33 @@ def test_deterministic_split_partitions_disjoint_and_stable(docs):
 
     with _pytest.raises(ValueError):
         deterministic_split(docs, key_col="doc_id", lo=10, hi=10)
+
+
+def test_ivf_knn_kmeans_centroids():
+    """kmeans centroid mode: deterministic across runs, degenerates to
+    exact brute kNN when every cell is probed, and the planted twin is
+    still rank 1 under partial probing."""
+    from blurrily_ray.stages.simsearch import (ivf_knn, kmeans_centroids,
+                                               knn_brute)
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[17] = base[5] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    emb = ray.data.from_items(
+        [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)])
+    c1 = kmeans_centroids(emb, 8)
+    c2 = kmeans_centroids(emb, 8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    brute = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in knn_brute(emb, query_ids=[5, 6], k=5).take_all())
+    full = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                  for r in ivf_knn(emb, query_ids=[5, 6], k=5, n_centroids=8,
+                                   n_probe=8,
+                                   centroid_mode="kmeans").take_all())
+    assert full == brute
+    part = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_knn(emb, query_ids=[5], k=5, n_centroids=8,
+                             n_probe=2, centroid_mode="kmeans").take_all()}
+    assert part[(5, 1)] == 17
