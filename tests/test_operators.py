@@ -752,3 +752,11 @@ def test_ivf_knn_kmeans_centroids():
             for r in ivf_knn(emb, query_ids=[5], k=5, n_centroids=8,
                              n_probe=2, centroid_mode="kmeans").take_all()}
     assert part[(5, 1)] == 17
+
+
+def test_trim_worker_heaps():
+    from blurrily_ray.state.maintenance import trim_worker_heaps
+
+    n = trim_worker_heaps(n_tasks=4, hold=0.05)
+    assert 0 <= n <= 4
+    assert n >= 1  # glibc container: malloc_trim must be reachable
