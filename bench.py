@@ -211,14 +211,13 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
     queries["delete_ms"] = round(statistics.median(lats), 3)
     cli.close()
     srv.stop()
-    # load: durable segments → serving-ready LocalFinder (the reference
-    # mmaps in ~10 ms; here it is a parquet read + array build)
-    from blurrily_ray.stages.index import LocalFinder
-
+    # load: durable segments → serving-ready LocalFinder via the Ray-free
+    # pyarrow path (the reference mmaps in ~10 ms; this is parquet reads
+    # + a numpy array build, no Ray job)
     t0 = time.perf_counter()
     g2 = IndexGroup(srv_dir)
-    LocalFinder(g2.db("docs"))
-    queries["load_sec"] = round(time.perf_counter() - t0, 3)
+    assert g2.local_finder("docs") is not None
+    queries["load_ms"] = round((time.perf_counter() - t0) * 1000, 3)
 
     from blurrily_ray.stages.dedup import minhash_dedup_pairs
 

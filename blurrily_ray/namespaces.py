@@ -152,6 +152,47 @@ class IndexGroup:
         self._cache[name] = ds
         return ds
 
+    def local_postings(self, name: str) -> "pa.Table | None":
+        """Serving-path replay: the same segments ⊖ tombstones union as
+        :meth:`db`, read DIRECTLY with pyarrow — no Ray job, no Dataset.
+        This is the LOAD analogue of the reference's ~10 ms mmap open
+        (storage.c:210-266): a few parquet reads + one numpy tombstone
+        filter, milliseconds-not-seconds, so a serving process (server.py)
+        can become query-ready without paying Ray scheduling. The Dataset
+        path (:meth:`db`) remains the batch/pipeline surface."""
+        import glob as _glob
+
+        ops = self._migrate_legacy(name)
+        tables = []
+        for op in ops:
+            if op["op"] != "seg":
+                continue
+            files = sorted(_glob.glob(os.path.join(
+                self._path(name), op["dir"], "data", "*.parquet")))
+            if not files:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files])
+            tomb = self._tomb_refs(name, op["seq"])
+            if len(tomb) and len(t):
+                r = np.asarray(t["ref"].combine_chunks())
+                if r.dtype == object:
+                    r = r.astype(str)
+                idx = np.searchsorted(tomb, r)
+                idx[idx >= len(tomb)] = 0
+                t = t.filter(pa.array(tomb[idx] != r))
+            tables.append(t)
+        if not tables:
+            return None
+        return pa.concat_tables(tables)
+
+    def local_finder(self, name: str):
+        """Durable segments → serving-ready :class:`LocalFinder`, fully
+        driver-local (see :meth:`local_postings`). None when empty."""
+        from blurrily_ray.stages.index import LocalFinder
+
+        t = self.local_postings(name)
+        return None if t is None else LocalFinder(t)
+
     def find(self, name: str, needle: str, limit: int = LIMIT_DEFAULT):
         check_needle(needle)
         check_limit(limit)

@@ -129,11 +129,15 @@ class CommandProcessor:
         if finder is None:
             from blurrily_ray.stages.index import LocalFinder
 
-            ix = self.group.db(map_name)
+            # Ray-free load: parquet segments → live arrays directly
+            # (namespaces.local_finder) — query-ready in ms, no Ray job
+            finder = self.group.local_finder(map_name)
             buffered = self._buf.get(map_name) or []
-            if ix is None and not buffered:
-                return []
-            finder = self._finders[map_name] = LocalFinder(ix)
+            if finder is None:
+                if not buffered:
+                    return []
+                finder = LocalFinder()
+            self._finders[map_name] = finder
             # a fresh build reflects the GROUP; everything still buffered
             # (flushed or not, _buf holds exactly the unflushed rows)
             # merges on top — pending is subsumed by _buf here

@@ -223,9 +223,17 @@ class LocalFinder:
     server.py for wire FINDs)."""
 
     def __init__(self, postings=None):
+        # accepts a postings Dataset, a pyarrow Table (the Ray-free
+        # serving-load path, namespaces.local_postings), or None (empty)
+        if postings is None:
+            batches = []
+        elif isinstance(postings, pa.Table):
+            batches = [postings]
+        else:
+            batches = postings.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
         tris_l, refs_l, wts_l = [], [], []
-        for batch in ([] if postings is None else postings.iter_batches(
-                batch_size=None, batch_format="pyarrow")):
+        for batch in batches:
             tris_l.append(batch["trigram"].to_numpy(zero_copy_only=False)
                           .astype(np.int64))
             r = np.asarray(batch["ref"])

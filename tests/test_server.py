@@ -164,3 +164,24 @@ def test_incremental_serving_matches_rebuild(tmp_path):
     fresh = CommandProcessor(IndexGroup(str(tmp_path / "srv")))
     assert fresh.process_command("FIND\tdb\tgreat") == live \
         == "OK\t12\t6\t12\t13\t5\t16"
+
+
+def test_local_finder_matches_dataset_path(tmp_path):
+    """The Ray-free serving load (local_postings/local_finder) must replay
+    segments ⊖ tombstones identically to the Dataset path, including after
+    delete + re-put."""
+    from blurrily_ray.stages.index import LocalFinder
+
+    g = IndexGroup(str(tmp_path / "srv"))
+    import ray.data as rd
+
+    g.put_bulk("db", rd.from_items(
+        [{"ref": i, "text": t} for i, t in enumerate(
+            ["great london", "greater masovian", "gray lantern", "paris"])]))
+    g.delete("db", [1])
+    g.put_bulk("db", rd.from_items([{"ref": 1, "text": "greta gardens"}]))
+    local = g.local_finder("db")
+    ds = LocalFinder(g.db("db"))
+    for needle in ["great", "gre", "paris", "zzz"]:
+        assert local.find(needle, 10) == ds.find(needle, 10)
+    assert local.stats() == ds.stats()
