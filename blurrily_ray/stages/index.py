@@ -68,14 +68,22 @@ def needle_mask(needle: str) -> tuple[np.ndarray, int]:
     return mask, len(codes)
 
 
-def find(postings, needle: str, limit: int = LIMIT_DEFAULT):
+def find(postings, needle: str, limit: int = LIMIT_DEFAULT, *,
+         merge: str = "driver"):
     """Reference find (storage.c:477-580): gather postings of the needle's
     trigrams, count distinct shared trigrams per ref, rank by
     (matches DESC, weight ASC) — we additionally fix ref ASC so distributed
     runs are deterministic (the reference's qsort is unstable there).
 
-    The needle side is tiny (L+1 codes) → broadcast as a closure mask; the
-    gather is a vectorized filter, no shuffle until the final (small) groupby.
+    The needle side is tiny (L+1 codes) → broadcast as a closure mask.
+    ``merge="driver"`` (default): each block combines its hits to partial
+    (ref, matches, weight) rows — at most its DISTINCT hit refs — and the
+    driver sums + ranks the partials: ONE map pass, no shuffle, no sort
+    barrier (this query's answer is ≤1024 rows by protocol, so a
+    groupby+sort dataflow spends two all-to-alls producing a page of
+    results). Assumption: the needle's distinct hit refs fit the driver;
+    for a pathological corpus-spanning needle at corpus scale use
+    ``merge="shuffle"``, the original distributed groupby+sort dataflow.
     Returns a Dataset with columns (ref, matches, weight).
     """
     if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
@@ -86,13 +94,59 @@ def find(postings, needle: str, limit: int = LIMIT_DEFAULT):
         tri = batch["trigram"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(mask[tri]))
 
-    from ray.data.aggregate import Count, Min
+    if merge == "shuffle":
+        from ray.data.aggregate import Count, Min
 
-    hits = postings.map_batches(gather, batch_format="pyarrow")
-    agg = hits.groupby("ref").aggregate(
-        Count(alias_name="matches"), Min("weight", alias_name="weight"))
-    return agg.sort(["matches", "weight", "ref"],
-                    descending=[True, False, False]).limit(limit)
+        hits = postings.map_batches(gather, batch_format="pyarrow")
+        agg = hits.groupby("ref").aggregate(
+            Count(alias_name="matches"), Min("weight", alias_name="weight"))
+        return agg.sort(["matches", "weight", "ref"],
+                        descending=[True, False, False]).limit(limit)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = gather(batch)
+        refs = np.asarray(sub["ref"])
+        if refs.dtype == object:
+            refs = refs.astype(str)
+        uniq, inv = (np.unique(refs, return_inverse=True) if len(refs)
+                     else (refs, np.empty(0, np.int64)))
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # weight is constant per ref (storage.c:409) — first occurrence
+        first = np.empty(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(refs) - 1, -1, -1, dtype=np.int64)
+        return pa.table({
+            "ref": pa.array(uniq, type=batch["ref"].type),
+            "matches": pa.array(cnt),
+            "weight": sub["weight"].take(pa.array(first))
+            if len(uniq) else sub["weight"].slice(0, 0),
+        })
+
+    parts = [t for t in postings.map_batches(partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    import ray.data
+
+    all_t = pa.concat_tables(parts) if parts \
+        else pa.table({"ref": pa.array([], pa.int64()),
+                       "matches": pa.array([], pa.int64()),
+                       "weight": pa.array([], pa.int64())})
+    refs = np.asarray(all_t["ref"])
+    if refs.dtype == object:
+        refs = refs.astype(str)
+    uniq, inv = (np.unique(refs, return_inverse=True) if len(refs)
+                 else (refs, np.empty(0, np.int64)))
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, all_t["matches"].to_numpy(zero_copy_only=False))
+    wts = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(refs):
+        np.minimum.at(wts, inv, all_t["weight"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    order = np.lexsort((uniq, wts, -cnt))[:limit]
+    wtype = all_t["weight"].type if len(parts) else pa.int64()
+    return ray.data.from_arrow(pa.table({
+        "ref": pa.array(uniq[order], type=all_t["ref"].type),
+        "matches": pa.array(cnt[order]),
+        "weight": pa.array(wts[order]).cast(wtype),
+    }))
 
 
 def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT):

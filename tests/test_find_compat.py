@@ -165,3 +165,20 @@ def test_fuzzy_join_links_variants_to_canonical():
     assert (ent == cat_ent).mean() > 0.999  # top-1 = own entity's v0
     # k respected and scores positive
     assert (out.matches >= 1).all()
+
+
+def test_find_merge_modes_equal():
+    """The driver-merge fast path must rank identically to the distributed
+    groupby+sort dataflow (same (matches DESC, weight ASC, ref ASC))."""
+    from blurrily_ray.stages.index import find
+
+    postings = make_index([("london", 10, 0), ("londonderry", 11, 0),
+                           ("greater london", 12, 0), ("paris", 13, 0),
+                           ("great london", 14, 3)])
+    for needle in ["london", "great", "zzz no hits here"]:
+        drv = [(r["ref"], r["matches"], r["weight"])
+               for r in find(postings, needle, 10).take_all()]
+        shf = [(r["ref"], r["matches"], r["weight"])
+               for r in find(postings, needle, 10,
+                             merge="shuffle").take_all()]
+        assert drv == shf
