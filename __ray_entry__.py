@@ -446,6 +446,17 @@ def _q_window_agg(sf_dir: str):
     return _i64(window_agg(ev, window_minutes=60))
 
 
+def _q_hopping_window(sf_dir: str):
+    import ray.data
+
+    from blurrily_ray.stages.windows import hopping_window_agg
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id",
+                                        "value"])
+    return _i64(hopping_window_agg(ev, window_minutes=60, hop_minutes=15))
+
+
 def _q_asof_purchase_click(sf_dir: str):
     from blurrily_ray.stages.joins import asof_join
 
@@ -601,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "sessionize_events": _q_sessionize,
         "window_agg_events": _q_window_agg,
+        "hopping_window_events": _q_hopping_window,
         "asof_purchase_click": _q_asof_purchase_click,
         "range_join_events": _q_range_join,
         "image_features": _q_image_features,
@@ -663,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),
         "window_agg_events": oracles.sql_window_agg_events(60),
+        "hopping_window_events": oracles.sql_hopping_window_events(60, 15),
         "asof_purchase_click": oracles.sql_asof_purchase_click(),
         "range_join_events": oracles.sql_range_join_events(300),
         "video_frames": oracles.sql_video_frames(2),

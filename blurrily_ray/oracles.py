@@ -616,6 +616,27 @@ def sql_window_agg_events(window_minutes: int = 60) -> str:
 FROM events GROUP BY 1, 2"""
 
 
+def sql_hopping_window_events(window_minutes: int = 60,
+                              hop_minutes: int = 15) -> str:
+    """Hopping-window aggregate (stages/windows.hopping_window_agg): each
+    event unnests into window/hop overlapping window starts (multiples of
+    hop), then the tumbling rollup; integer micro-unit sums as in
+    sql_window_agg_events."""
+    h = hop_minutes * 60_000_000
+    span = (window_minutes // hop_minutes - 1) * h
+    return f"""SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS sum_value_micro
+FROM (SELECT unnest(generate_series(
+                 (epoch_us(ts) // {h}) * {h} - {span},
+                 (epoch_us(ts) // {h}) * {h}, {h})) AS window_start_us,
+             event_type, user_id, value
+      FROM events)
+GROUP BY 1, 2"""
+
+
 def sql_asof_purchase_click() -> str:
     """Backward as-of join (stages/joins.asof_join): each purchase event
     picks the user's most recent click at-or-before it; ties on click_ts

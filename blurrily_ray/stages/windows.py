@@ -110,6 +110,64 @@ def window_agg(events, *, window_minutes: int = 60, ts_col: str = "ts",
                            n_parts=n_parts)
 
 
+def hopping_window_agg(events, *, window_minutes: int = 60,
+                       hop_minutes: int = 15, ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       user_col: str = "user_id",
+                       value_col: str = "value", n_parts: int = 64):
+    """Hopping (sliding) window aggregate: overlapping windows of
+    ``window_minutes`` starting every ``hop_minutes`` (must divide it) →
+    (window_start_us, event_type) × (n_events, exact n_users,
+    sum_value_micro).
+
+    Each event belongs to exactly ``window/hop`` windows; the map side
+    replicates it that many times (an EXPLICIT, bounded blow-up — the
+    streaming alternative needs ordered state; replication + the tumbling
+    combiner is the shuffle-minimal batch form) and then collapses to
+    (window, type, user) partials exactly like :func:`window_agg`, so the
+    exchange still moves at most one row per distinct partial per block.
+    Window starts are the multiples of hop covering each event, including
+    windows that extend before the first event (both engines compute the
+    same set, so the oracle matches)."""
+    if window_minutes % hop_minutes:
+        raise ValueError("hop_minutes must divide window_minutes "
+                         f"({hop_minutes} vs {window_minutes})")
+    from blurrily_ray.stages.common import partitioned_map
+
+    hop_us = np.int64(hop_minutes) * 60_000_000
+    ratio = window_minutes // hop_minutes
+    offs = (np.arange(ratio, dtype=np.int64) * hop_us)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        last = (us // hop_us) * hop_us  # latest window containing the event
+        w = (last[:, None] - offs[None, :]).reshape(-1)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        vm = np.floor(np.nan_to_num(v, nan=0.0) * 1e6).astype(np.int64)
+        g = (pd.DataFrame({
+                "window_start_us": w,
+                type_col: np.repeat(df[type_col].to_numpy(), ratio),
+                user_col: np.repeat(df[user_col].to_numpy(), ratio),
+                "_vm": np.repeat(vm, ratio)})
+             .groupby(["window_start_us", type_col, user_col], sort=False)
+             .agg(_n=("_vm", "size"), _vm=("_vm", "sum")).reset_index())
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["window_start_us", type_col], sort=False)
+             .agg(n_events=("_n", "sum"), n_users=(user_col, "nunique"),
+                  sum_value_micro=("_vm", "sum")).reset_index())
+        for c in ("n_events", "n_users", "sum_value_micro"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    partials = events.select_columns(
+        [ts_col, type_col, user_col, value_col]).map_batches(
+        partial, batch_format="pandas")
+    return partitioned_map(partials, ["window_start_us", type_col], final,
+                           n_parts=n_parts)
+
+
 def top_k_per_group(ds, *, by: str, order_col: str, k: int,
                     descending: bool = True, tiebreak_col: str | None = None,
                     n_parts: int = 64):

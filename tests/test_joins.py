@@ -195,3 +195,28 @@ def test_top_k_per_group_matches_bruteforce():
            .groupby("user_id", sort=False).head(3)
            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_hopping_window_degenerates_to_tumbling():
+    """hop == window makes every hopping window a tumbling window — the
+    two operators must agree exactly; with hop = window/2 every event
+    lands in exactly 2 windows, so n_events doubles."""
+    from blurrily_ray.stages.windows import hopping_window_agg
+
+    rng = np.random.RandomState(5)
+    ev = rd.from_items([
+        {"ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=int(m)),
+         "event_type": ["click", "buy"][i % 2], "user_id": int(i % 7),
+         "value": float(rng.rand() * 10)}
+        for i, m in enumerate(rng.randint(0, 600, 300))])
+    tumb = window_agg(ev, window_minutes=60).to_pandas()
+    hop_eq = hopping_window_agg(ev, window_minutes=60,
+                                hop_minutes=60).to_pandas()
+    key = ["window_start_us", "event_type"]
+    assert tumb.sort_values(key).reset_index(drop=True).equals(
+        hop_eq.sort_values(key).reset_index(drop=True))
+    hop2 = hopping_window_agg(ev, window_minutes=60,
+                              hop_minutes=30).to_pandas()
+    assert hop2["n_events"].sum() == 2 * tumb["n_events"].sum()
+    with pytest.raises(ValueError):
+        hopping_window_agg(ev, window_minutes=60, hop_minutes=25)
