@@ -105,10 +105,15 @@ class CommandProcessor:
         if not (_NUM_RE.match(ref) and int(ref) in REF_RANGE):
             raise ProtocolError("Invalid reference")
         # bring the live finder up to date BEFORE the delete so the
-        # buffered-put-then-delete ordering matches the durable replay
+        # buffered-put-then-delete ordering matches the durable replay;
+        # pending rows are consumed UNCONDITIONALLY — they are covered by
+        # _buf/flush below, and leaving them behind when no finder exists
+        # would resurrect deleted refs on any future finder build that
+        # doesn't also pop them
         finder = self._finders.get(map_name)
+        pending = self._pending.pop(map_name, None) or []
         if finder is not None:
-            finder.put_rows(self._pending.pop(map_name, None) or [])
+            finder.put_rows(pending)
         self._flush_locked(map_name)
         self.group.delete(map_name, [int(ref)])
         if finder is not None:

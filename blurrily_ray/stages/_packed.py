@@ -51,6 +51,12 @@ def packed_partitioned_map(ds, key_cols, fn, *, n_parts, part_fn, cols,
     dtypes = ({c: np.dtype(np.int64) for c in cols}
               if not isinstance(cols, dict)
               else {c: np.dtype(d) for c, d in cols.items()})
+    for c, dt in dtypes.items():
+        if dt.kind not in "iu":  # fixed-width ints only, by measurement
+            raise TypeError(
+                f"packed_cols[{c!r}] = {dt}: blob packing supports "
+                "fixed-width integer dtypes only (variable-width string "
+                "packing was measured slower and removed — _packed.py)")
     names = list(dtypes)
     widths = [dtypes[c].itemsize for c in names]
 
@@ -68,8 +74,21 @@ def packed_partitioned_map(ds, key_cols, fn, *, n_parts, part_fn, cols,
                 h = h * np.uint64(31) + _col_hash(pd.Series(v))
             part = (h % np.uint64(n_parts)).astype(np.int64)
         order = np.argsort(part, kind="stable")
-        sorted_cols = [batch[c].to_numpy(zero_copy_only=False)
-                       .astype(dtypes[c], copy=False)[order] for c in names]
+        sorted_cols = []
+        for c in names:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            if v.dtype.itemsize > dtypes[c].itemsize:
+                # loud overflow guard: a narrowed wire dtype relies on a
+                # caller invariant (e.g. broadcast-path surrogate ids <
+                # 2^31 via er.py's broadcast_limit_bytes gate); silent
+                # wraparound here would corrupt pair ids downstream
+                info = np.iinfo(dtypes[c])
+                lo, hi = (v.min(), v.max()) if len(v) else (0, 0)
+                if lo < info.min or hi > info.max:
+                    raise OverflowError(
+                        f"packed column {c!r} range [{lo}, {hi}] exceeds "
+                        f"wire dtype {dtypes[c]}")
+            sorted_cols.append(v.astype(dtypes[c], copy=False)[order])
         ps = part[order]
         bnd = np.nonzero(ps[1:] != ps[:-1])[0] + 1
         starts = np.concatenate(([0], bnd))

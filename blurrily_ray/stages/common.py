@@ -84,8 +84,9 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
     all-to-all moves ~n_blocks × n_parts blob rows instead of n_rows
     scalar rows, and the consumer reconstructs the columns zero-copy
     before calling ``fn``. Accepts a list (all int64) or a {col: dtype}
-    dict with narrow integer dtypes and/or ``"str"`` columns (Arrow-style
-    offsets+bytes segments) — see stages/_packed.py for the wire format.
+    dict of FIXED-WIDTH INTEGER numpy dtypes only (validated) — narrow
+    dtypes shrink the exchange bytes; see stages/_packed.py for the wire
+    format and for why variable-width (string) packing is rejected.
     Ray's sort-based shuffle is ROW-RATE bound (~2-5 M rows/s regardless
     of CPU count — NOTES_r2 study), so for the 40M+-row pair exchanges
     this turns the dominant all-to-all into noise while moving the

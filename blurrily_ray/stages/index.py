@@ -30,13 +30,18 @@ LIMIT_RANGE = (1, 1024)  # defaults.rb:7
 def dedup_first_put(docs, *, ref_col: str = "ref", seq_col: str = "seq"):
     """First-put-wins semantics (storage.c:408; map_spec.rb:43-47): keep the
     row with the smallest ``seq`` per ref. ``seq`` is the caller's put order.
-    One groupby shuffle; skip when refs are known unique.
+    One coarse hash-partitioned shuffle (``partitioned_map`` — every row of
+    a ref co-locates, all refs of a partition dedupe in ONE vectorized
+    sort + drop_duplicates, never a UDF call per ref); skip when refs are
+    known unique.
     """
+    from blurrily_ray.stages.common import partitioned_map
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(seq_col, kind="stable").head(1)
+    def first_per_ref(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(seq_col, kind="stable") \
+            .drop_duplicates(ref_col, keep="first")
 
-    return docs.groupby(ref_col).map_groups(first, batch_format="pandas")
+    return partitioned_map(docs, [ref_col], first_per_ref)
 
 
 def build_postings(docs, *, ref_col: str = "ref", text_col: str = "text",
@@ -439,54 +444,62 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
     catalog rows by shared-trigram score with the reference's FIND
     ordering (matches DESC, weight ASC, ref ASC; storage.c:477-580).
 
-    This is ``find_many`` with the roles inverted so the NEEDLE side is a
-    streamed Dataset of any size: the catalog — assumed dim-sized (a
-    canonical entity/record table; the same assumption as
-    ``relational.broadcast_join``) — is built into a bitset LUT once,
-    OFF-driver (``pairs.docsets_bitsets_ref``), and every needle batch
-    scores against the shared plasma copy vectorized (popcount of AND),
-    emitting its exact top-k immediately: the catalog is complete in
-    every task, so there is NO merge shuffle at all. For two large fuzzy
-    sides use the ER pair pipeline or the sharded scorer engine instead.
+    This is the reference's find GATHER (storage.c:498-519) with the
+    needle side a streamed Dataset of any size: the catalog — assumed
+    dim-sized (a canonical entity/record table; the same assumption as
+    ``relational.broadcast_join``) — is built ONCE, off-driver, into an
+    inverted index (``pairs.docsets_inverted_ref``: per-trigram posting
+    ranges over ref-sorted rows), and every needle touches only the
+    postings of its own ~L+1 trigrams — O(gathered postings) per needle,
+    not O(catalog) (the dense bitset scan this replaced was ~100 MB of
+    DRAM reads PER NEEDLE at sf0.1). Scoring is a per-needle vectorized
+    gather + bincount + integer lexsort over CACHE-RESIDENT arrays
+    (~130 k gathered postings, one n_cat-sized count vector) — a fully
+    chunk-vectorized variant building 66 M-element (needle, row) keys was
+    measured 8× SLOWER on this box (large fresh allocations fault in at
+    page-touch speed; small per-needle temps stay in L2). The catalog is
+    complete in every task, so there is NO merge shuffle. For two large
+    fuzzy sides use the ER pair pipeline or the sharded scorer engine
+    instead.
 
     Returns (needle_id, ref, matches, weight); needles sharing zero
     trigrams with every catalog row emit no rows (matches >= 1 otherwise).
     """
+    from blurrily_ray.functions.trigram import _concat_ranges
     from blurrily_ray.stages.pairs import (
-        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_and,
-        docsets_bitsets_ref)
+        _cached_get, _list_csr, docsets_inverted_ref)
     from blurrily_ray.stages.tokenize import _docsets_batch, docsets_from_docs
 
-    # check_dups=False: duplicate catalog refs are allowed by contract —
-    # scoring is positional (row_refs[perm]) and each duplicate row ranks
-    # independently; the dup check protects searchsorted lookups, which
-    # this operator never performs
-    lut_ref = docsets_bitsets_ref(
+    lut_ref = docsets_inverted_ref(
         docsets_from_docs(catalog, ref_col=catalog_ref,
-                          text_col=catalog_text), check_dups=False)
+                          text_col=catalog_text))
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        ref_sorted, cat_bits, _ntri, cat_wt, perm = _cached_get(lut_ref)
-        row_refs = np.empty_like(ref_sorted)
-        row_refs[perm] = ref_sorted
-        nb = _bitset_batch(_docsets_batch(batch, needle_id, needle_text))
-        qbuf = np.frombuffer(nb["bits"].combine_chunks().buffers()[1],
-                             dtype=np.uint8).reshape(-1, _BITSET_BYTES)
-        # per-needle top-k accumulated as numpy; ONE Arrow table per batch
-        # (a table per needle is pure object churn at dataset-scale needles)
+        refs_s, wts_s, offsets, post_rows = _cached_get(lut_ref)
+        n_cat = len(refs_s)
         qpos, hits, ms = [], [], []
-        for qi in range(len(batch)):
-            m = _popcount_and(cat_bits, qbuf[qi])
-            hit = np.nonzero(m > 0)[0]
-            # sort EVERY needle's hits (matches DESC, weight ASC, ref ASC),
-            # not just the >k case: consumers take the first row per needle
-            # as the best match, so catalog-row order is wrong even when
-            # everything fits in k
-            order = np.lexsort((row_refs[hit], cat_wt[hit], -m[hit]))[:k]
-            hit = hit[order]
-            qpos.append(np.full(len(hit), qi, dtype=np.int64))
-            hits.append(hit)
-            ms.append(m[hit])
+        if n_cat and len(batch):
+            nb = _docsets_batch(batch, needle_id, needle_text)
+            codes, counts = _list_csr(nb["tris"])
+            codes = codes.astype(np.int64, copy=False)
+            nb_starts = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=nb_starts[1:])
+            plens = offsets[codes + 1] - offsets[codes]
+            for qi in range(len(batch)):
+                c = codes[nb_starts[qi]:nb_starts[qi + 1]]
+                pl = plens[nb_starts[qi]:nb_starts[qi + 1]]
+                g = post_rows[np.repeat(offsets[c], pl)
+                              + _concat_ranges(pl)]
+                cnt = np.bincount(g, minlength=n_cat)
+                hit = np.nonzero(cnt)[0]
+                m = cnt[hit]
+                # FIND order (matches DESC, weight ASC, ref ASC): rows
+                # are ref-sorted, so hit ascending IS ref ascending
+                order = np.lexsort((hit, wts_s[hit], -m))[:k]
+                hit = hit[order]
+                qpos.append(np.full(len(hit), qi, dtype=np.int64))
+                hits.append(hit)
+                ms.append(m[order])
         qp = (np.concatenate(qpos) if qpos
               else np.empty(0, dtype=np.int64))
         hi = (np.concatenate(hits) if hits
@@ -494,9 +507,9 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
         mv = (np.concatenate(ms) if ms else np.empty(0, dtype=np.int64))
         return pa.table({
             needle_id: batch[needle_id].take(pa.array(qp)),
-            "ref": pa.array(row_refs[hi]),
+            "ref": pa.array(refs_s[hi]),
             "matches": pa.array(mv.astype(np.int64)),
-            "weight": pa.array(cat_wt[hi].astype(np.int64)),
+            "weight": pa.array(wts_s[hi].astype(np.int64)),
         })
 
     return needles.map_batches(score_batch, batch_format="pyarrow",

@@ -571,8 +571,11 @@ def candidate_pairs_fused_blocking(keys_ds, cfg: ERConfig = DEFAULT, *,
     # all-to-all sees n_blocks × n_parts blob rows, not 20M+ scalar rows).
     # Wire dtypes are as NARROW as the value ranges allow — exchange bytes
     # drive the all-to-all's single-box cost superlinearly (common.py):
-    # ref is an int32-range surrogate by contract; the composite key fits
-    # int32 up to arity 2 (21952² < 2^31) and needs int64 at arity 3.
+    # ref is an int32-range surrogate by contract (broadcast-path ids are
+    # positional, bounded by er.py's broadcast_limit_bytes gate; the
+    # packer's range guard raises OverflowError if that invariant ever
+    # breaks); the composite key fits int32 up to arity 2 (21952² < 2^31)
+    # and needs int64 at arity 3.
     # int_refs comes from the caller when known — ds.schema() here would
     # trigger a partial execution barrier (measured 10-16 s at sf1.0).
     if int_refs is None:
@@ -797,6 +800,65 @@ def _lut_from_tables(tables, check_dups: bool = True):
     # indirection instead of permuting the 1 GB bits array: surrogate id i
     # = position in ref_sorted; bits row = perm[i]
     return (srt, bits, ntri, wt, order.astype(np.int64))
+
+
+def docsets_inverted_ref(docsets):
+    """Broadcast LUT for needle-side scans: the catalog as a LocalFinder-
+    style INVERTED INDEX (per-trigram posting ranges over ref-sorted rows)
+    instead of a dense bitset matrix — a needle then touches only the
+    postings of its own ~L+1 trigrams, O(gathered), exactly the
+    reference's find gather (storage.c:498-519), not O(catalog).
+
+    Assembled OFF-driver in one Ray task (same pattern as
+    :func:`docsets_bitsets_ref`); returns an ObjectRef to
+    ``(refs, weights, offsets, post_rows)`` where rows are sorted by ref
+    so POSITIONAL order is the FIND tie order (ref ASC) and ranking never
+    needs a string sort. ``post_rows`` is int32 (catalog is dim-sized by
+    the fuzzy_join contract; asserted). Duplicate refs are allowed —
+    scoring is positional."""
+    block_refs = docsets.select_columns(["ref", "tris", "weight"]) \
+        .to_arrow_refs()
+
+    @ray.remote
+    def assemble(*tables):
+        refs_l, wts_l, codes_l, counts_l = [], [], [], []
+        for t in tables:
+            if len(t) == 0:
+                continue
+            r = np.asarray(t["ref"].combine_chunks())
+            refs_l.append(r.astype(str) if r.dtype == object else r)
+            wts_l.append(t["weight"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+            c, n = _list_csr(t["tris"])
+            codes_l.append(c.astype(np.int64, copy=False))
+            counts_l.append(n)
+        if not refs_l:
+            return (np.empty(0, dtype=np.int64), np.empty(0, np.int64),
+                    np.zeros(NUM_TRIGRAMS + 1, np.int64),
+                    np.empty(0, np.int32))
+        refs = np.concatenate(refs_l)
+        if len(refs) >= 2**31:
+            raise ValueError("fuzzy_join catalog exceeds int32 rows — use "
+                             "the ER pair pipeline for two large sides")
+        wts = np.concatenate(wts_l)
+        counts = np.concatenate(counts_l)
+        codes = np.concatenate(codes_l)
+        order = np.argsort(refs, kind="stable")
+        starts = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        lens_s = counts[order]
+        # gather each row's code run into ref-sorted row order
+        src = np.repeat(starts[:-1][order], lens_s) + _concat_ranges(lens_s)
+        codes_s = codes[src]
+        row_of = np.repeat(np.arange(len(refs), dtype=np.int64), lens_s)
+        o2 = np.argsort(codes_s, kind="stable")
+        post_rows = row_of[o2].astype(np.int32)
+        offsets = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
+        np.cumsum(np.bincount(codes_s, minlength=NUM_TRIGRAMS),
+                  out=offsets[1:])
+        return (refs[order], wts[order], offsets, post_rows)
+
+    return assemble.remote(*block_refs)
 
 
 def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):

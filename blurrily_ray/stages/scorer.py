@@ -251,8 +251,7 @@ class ScoreB:
 
 def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
                         *, n_shards: int | None = None,
-                        concurrency: tuple[int, int] | None = None,
-                        packed_refs: str | None = None):
+                        concurrency: tuple[int, int] | None = None):
     """Raw candidate pairs (with per-partition co-key counts ``n``) →
     thresholded edges, via the sharded actor-pool dataflow above.
 
@@ -260,14 +259,9 @@ def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
     group-lookup whatever shards a batch contains — the routing shuffles
     only buy locality so each actor touches few shards.
 
-    ``packed_refs`` ("str" | "int" | None) opts both pair shuffles into
-    the blob-packed exchange (stages/_packed.py): sharded mode cannot use
-    int surrogates (no corpus-sized ref map may exist anywhere by
-    design), so the packer ships refs as Arrow-style string segments and
-    the a-side trigram payload as list<uint16> segments. The caller
-    states the ref dtype because reading ``raw_pairs.schema()`` here
-    would force a partial-execution barrier (measured 10-16 s at sf1.0
-    on the fused path)."""
+    Both pair shuffles are scalar-row by MEASUREMENT: blob-packing the
+    string-keyed exchanges (Arrow-style offsets+bytes segments) was built
+    and rejected — see stages/_packed.py's docstring for the numbers."""
     import ray
 
     n_shards = n_shards or cfg.score_shards
