@@ -494,8 +494,21 @@ def fuzzy_join(needles, catalog, *, needle_id: str = "ref",
                 hit = np.nonzero(cnt)[0]
                 m = cnt[hit]
                 # FIND order (matches DESC, weight ASC, ref ASC): rows
-                # are ref-sorted, so hit ascending IS ref ascending
-                order = np.lexsort((hit, wts_s[hit], -m))[:k]
+                # are ref-sorted, so hit ascending IS ref ascending.
+                # A long needle hits most of a dim-sized catalog (every
+                # shared trigram counts), so lexsorting ALL hits per
+                # needle dominated the scan (2.7 → 1.2 ms/needle on sf0.1
+                # docs); O(n) partition down to the >=k-th match-count
+                # plateau first, then order only those candidates — ties
+                # on the k-th count stay in the plateau, so the final
+                # top-k is EXACTLY the full-sort answer.
+                if len(hit) > k:
+                    kth = np.partition(m, len(m) - k)[len(m) - k]
+                    cand = np.nonzero(m >= kth)[0]
+                    order = cand[np.lexsort(
+                        (hit[cand], wts_s[hit[cand]], -m[cand]))[:k]]
+                else:
+                    order = np.lexsort((hit, wts_s[hit], -m))[:k]
                 hit = hit[order]
                 qpos.append(np.full(len(hit), qi, dtype=np.int64))
                 hits.append(hit)
