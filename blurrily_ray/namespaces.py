@@ -116,16 +116,28 @@ class IndexGroup:
         shutil.rmtree(p)
         os.makedirs(p)
         os.rename(tmp_seg, os.path.join(p, "seg-000001"))
+        self._write_sidecar(os.path.join(p, "seg-000001"))
         ops = [{"op": "seg", "dir": "seg-000001", "seq": 1}]
         self._write_log(name, ops)
         return ops
+
+    def _write_sidecar(self, seg_path: str) -> None:
+        """Best-effort serving sidecar next to a committed segment — a
+        derived-data optimization; failure must never fail the write."""
+        from blurrily_ray.state.sidecar import write_sidecar
+
+        try:
+            write_sidecar(seg_path)
+        except Exception:
+            pass
 
     def _tomb_refs(self, name: str, after_seq: int) -> np.ndarray:
         """Sorted refs tombstoned strictly after ``after_seq``."""
         parts = []
         for op in self._log(name):
             if op["op"] == "tomb" and op["seq"] > after_seq:
-                t = pq.read_table(os.path.join(self._path(name), op["file"]))
+                t = pq.ParquetFile(os.path.join(
+                    self._path(name), op["file"])).read(use_threads=False)
                 r = np.asarray(t["ref"].combine_chunks())
                 parts.append(r.astype(str) if r.dtype == object else r)
         if not parts:
@@ -187,11 +199,87 @@ class IndexGroup:
 
     def local_finder(self, name: str):
         """Durable segments → serving-ready :class:`LocalFinder`, fully
-        driver-local (see :meth:`local_postings`). None when empty."""
-        from blurrily_ray.stages.index import LocalFinder
+        driver-local. None when empty.
 
-        t = self.local_postings(name)
-        return None if t is None else LocalFinder(t)
+        The fast path is the mmap SIDECAR (state/sidecar.py): each
+        segment's prebuilt serving arrays are ``np.load(mmap_mode="r")``-ed
+        (the reference's ~10 ms mmap open, storage.c:210-266 — no Parquet
+        decode, no unique/argsort), tombstones apply as one vectorized
+        range filter, and multiple segments merge with a single stable
+        radix argsort over already-trigram-sorted runs. A segment without
+        a valid sidecar falls back to its Parquet replay
+        (:meth:`local_postings` semantics, per segment)."""
+        from blurrily_ray.stages.index import LocalFinder
+        from blurrily_ray.state.sidecar import (
+            _read_segment_table, filter_tombstones, load_sidecar)
+
+        ops = self._migrate_legacy(name)
+        seg_ops = [op for op in ops if op["op"] == "seg"]
+        if not seg_ops:
+            return None
+        # every tombstone file read ONCE (not once per segment);
+        # ParquetFile.read skips read_table's dataset-discovery overhead
+        # (measured 2.7 ms vs 53 ms for 20 tiny tombstones)
+        tombs = []
+        for op in ops:
+            if op["op"] != "tomb":
+                continue
+            t = pq.ParquetFile(os.path.join(
+                self._path(name), op["file"])).read(use_threads=False)
+            r = np.asarray(t["ref"].combine_chunks())
+            tombs.append((op["seq"], r.astype(str) if r.dtype == object
+                          else r))
+        parts = []
+        for op in seg_ops:
+            seg_dir = os.path.join(self._path(name), op["dir"])
+            arrays = load_sidecar(seg_dir)
+            if arrays is None:
+                t = _read_segment_table(seg_dir)
+                if t is None or len(t) == 0:
+                    continue
+                arrays = LocalFinder(t).to_arrays()
+            later = [r for s, r in tombs if s > op["seq"]]
+            if later:
+                arrays = filter_tombstones(
+                    arrays, np.unique(np.concatenate(later)))
+            if len(arrays["ref_ids"]):
+                parts.append(arrays)
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return LocalFinder.from_arrays(**parts[0])
+        # merge: live refs are disjoint across segments (first-put-wins
+        # at put_bulk; a re-put ref's older copy is tombstoned), so the
+        # combined dictionary is a unique over dict-sized arrays and the
+        # postings need only a stable int radix sort by trigram
+        refs_all = np.concatenate([np.asarray(p["refs"]) for p in parts])
+        combined, inv = np.unique(refs_all, return_inverse=True)
+        weights = np.zeros(len(combined), dtype=np.int64)
+        weights[inv] = np.concatenate(
+            [np.asarray(p["weights"]) for p in parts])
+        from blurrily_ray.functions.trigram import NUM_TRIGRAMS
+
+        # each segment's postings are already trigram-sorted: merge the
+        # runs by direct SCATTER (per-trigram output base + within-run
+        # rank) instead of a concat + argsort — O(postings) with no sort,
+        # and bit-identical to a stable sort of the concatenation
+        seg_counts = [np.diff(np.asarray(p["offsets"])) for p in parts]
+        offsets = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
+        np.cumsum(np.sum(seg_counts, axis=0), out=offsets[1:])
+        ref_ids = np.empty(int(offsets[-1]), dtype=np.int64)
+        base = offsets[:-1].copy()  # next free slot per trigram
+        start = 0
+        for p, counts in zip(parts, seg_counts):
+            seg_off = np.asarray(p["offsets"])
+            n = int(seg_off[-1])
+            rank = np.arange(n, dtype=np.int64) - np.repeat(seg_off[:-1],
+                                                            counts)
+            pos = np.repeat(base, counts) + rank
+            seg_inv = inv[start:start + len(np.asarray(p["refs"]))]
+            ref_ids[pos] = seg_inv[np.asarray(p["ref_ids"])]
+            base += counts
+            start += len(np.asarray(p["refs"]))
+        return LocalFinder.from_arrays(combined, weights, ref_ids, offsets)
 
     def find(self, name: str, needle: str, limit: int = LIMIT_DEFAULT):
         check_needle(needle)
@@ -237,6 +325,7 @@ class IndexGroup:
         if ops and (read_manifest(seg_path) or {}).get("rows", 0) == 0:
             shutil.rmtree(seg_path)  # nothing new: don't grow the log
             return
+        self._write_sidecar(seg_path)
         self._write_log(name, ops + [{"op": "seg", "dir": seg_name,
                                       "seq": seq}])
 
@@ -272,6 +361,7 @@ class IndexGroup:
             elif os.path.exists(target):
                 os.remove(target)
         os.rename(tmp_seg, os.path.join(d, "seg-000001"))
+        self._write_sidecar(os.path.join(d, "seg-000001"))
         self._write_log(name, [{"op": "seg", "dir": "seg-000001", "seq": 1}])
 
     def clear(self, name: str) -> None:
@@ -290,6 +380,7 @@ class IndexGroup:
             shutil.rmtree(d)
         os.makedirs(d)
         os.rename(tmp_seg, os.path.join(d, "seg-000001"))
+        self._write_sidecar(os.path.join(d, "seg-000001"))
         self._write_log(name, [{"op": "seg", "dir": "seg-000001", "seq": 1}])
 
     def save_all(self) -> None:

@@ -318,6 +318,24 @@ class LocalFinder:
         self.offsets = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
         np.cumsum(counts, out=self.offsets[1:])
 
+    @classmethod
+    def from_arrays(cls, refs, weights, ref_ids, offsets) -> "LocalFinder":
+        """Adopt prebuilt serving arrays VERBATIM (the mmap sidecar load
+        path, state/sidecar.py) — no Parquet decode, no unique/argsort.
+        Arrays may be read-only memory maps: every mutation path
+        (put_rows/delete_refs/_rebuild_postings) replaces whole arrays,
+        never writes in place."""
+        f = cls.__new__(cls)
+        f.refs = refs
+        f.weights = weights
+        f.ref_ids = ref_ids
+        f.offsets = offsets
+        return f
+
+    def to_arrays(self) -> dict:
+        return {"refs": self.refs, "weights": self.weights,
+                "ref_ids": self.ref_ids, "offsets": self.offsets}
+
     def find(self, needle: str, limit: int = LIMIT_DEFAULT) -> list[list]:
         if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
             raise ValueError(f"limit must be in {LIMIT_RANGE}")

@@ -760,3 +760,89 @@ def test_trim_worker_heaps():
     n = trim_worker_heaps(n_tasks=4, hold=0.05)
     assert 0 <= n <= 4
     assert n >= 1  # glibc container: malloc_trim must be reachable
+
+
+def test_serving_sidecar_roundtrip(tmp_path):
+    """Segment commits write an mmap serving sidecar; local_finder loads
+    it verbatim, and the answer matches the Parquet-replay build exactly
+    (save/load parity with storage.c:210-266's mmap open)."""
+    import os
+    import shutil
+
+    from blurrily_ray.namespaces import IndexGroup
+    from blurrily_ray.state.sidecar import load_sidecar, write_sidecar
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    docs = ray.data.from_items(
+        [{"ref": i, "text": t} for i, t in
+         enumerate(["london", "londres", "paris", "tokyo", "new york"], 1)])
+    g.put_bulk("db", docs)
+    seg = str(tmp_path / "maps/db/seg-000001")
+    arrays = load_sidecar(seg)
+    assert arrays is not None  # written at put_bulk commit
+    assert isinstance(arrays["ref_ids"], np.memmap)
+
+    f_side = g.local_finder("db")
+    # parquet fallback: remove the sidecar and rebuild
+    shutil.rmtree(os.path.join(seg, "finder"))
+    assert load_sidecar(seg) is None
+    f_parq = g.local_finder("db")
+    for needle in ("london", "londre", "tokio", "zzz"):
+        assert f_side.find(needle, 10) == f_parq.find(needle, 10)
+    assert f_side.stats() == f_parq.stats()
+    assert write_sidecar(seg)  # rebuildable on demand
+
+
+def test_serving_sidecar_multi_segment_tombstones(tmp_path):
+    """Sidecar fast path across delta segments + sequenced tombstones
+    (put -> delete -> re-put) equals the from-scratch finder, including
+    a STALE sidecar being ignored rather than served."""
+    import json
+    import os
+
+    from blurrily_ray.namespaces import IndexGroup
+    from blurrily_ray.state.sidecar import load_sidecar
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    g.put_bulk("db", ray.data.from_items(
+        [{"ref": 1, "text": "london"}, {"ref": 2, "text": "paris"}]))
+    g.put_bulk("db", ray.data.from_items([{"ref": 3, "text": "tokyo"}]))
+    g.delete("db", [2])
+    g.put_bulk("db", ray.data.from_items([{"ref": 2, "text": "madrid"}]))
+
+    f = g.local_finder("db")
+    ref = IndexGroup(str(tmp_path / "ref"))
+    ref.put_bulk("db", ray.data.from_items(
+        [{"ref": 1, "text": "london"}, {"ref": 2, "text": "madrid"},
+         {"ref": 3, "text": "tokyo"}]))
+    f2 = ref.local_finder("db")
+    for needle in ("london", "paris", "madrid", "tokyo"):
+        assert f.find(needle, 10) == f2.find(needle, 10)
+    assert f.stats() == f2.stats()
+
+    # corrupt staleness guard: manifest_rows mismatch -> sidecar ignored
+    seg = str(tmp_path / "maps/db/seg-000001")
+    meta_p = os.path.join(seg, "finder", "META.json")
+    meta = json.load(open(meta_p))
+    meta["manifest_rows"] += 1
+    json.dump(meta, open(meta_p, "w"))
+    assert load_sidecar(seg) is None
+    f3 = g.local_finder("db")  # falls back per segment, same answers
+    for needle in ("london", "madrid", "tokyo"):
+        assert f3.find(needle, 10) == f2.find(needle, 10)
+
+
+def test_sidecar_finder_is_mutable_after_mmap(tmp_path):
+    """put_rows/delete_refs on an mmap-backed LocalFinder replace arrays,
+    never write in place (the maps are opened read-only)."""
+    from blurrily_ray.namespaces import IndexGroup
+
+    g = IndexGroup(str(tmp_path / "maps"))
+    g.put_bulk("db", ray.data.from_items([{"ref": 1, "text": "london"}]))
+    f = g.local_finder("db")
+    assert f.put_rows([{"ref": 2, "text": "paris", "weight": 0}]) == 1
+    assert f.find("paris", 5)[0][0] == 2
+    assert f.delete_refs([1]) == 1
+    assert f.find("london", 5) == []
+    # durable files unchanged: a fresh load still sees only ref 1
+    assert g.local_finder("db").find("london", 5)[0][0] == 1
