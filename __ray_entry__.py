@@ -269,10 +269,11 @@ def _q_ivf_knn(sf_dir: str):
 
 
 def _q_ivf_knn_kmeans(sf_dir: str):
-    # distributed spherical-kmeans centroids: iterative float means are
-    # not SQL-expressible, so this entry is deliberately NOT in
-    # oracle_sql() (driver records the rows-only check; determinism and
-    # exactness-at-full-probe are pytest-pinned instead)
+    # distributed spherical-kmeans centroids: the Lloyd iteration itself
+    # is not SQL-expressible (determinism + exactness-at-full-probe are
+    # pytest-pinned); the oracle checks assignment + probing + ranking
+    # against the engine's EXPORTED centroid matrix embedded as a SQL
+    # literal (oracles.sql_ivf_knn_kmeans)
     import ray.data
 
     from blurrily_ray.stages.simsearch import ivf_knn
@@ -633,6 +634,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _oracle_kmeans_centroids(sf: float):
+    """The engine's distributed k-means centroids for the oracle-sf
+    embeddings table, exported so sql_ivf_knn_kmeans can embed them as a
+    literal (the run is deterministic per session — pytest-pinned)."""
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import kmeans_centroids
+
+    emb = ray.data.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+    return kmeans_centroids(emb, 16)
+
+
 def oracle_sql() -> dict[str, str]:
     from blurrily_ray import oracles
     from blurrily_ray.sources.synth import ensure_tickets, ensure_transcripts
@@ -671,6 +684,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": oracles.sql_decontaminate(),
         "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
         "ivf_knn_embeddings": oracles.sql_ivf_knn(10, 10),
+        "ivf_knn_kmeans_embeddings": oracles.sql_ivf_knn_kmeans(
+            _oracle_kmeans_centroids(sf), 10, 10),
         "embed_neardup": oracles.sql_embed_neardup(0.4),
         "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
         "sessionize_events": oracles.sql_sessionize_events(30),

@@ -469,7 +469,13 @@ def sql_ivf_knn(n_queries: int = 10, k: int = 10, n_centroids: int = 16,
     n_probe closest cells."""
     return f"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
            FROM embeddings WHERE vec_id < {n_centroids}),
-assign AS (SELECT vec_id, cid FROM (
+{_ivf_body(n_queries, k, n_probe)}"""
+
+
+def _ivf_body(n_queries: int, k: int, n_probe: int) -> str:
+    """Shared IVF assignment + probing + ranking SQL, given a ``cents``
+    CTE of (cid, ce)."""
+    return f"""assign AS (SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                ORDER BY round(list_cosine_similarity(e.embedding, c.ce), 6)
@@ -494,6 +500,23 @@ ranked AS (SELECT qid AS query_id, nid AS neighbor_id,
                 ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
            FROM cand)
 SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def sql_ivf_knn_kmeans(cents, n_queries: int = 10, k: int = 10,
+                       n_probe: int = 4) -> str:
+    """IVF kNN against EXPORTED k-means centroids embedded as a SQL
+    literal. The Lloyd iteration itself is iterative float math with no
+    SQL counterpart (determinism + exact-at-full-probe are pytest-pinned,
+    stages/simsearch.kmeans_centroids); what IS oracle-checkable is the
+    assignment + probing + ranking GIVEN the engine's centroid matrix —
+    ``repr(float)`` round-trips each float64 exactly, so DuckDB scores
+    against bit-identical centroids."""
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents))
+    return f"""WITH cents AS (
+  SELECT cid, ce FROM (VALUES {rows}) AS t(cid, ce)),
+{_ivf_body(n_queries, k, n_probe)}"""
 
 
 def sql_embed_neardup(threshold: float = 0.95) -> str:

@@ -249,25 +249,371 @@ class ScoreB:
         return out.filter(pa.array(keep))
 
 
+# ---------------------------------------------------------------- packed
+# Per-block DICTIONARY-packed dataflow (stages/_dictpack.py): each
+# producer block ships every distinct ref once per target partition plus
+# int32 codes, so both all-to-alls move n_blocks × n_parts blob rows and
+# near-minimal bytes — and the a-side tris payload ships once per DISTINCT
+# a per blob instead of once per pair. No global surrogate map is ever
+# built (none may exist in sharded mode); dictionaries are block-local and
+# unify per consumer partition in int-code space. Plain per-row string
+# packing was measured slower and rejected (_packed.py docstring); the
+# dictionary variant removes exactly the two costs that killed it
+# (per-pair string bytes, Arrow→object rebuilds).
+
+_CSR_CACHE: dict = {}
+_CSR_CACHE_CAP = 4
+
+
+def _shard_csr(shard_dir: str, k: int):
+    """Process-global lazy cache of one shard's ref-sorted CSR arrays
+    (ref_sorted, flat codes, per-ref offsets, ntri, weight) — shared by
+    every map_groups task in the worker process, so a shard is read and
+    sorted once per worker, not once per group. No bitset matrix is
+    built here: consumers scatter bits only for the refs they touch."""
+    key = (shard_dir, int(k))
+    if key not in _CSR_CACHE:
+        if len(_CSR_CACHE) >= _CSR_CACHE_CAP:
+            _CSR_CACHE.pop(next(iter(_CSR_CACHE)))
+        tbl = pq.read_table(os.path.join(shard_dir, f"shard={int(k)}"),
+                            columns=["ref", "tris", "ntri", "weight"])
+        refs = np.asarray(tbl["ref"].combine_chunks())
+        if refs.dtype == object:
+            refs = refs.astype(str)
+        codes, counts = _list_csr(tbl["tris"])
+        ntri = tbl["ntri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wt = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(refs, kind="stable")
+        offs = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(counts[order], out=offs[1:])
+        starts = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        src = np.repeat(starts[order] - offs[:-1], counts[order]) \
+            + np.arange(len(codes), dtype=np.int64)
+        _CSR_CACHE[key] = (refs[order], codes[src], offs,
+                           ntri[order], wt[order])
+    return _CSR_CACHE[key]
+
+
+def _gather_runs(flat: np.ndarray, offs: np.ndarray, idx: np.ndarray):
+    """CSR run gather: rows ``idx`` of (flat, offs) → (flat', counts')."""
+    counts = offs[idx + 1] - offs[idx]
+    elem = _ranges(counts)
+    return flat[np.repeat(offs[idx], counts) + elem], counts
+
+
+def _take_str(arr: pa.Array, idx: np.ndarray) -> pa.Array:
+    return arr.take(pa.array(idx.astype(np.int64)))
+
+
+def _pack_pairs_fn(n_shards: int, sub: int):
+    """Producer stage of exchange 1: raw (a, b[, n]) rows → one
+    dictionary-packed blob per (block, partition), partition =
+    shard(a)·sub + hash(b) % sub (all copies of a pair co-locate; every
+    partition is homogeneous in shard(a) for the attach)."""
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages._dictpack import pack_blobs, str_segments
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pack_blobs(np.empty(0, np.int64), [])
+        enc_a = pc.dictionary_encode(batch["a"].combine_chunks())
+        enc_b = pc.dictionary_encode(batch["b"].combine_chunks())
+        ca = enc_a.indices.to_numpy(zero_copy_only=False)
+        cb = enc_b.indices.to_numpy(zero_copy_only=False)
+        # hash UNIQUE refs only (string hashing is the per-row cost the
+        # dictionary removes), then broadcast through the codes
+        ha = _u64_of_refs(np.asarray(enc_a.dictionary).astype(str))
+        hb = _u64_of_refs(np.asarray(enc_b.dictionary).astype(str))
+        part = ((ha % np.uint64(n_shards))[ca] * np.uint64(sub)
+                + (hb % np.uint64(sub))[cb]).astype(np.int64)
+        n = (batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+             if "n" in batch.column_names
+             else np.ones(len(batch), dtype=np.int64))
+        if len(n) and n.max() > np.iinfo(np.int32).max:
+            raise OverflowError("co-key count exceeds int32 wire dtype")
+        order = np.argsort(part, kind="stable")
+        ca, cb, n, part = ca[order], cb[order], n[order], part[order]
+        bnd = np.nonzero(part[1:] != part[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(part)]))
+        parts_out, blobs = [], []
+        for s, e in zip(starts, ends):
+            pres_a = np.unique(ca[s:e])
+            pres_b = np.unique(cb[s:e])
+            seg_strs = pa.concat_arrays(
+                [_take_str(enc_a.dictionary, pres_a),
+                 _take_str(enc_b.dictionary, pres_b)])
+            enc = pc.dictionary_encode(seg_strs)
+            gmap = enc.indices.to_numpy(zero_copy_only=False)
+            code_a = gmap[np.searchsorted(pres_a, ca[s:e])]
+            code_b = gmap[len(pres_a):][np.searchsorted(pres_b, cb[s:e])]
+            offs, data = str_segments(enc.dictionary)
+            header = np.array([e - s, len(enc.dictionary), len(data)],
+                              dtype=np.int64)
+            blobs.append([header, offs, data,
+                          code_a.astype(np.int32),
+                          code_b.astype(np.int32),
+                          n[s:e].astype(np.int32)])
+            parts_out.append(part[s])
+        return pack_blobs(np.asarray(parts_out, dtype=np.int64), blobs)
+
+    return pack
+
+
+def _dedupe_attach_fn(shard_dir: str, n_shards: int, sub2: int,
+                      cfg: ERConfig):
+    """Consumer of exchange 1 / producer of exchange 2, one fused group
+    task: unify the partition's blob dictionaries, dedupe + co-key-filter
+    pairs in int-code space, attach the a-side sparse tris from the
+    partition's (single) a-shard ONCE PER DISTINCT a, and re-pack per
+    b-shard partition — the tris payload crosses the second exchange once
+    per distinct (a, blob), not once per pair."""
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages._dictpack import (
+        iter_blobs, pack_blobs, str_from_segments, str_segments,
+        unify_dicts)
+
+    empty = pa.table({"_part": pa.array([], pa.int64()),
+                      "blob": pa.array([], pa.large_binary())})
+
+    def run(t: pa.Table) -> pa.Table:
+        dicts, codes_a, codes_b, ns = [], [], [], []
+        for r in iter_blobs(t):
+            n_rows, n_uniq, nbytes = (int(x) for x in r.seg(3, np.int64))
+            offs = r.seg(n_uniq + 1, np.int32)
+            data = r.seg(nbytes, np.uint8)
+            dicts.append(str_from_segments(offs, data))
+            codes_a.append(r.seg(n_rows, np.int32))
+            codes_b.append(r.seg(n_rows, np.int32))
+            ns.append(r.seg(n_rows, np.int32))
+        if not dicts:
+            return empty
+        gdict, remaps = unify_dicts(dicts)
+        ga = np.concatenate([m[c] for m, c in zip(remaps, codes_a)])
+        gb = np.concatenate([m[c] for m, c in zip(remaps, codes_b)])
+        n = np.concatenate(ns).astype(np.int64)
+        G = len(gdict)
+        key = ga.astype(np.int64) * G + gb
+        uniq, inv = np.unique(key, return_inverse=True)
+        if cfg.min_cokeys > 1:
+            sums = np.bincount(inv, weights=n.astype(np.float64))
+            uniq = uniq[sums >= cfg.min_cokeys]
+        if not len(uniq):
+            return empty
+        pa_c = (uniq // G).astype(np.int64)
+        pb_c = (uniq % G).astype(np.int64)
+
+        # a-side attach per DISTINCT a (partition is homogeneous in
+        # shard(a), but group by hash anyway — robustness over labels)
+        ua = np.unique(pa_c)
+        a_str = np.asarray(_take_str(gdict, ua)).astype(str)
+        shard_a = (_u64_of_refs(a_str) % np.uint64(n_shards)).astype(int)
+        tri_flat = np.empty(0, np.uint16)
+        tri_counts = np.empty(len(ua), np.int64)
+        ntri_u = np.empty(len(ua), np.int64)
+        wt_u = np.empty(len(ua), np.int64)
+        flats = [None] * len(ua)
+        for k in np.unique(shard_a):
+            refs_s, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
+            m = shard_a == k
+            idx = np.searchsorted(refs_s, a_str[m])
+            flat, counts = _gather_runs(codes_s, offs_s, idx)
+            ntri_u[m] = ntri_s[idx]
+            wt_u[m] = wt_s[idx]
+            tri_counts[m] = counts
+            pos = np.zeros(int(m.sum()) + 1, np.int64)
+            np.cumsum(counts, out=pos[1:])
+            where = np.nonzero(m)[0]
+            for j, w in enumerate(where):
+                flats[w] = flat[pos[j]:pos[j + 1]]
+        tri_offs_u = np.zeros(len(ua) + 1, np.int64)
+        np.cumsum(tri_counts, out=tri_offs_u[1:])
+        tri_flat = (np.concatenate(flats) if flats
+                    else np.empty(0, np.uint16))
+
+        # b-side routing per DISTINCT b
+        ub = np.unique(pb_c)
+        b_str = np.asarray(_take_str(gdict, ub)).astype(str)
+        hb = _u64_of_refs(b_str)
+        part2_u = ((hb % np.uint64(n_shards)) * np.uint64(sub2)
+                   + ((hb >> np.uint64(32)) % np.uint64(sub2))
+                   ).astype(np.int64)
+        la = np.searchsorted(ua, pa_c)  # pair → index into ua
+        lb = np.searchsorted(ub, pb_c)
+        part2 = part2_u[lb]
+        order = np.argsort(part2, kind="stable")
+        la, lb, part2 = la[order], lb[order], part2[order]
+        bnd = np.nonzero(part2[1:] != part2[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(part2)]))
+        parts_out, blobs = [], []
+        a_dict_arr = _take_str(gdict, ua)
+        b_dict_arr = _take_str(gdict, ub)
+        for s, e in zip(starts, ends):
+            pres_a = np.unique(la[s:e])
+            pres_b = np.unique(lb[s:e])
+            seg_a = _take_str(a_dict_arr, pres_a)
+            seg_b = _take_str(b_dict_arr, pres_b)
+            a_offs, a_data = str_segments(seg_a)
+            b_offs, b_data = str_segments(seg_b)
+            seg_tris, seg_counts = _gather_runs(
+                tri_flat, tri_offs_u, pres_a)
+            seg_toffs = np.zeros(len(pres_a) + 1, np.int64)
+            np.cumsum(seg_counts, out=seg_toffs[1:])
+            code_a = np.searchsorted(pres_a, la[s:e])
+            code_b = np.searchsorted(pres_b, lb[s:e])
+            header = np.array(
+                [e - s, len(pres_a), len(pres_b), len(a_data),
+                 len(b_data), len(seg_tris)], dtype=np.int64)
+            blobs.append([
+                header, a_offs, a_data,
+                seg_toffs.astype(np.int32), seg_tris,
+                ntri_u[pres_a].astype(np.int32), wt_u[pres_a],
+                b_offs, b_data,
+                code_a.astype(np.int32), code_b.astype(np.int32)])
+            parts_out.append(part2[s])
+        return pack_blobs(np.asarray(parts_out, dtype=np.int64), blobs)
+
+    return run
+
+
+def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
+    """Consumer of exchange 2: per partition, unify the blobs' b
+    dictionaries, scatter bitsets once per DISTINCT ref on each side,
+    score with the popcount(AND) kernel (storage.c:527-563) in
+    cache-bounded pair chunks, and materialize strings only for pairs
+    that survive both thresholds."""
+    from blurrily_ray.stages._dictpack import (
+        iter_blobs, str_from_segments, unify_dicts)
+    from blurrily_ray.stages.pairs import _scatter_bits
+
+    num, den = rel_fraction(cfg)
+    out_schema = pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("matches", pa.int64()),
+        ("ntri_a", pa.int64()), ("ntri_b", pa.int64()),
+        ("weight_a", pa.int64()), ("weight_b", pa.int64())])
+    empty = out_schema.empty_table()
+
+    def run(t: pa.Table) -> pa.Table:
+        parsed = []
+        b_dicts = []
+        for r in iter_blobs(t):
+            (n_pairs, n_ua, n_ub, a_bytes, b_bytes,
+             tris_len) = (int(x) for x in r.seg(6, np.int64))
+            a_offs = r.seg(n_ua + 1, np.int32)
+            a_data = r.seg(a_bytes, np.uint8)
+            toffs = r.seg(n_ua + 1, np.int32)
+            tris = r.seg(tris_len, np.uint16)
+            ntri_a = r.seg(n_ua, np.int32)
+            wt_a = r.seg(n_ua, np.int64)
+            b_offs = r.seg(n_ub + 1, np.int32)
+            b_data = r.seg(b_bytes, np.uint8)
+            code_a = r.seg(n_pairs, np.int32)
+            code_b = r.seg(n_pairs, np.int32)
+            a_dict = str_from_segments(a_offs, a_data)
+            b_dict = str_from_segments(b_offs, b_data)
+            parsed.append((a_dict, b_dict, toffs, tris, ntri_a, wt_a,
+                           code_a, code_b))
+            b_dicts.append(b_dict)
+        if not parsed:
+            return empty
+        # bitsets once per DISTINCT b across the whole partition
+        gb_dict, remaps = unify_dicts(b_dicts)
+        b_str = np.asarray(gb_dict).astype(str)
+        shard_b = (_u64_of_refs(b_str) % np.uint64(n_shards)).astype(int)
+        nb = len(gb_dict)
+        ntri_b_u = np.empty(nb, np.int64)
+        wt_b_u = np.empty(nb, np.int64)
+        flats = [None] * nb
+        counts_b = np.empty(nb, np.int64)
+        for k in np.unique(shard_b):
+            refs_s, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
+            m = shard_b == k
+            idx = np.searchsorted(refs_s, b_str[m])
+            flat, counts = _gather_runs(codes_s, offs_s, idx)
+            ntri_b_u[m] = ntri_s[idx]
+            wt_b_u[m] = wt_s[idx]
+            counts_b[m] = counts
+            pos = np.zeros(int(m.sum()) + 1, np.int64)
+            np.cumsum(counts, out=pos[1:])
+            where = np.nonzero(m)[0]
+            for j, w in enumerate(where):
+                flats[w] = flat[pos[j]:pos[j + 1]]
+        bits_b = _scatter_bits(
+            np.concatenate(flats) if flats else np.empty(0, np.uint16),
+            counts_b)
+
+        outs = []
+        chunk = 16384
+        for bi, (a_dict, b_dict, toffs, tris, ntri_a, wt_a,
+                 code_a, code_b) in enumerate(parsed):
+            bits_a = _scatter_bits(tris, np.diff(toffs.astype(np.int64)))
+            gcb = remaps[bi][code_b]
+            ntri_a64 = ntri_a.astype(np.int64)
+            for s in range(0, len(code_a), chunk):
+                e = min(s + chunk, len(code_a))
+                ca_c, cb_c = code_a[s:e], gcb[s:e]
+                m = _popcount_and(bits_a[ca_c], bits_b[cb_c])
+                na = ntri_a64[ca_c]
+                nb_c = ntri_b_u[cb_c]
+                lo = np.minimum(na, nb_c)
+                keep = (m >= cfg.min_matches) & (m * den >= num * lo)
+                if not keep.any():
+                    continue
+                ka, kb = ca_c[keep], cb_c[keep]
+                outs.append(pa.table({
+                    "a": _take_str(a_dict, ka),
+                    "b": _take_str(gb_dict, kb),
+                    "matches": pa.array(m[keep]),
+                    "ntri_a": pa.array(na[keep]),
+                    "ntri_b": pa.array(nb_c[keep]),
+                    "weight_a": pa.array(wt_a.astype(np.int64)[ka]),
+                    "weight_b": pa.array(wt_b_u[kb]),
+                }, schema=out_schema))
+        return pa.concat_tables(outs) if outs else empty
+
+    return run
+
+
 def score_pairs_sharded(raw_pairs, shard_dir: str, cfg: ERConfig = DEFAULT,
                         *, n_shards: int | None = None,
-                        concurrency: tuple[int, int] | None = None):
+                        concurrency: tuple[int, int] | None = None,
+                        packed: bool = True):
     """Raw candidate pairs (with per-partition co-key counts ``n``) →
-    thresholded edges, via the sharded actor-pool dataflow above.
+    thresholded edges, with NOTHING corpus-sized on the driver.
 
-    Correctness does not depend on batch/shard alignment — the actors
-    group-lookup whatever shards a batch contains — the routing shuffles
-    only buy locality so each actor touches few shards.
+    ``packed=True`` (default) runs the dictionary-packed dataflow: both
+    all-to-alls move blob rows (see the packed section above), dedupe +
+    a-side attach fuse into one group task, and the b-side scoring group
+    scatters bitsets once per distinct ref. ``packed=False`` keeps the
+    scalar-row actor-pool dataflow (the module docstring's original
+    shape) — retained as the semantics pin for tests.
 
-    Both pair shuffles are scalar-row by MEASUREMENT: blob-packing the
-    string-keyed exchanges (Arrow-style offsets+bytes segments) was built
-    and rejected — see stages/_packed.py's docstring for the numbers."""
+    Correctness does not depend on batch/shard alignment — consumers
+    group-lookup whatever shards their rows hash to — the routing only
+    buys locality so each group task touches few shards."""
     import ray
 
     n_shards = n_shards or cfg.score_shards
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     if concurrency is None:
-        n_cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (1, max(2, n_cpus))
+
+    if packed:
+        sub = max(2, -(-max(cfg.join_partitions, 2 * n_cpus) // n_shards))
+        sub2 = max(1, -(-2 * n_cpus // n_shards))
+        packed1 = raw_pairs.map_batches(
+            _pack_pairs_fn(n_shards, sub), batch_format="pyarrow",
+            batch_size=None)
+        attached = packed1.groupby("_part").map_groups(
+            _dedupe_attach_fn(shard_dir, n_shards, sub2, cfg),
+            batch_format="pyarrow")
+        return attached.groupby("_part").map_groups(
+            _score_blobs_fn(shard_dir, n_shards, cfg),
+            batch_format="pyarrow")
 
     from blurrily_ray.stages.common import partitioned_map
 

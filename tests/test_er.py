@@ -91,6 +91,41 @@ def test_sharded_scorer_matches_broadcast(er_result, sf0001_paths):
     assert clusters_s == clusters_b
 
 
+def test_sharded_scorer_packed_equals_scalar(sf0001_paths):
+    """The dictionary-packed sharded dataflow (default) must emit exactly
+    the scalar-row actor-pool dataflow's edge set — same pairs, same
+    scores, same attached stats."""
+    import tempfile
+
+    from blurrily_ray.config import DEFAULT
+    from blurrily_ray.stages.pairs import (
+        blocking_keys, candidate_pairs, key_histogram, trigram_histogram)
+    from blurrily_ray.stages.scorer import (
+        build_bitset_shards, score_pairs_sharded)
+    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+    ts = ray.data.read_parquet(sf0001_paths["transcripts"])
+    docsets = docsets_from_docs(assemble_docs(ts)).materialize()
+    hist = trigram_histogram(docsets)
+    keys = blocking_keys(docsets, hist, DEFAULT).materialize()
+    pairs, _ = candidate_pairs(keys, key_histogram(keys, DEFAULT),
+                               DEFAULT, distinct=False)
+    pairs = pairs.materialize()
+    shard_dir = tempfile.mkdtemp(prefix="packed_eq_shards_")
+    build_bitset_shards(docsets, shard_dir, DEFAULT.score_shards)
+
+    def edge_set(ds):
+        return {(r["a"], r["b"], r["matches"], r["ntri_a"], r["ntri_b"],
+                 r["weight_a"], r["weight_b"]) for r in ds.take_all()}
+
+    e_packed = edge_set(score_pairs_sharded(pairs, shard_dir, DEFAULT,
+                                            packed=True))
+    e_scalar = edge_set(score_pairs_sharded(pairs, shard_dir, DEFAULT,
+                                            packed=False))
+    assert len(e_packed) > 0
+    assert e_packed == e_scalar
+
+
 def test_auto_dispatch_honors_broadcast_limit(sf0001_paths):
     """score_mode='auto' must route to the sharded scorer when the bitset
     broadcast would exceed broadcast_limit_bytes (regression: 'auto' used
