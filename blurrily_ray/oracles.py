@@ -946,11 +946,22 @@ FROM dd JOIN clean ON dd.doc_id = clean.doc_id
         JOIN smooth ON dd.doc_id = smooth.doc_id"""
 
 
-def sql_fuzzy_join(path: str, k: int = 3) -> str:
+def sql_fuzzy_join(path: str, k: int = 3,
+                   needle_pred: str | None = None) -> str:
     """Fuzzy-linkage oracle (stages/index.fuzzy_join): every conversation
     doc linked to its top-k v0 (canonical-variant) catalog docs by shared
-    trigram count, FIND ordering."""
+    trigram count, FIND ordering.
+
+    The npostings × cpostings trigram join is quadratic in common-trigram
+    frequency; at sf0.1 the full-needle query exhausts DuckDB (~106 GB,
+    NOTES_r3). ``needle_pred`` restricts the NEEDLE side (catalog stays
+    full) to a deterministic sample — scoring is per-needle independent,
+    so the sampled oracle is EXACT on the sampled needles. Used by
+    scripts/check_fuzzy_scale.py with an md5(ref)-prefix predicate the
+    engine side reproduces bit-for-bit."""
     nsrc = transcripts_src(path)
+    if needle_pred is not None:
+        nsrc = f"SELECT * FROM ({nsrc}) WHERE {needle_pred}"
     csrc = f"SELECT * FROM ({transcripts_src(path)}) WHERE ref LIKE '%v0'"
     return f"""WITH {postings_cte(nsrc, "n")},
 {postings_cte(csrc, "c")},
