@@ -306,6 +306,37 @@ def _take_str(arr: pa.Array, idx: np.ndarray) -> pa.Array:
     return arr.take(pa.array(idx.astype(np.int64)))
 
 
+def _gather_shard_runs(shard_dir: str, n_shards: int, strs: np.ndarray):
+    """Gather each ref's CSR trigram run from its hash shard, returning
+    ``(flat, offs, ntri, wt)`` in ``strs`` order. Placement is fully
+    vectorized — one repeat-indexed scatter per touched shard — instead
+    of a per-distinct-ref Python slice loop + np.concatenate of tens of
+    thousands of tiny arrays (the former hot-path shape)."""
+    shard = (_u64_of_refs(strs) % np.uint64(n_shards)).astype(int)
+    n = len(strs)
+    counts = np.empty(n, np.int64)
+    ntri = np.empty(n, np.int64)
+    wt = np.empty(n, np.int64)
+    per_shard = []
+    for k in np.unique(shard):
+        refs_s, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
+        m = shard == k
+        idx = np.searchsorted(refs_s, strs[m])
+        ntri[m] = ntri_s[idx]
+        wt[m] = wt_s[idx]
+        counts[m] = offs_s[idx + 1] - offs_s[idx]
+        per_shard.append((np.nonzero(m)[0], idx, counts[m],
+                          codes_s, offs_s))
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = np.empty(int(offs[-1]), np.uint16)
+    for where, idx, c, codes_s, offs_s in per_shard:
+        src = np.repeat(offs_s[idx], c) + _ranges(c)
+        dest = np.repeat(offs[where], c) + _ranges(c)
+        flat[dest] = codes_s[src]
+    return flat, offs, ntri, wt
+
+
 def _pack_pairs_fn(n_shards: int, sub: int):
     """Producer stage of exchange 1: raw (a, b[, n]) rows → one
     dictionary-packed blob per (block, partition), partition =
@@ -410,29 +441,8 @@ def _dedupe_attach_fn(shard_dir: str, n_shards: int, sub2: int,
         # shard(a), but group by hash anyway — robustness over labels)
         ua = np.unique(pa_c)
         a_str = np.asarray(_take_str(gdict, ua)).astype(str)
-        shard_a = (_u64_of_refs(a_str) % np.uint64(n_shards)).astype(int)
-        tri_flat = np.empty(0, np.uint16)
-        tri_counts = np.empty(len(ua), np.int64)
-        ntri_u = np.empty(len(ua), np.int64)
-        wt_u = np.empty(len(ua), np.int64)
-        flats = [None] * len(ua)
-        for k in np.unique(shard_a):
-            refs_s, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
-            m = shard_a == k
-            idx = np.searchsorted(refs_s, a_str[m])
-            flat, counts = _gather_runs(codes_s, offs_s, idx)
-            ntri_u[m] = ntri_s[idx]
-            wt_u[m] = wt_s[idx]
-            tri_counts[m] = counts
-            pos = np.zeros(int(m.sum()) + 1, np.int64)
-            np.cumsum(counts, out=pos[1:])
-            where = np.nonzero(m)[0]
-            for j, w in enumerate(where):
-                flats[w] = flat[pos[j]:pos[j + 1]]
-        tri_offs_u = np.zeros(len(ua) + 1, np.int64)
-        np.cumsum(tri_counts, out=tri_offs_u[1:])
-        tri_flat = (np.concatenate(flats) if flats
-                    else np.empty(0, np.uint16))
+        tri_flat, tri_offs_u, ntri_u, wt_u = _gather_shard_runs(
+            shard_dir, n_shards, a_str)
 
         # b-side routing per DISTINCT b
         ub = np.unique(pb_c)
@@ -523,28 +533,9 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
         # bitsets once per DISTINCT b across the whole partition
         gb_dict, remaps = unify_dicts(b_dicts)
         b_str = np.asarray(gb_dict).astype(str)
-        shard_b = (_u64_of_refs(b_str) % np.uint64(n_shards)).astype(int)
-        nb = len(gb_dict)
-        ntri_b_u = np.empty(nb, np.int64)
-        wt_b_u = np.empty(nb, np.int64)
-        flats = [None] * nb
-        counts_b = np.empty(nb, np.int64)
-        for k in np.unique(shard_b):
-            refs_s, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
-            m = shard_b == k
-            idx = np.searchsorted(refs_s, b_str[m])
-            flat, counts = _gather_runs(codes_s, offs_s, idx)
-            ntri_b_u[m] = ntri_s[idx]
-            wt_b_u[m] = wt_s[idx]
-            counts_b[m] = counts
-            pos = np.zeros(int(m.sum()) + 1, np.int64)
-            np.cumsum(counts, out=pos[1:])
-            where = np.nonzero(m)[0]
-            for j, w in enumerate(where):
-                flats[w] = flat[pos[j]:pos[j + 1]]
-        bits_b = _scatter_bits(
-            np.concatenate(flats) if flats else np.empty(0, np.uint16),
-            counts_b)
+        flat_b, offs_b, ntri_b_u, wt_b_u = _gather_shard_runs(
+            shard_dir, n_shards, b_str)
+        bits_b = _scatter_bits(flat_b, np.diff(offs_b))
 
         outs = []
         chunk = 16384
