@@ -154,76 +154,110 @@ def find(postings, needle: str, limit: int = LIMIT_DEFAULT, *,
     }))
 
 
-def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT):
-    """Batch FIND: score every needle against every doc in one scan.
+def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT, *,
+              merge: str = "driver"):
+    """Batch FIND: score every needle against every doc in one streamed scan.
 
     The reference server answers FINDs one at a time over a mmap index
-    (server.rb event loop); here Q needle bitsets broadcast once and each
-    docsets batch answers all Q needles vectorized (popcount of AND),
-    emitting batch-local top-k merged by a tiny per-needle groupby — the
-    same partial-top-k pattern as simsearch.knn_brute.
-    Returns (needle, ref, matches, weight) with the reference ordering
-    (matches DESC, weight ASC, ref ASC) as rank ≤ limit per needle.
+    (server.rb event loop); here the NEEDLES are inverted into a tiny
+    posting table (trigram code → needle ids, broadcast once via ray.put)
+    and each docsets batch gathers, per doc trigram, only the needles
+    sharing it — O(shared trigram occurrences), the transpose of the
+    reference's find gather (storage.c:498-519), instead of the dense
+    Q × batch popcount scan this replaced (which read every doc's full
+    2,744-byte bitset once PER NEEDLE). One bincount over
+    (doc, needle) keys scores the whole batch; batch-local top-k per
+    needle is a single lexsort over the nonzero hits. The corpus side
+    streams — nothing corpus-sized is broadcast or driver-materialized.
+
+    ``merge="driver"`` (default) concatenates the batch-local top-k
+    partials on the driver — bounded by Q × limit × n_blocks rows — and
+    ranks them in one vectorized pass. For very large needle sets use
+    ``merge="shuffle"``: one hash-partitioned exchange of the partials
+    (still ≤ Q × limit × n_blocks rows) ranked per partition.
+
+    Returns (needle, ref, matches, weight, rank) with the reference
+    ordering (matches DESC, weight ASC, ref ASC) as rank ≤ limit per
+    needle; needles sharing no trigram with any doc emit no rows.
     """
-    import pandas as pd
     import ray
 
     from blurrily_ray.functions.normalize import normalize_string
-    from blurrily_ray.functions.trigram import NUM_TRIGRAMS
-    from blurrily_ray.stages.pairs import (
-        _BITSET_BYTES, _bitset_batch, _cached_get, _popcount_and)
+    from blurrily_ray.functions.trigram import _concat_ranges
+    from blurrily_ray.stages.pairs import _cached_get, _list_csr
 
     if not (LIMIT_RANGE[0] <= limit <= LIMIT_RANGE[1]):
         raise ValueError(f"limit must be in {LIMIT_RANGE}")
-    qbits = np.zeros((len(needles), _BITSET_BYTES), dtype=np.uint8)
+    q_codes, q_ids = [], []
     for qi, needle in enumerate(needles):
-        for code in tokenize(normalize_string(needle)):
-            qbits[qi, code >> 3] |= 1 << (code & 7)
-    q_ref = ray.put((list(needles), qbits))
+        codes = np.unique(tokenize(normalize_string(needle)))
+        q_codes.append(codes)
+        q_ids.append(np.full(len(codes), qi, dtype=np.int64))
+    flat_c = (np.concatenate(q_codes) if q_codes
+              else np.empty(0, dtype=np.int64)).astype(np.int64)
+    flat_q = (np.concatenate(q_ids) if q_ids
+              else np.empty(0, dtype=np.int64))
+    order = np.argsort(flat_c, kind="stable")
+    n_offs = np.zeros(NUM_TRIGRAMS + 1, dtype=np.int64)
+    np.cumsum(np.bincount(flat_c, minlength=NUM_TRIGRAMS), out=n_offs[1:])
+    q_ref = ray.put((list(needles), n_offs, flat_q[order]))
+    n_q = len(needles)
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        names, qb = _cached_get(q_ref)
-        bt = _bitset_batch(batch)
-        buf = np.frombuffer(bt["bits"].combine_chunks().buffers()[1],
-                            dtype=np.uint8).reshape(-1, _BITSET_BYTES)
-        wts = bt["weight"].to_numpy(zero_copy_only=False)
-        refs = bt["ref"]
+        names, offs_n, post_n = _cached_get(q_ref)
+        n_rows = len(batch)
+        codes, counts = _list_csr(batch["tris"])
+        codes = codes.astype(np.int64, copy=False)
+        plens = offs_n[codes + 1] - offs_n[codes]
+        g = post_n[np.repeat(offs_n[codes], plens) + _concat_ranges(plens)]
+        doc_of = np.repeat(
+            np.repeat(np.arange(n_rows, dtype=np.int64), counts), plens)
+        # both sides hold DISTINCT trigram codes, so the bincount of
+        # (doc, needle) coincidences IS the shared-distinct-trigram count
+        cnt = np.bincount(doc_of * n_q + g, minlength=n_rows * n_q)
+        nz = np.nonzero(cnt)[0]
+        d_nz, q_nz = nz // n_q, nz % n_q
+        m_nz = cnt[nz]
+        wts = batch["weight"].to_numpy(zero_copy_only=False)[d_nz]
+        refs = batch["ref"]
         r_vals = np.asarray(refs)
         if r_vals.dtype == object:
             r_vals = r_vals.astype(str)  # lexsort needs a sortable dtype
-        out = []
-        for qi, name in enumerate(names):
-            m = _popcount_and(buf, qb[qi])
-            hit = np.nonzero(m > 0)[0]
-            if len(hit) > limit:
-                # batch-local top-k must use the SAME total order as the
-                # final merge (matches DESC, weight ASC, ref ASC)
-                order = np.lexsort((r_vals[hit], wts[hit], -m[hit]))[:limit]
-                hit = hit[order]
-            out.append(pa.table({
-                "needle": pa.array([name] * len(hit), type=pa.string()),
-                "ref": refs.take(pa.array(hit)),
-                "matches": pa.array(m[hit].astype(np.int64), type=pa.int64()),
-                "weight": pa.array(wts[hit].astype(np.int64), type=pa.int64()),
-            }))
-        if out:
-            return pa.concat_tables(out)
+        # one lexsort ranks every needle's batch-local hits at once:
+        # grouped by needle, FIND order within (matches DESC, weight ASC,
+        # ref ASC) — then keep the first ``limit`` rows of each group
+        so = np.lexsort((r_vals[d_nz], wts, -m_nz, q_nz))
+        qs = q_nz[so]
+        starts = np.zeros(len(qs), dtype=np.int64)
+        if len(qs):
+            grp = np.nonzero(np.diff(qs))[0] + 1
+            starts[grp] = grp
+            np.maximum.accumulate(starts, out=starts)
+        keep = so[(np.arange(len(qs)) - starts) < limit]
         return pa.table({
-            "needle": pa.array([], type=pa.string()),
-            "ref": pa.array([], type=batch["ref"].type),
-            "matches": pa.array([], type=pa.int64()),
-            "weight": pa.array([], type=pa.int64()),
+            "needle": pa.array(np.asarray(names, dtype=object)[q_nz[keep]],
+                               type=pa.string()),
+            "ref": refs.take(pa.array(d_nz[keep])),
+            "matches": pa.array(m_nz[keep].astype(np.int64), type=pa.int64()),
+            "weight": pa.array(wts[keep].astype(np.int64), type=pa.int64()),
         })
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["matches", "weight", "ref"],
-                            ascending=[False, True, True],
-                            kind="stable").head(limit)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+    partials = docsets.map_batches(local_topk, batch_format="pyarrow")
 
-    return docsets.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("needle").map_groups(merge, batch_format="pandas")
+    def rank_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["needle", "matches", "weight", "ref"],
+                            ascending=[True, False, True, True],
+                            kind="stable")
+        df["rank"] = df.groupby("needle", sort=False).cumcount() + 1
+        return df[df["rank"] <= limit]
+
+    if merge == "shuffle":
+        from blurrily_ray.stages.common import partitioned_map
+
+        return partitioned_map(partials, ["needle"], rank_partials)
+    # driver merge: ≤ Q × limit × n_blocks rows by construction
+    all_p = partials.to_pandas()
+    return ray.data.from_pandas(rank_partials(all_p).reset_index(drop=True))
 
 
 def find_triples(postings, needle: str, limit: int = LIMIT_DEFAULT) -> list[list]:
