@@ -581,6 +581,32 @@ def _q_redact_tickets(sf_dir: str):
     return _i64(redact_pii(ray.data.read_parquet(path)))
 
 
+STRATA_RATES = {"en": 25, "zh": 100}
+STRATA_DEFAULT = 60
+
+
+def _q_near_dedup_canonical(sf_dir: str):
+    """Corpus near-dedup with canonical survivors: MinHash+LSH pairs →
+    transitive closure → keep = 1 on each cluster's smallest doc_id."""
+    from blurrily_ray.stages.dedup import near_dedup_canonical
+
+    return _i64(near_dedup_canonical(_docs(sf_dir)))
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling (downsample dominant strata,
+    keep rare ones whole); pure map, md5-bucket stable."""
+    import ray.data
+
+    from blurrily_ray.stages.sample import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return _i64(stratified_sample(docs, key_col="doc_id",
+                                  strata_col="lang", rates=STRATA_RATES,
+                                  default_keep=STRATA_DEFAULT))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -631,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_docs": _q_hll_registers,
         "curate_full_docs": _q_curate_full,
         "fuzzy_join_turns": _q_fuzzy_join,
+        "near_dedup_canonical_docs": _q_near_dedup_canonical,
+        "stratified_sample_docs": _q_stratified_sample,
     }
 
 
@@ -709,4 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers_docs": oracles.sql_hll_registers(),
         "curate_full_docs": oracles.sql_curate_full(),
         "fuzzy_join_turns": oracles.sql_fuzzy_join(tpath),
+        "near_dedup_canonical_docs": oracles.sql_near_dedup_canonical(),
+        "stratified_sample_docs": oracles.sql_stratified_sample(
+            STRATA_RATES, STRATA_DEFAULT),
     }

@@ -974,3 +974,36 @@ SELECT needle_ref, ref, CAST(matches AS BIGINT) AS matches,
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY needle_ref
           ORDER BY matches DESC, weight ASC, ref ASC) AS rn FROM j)
 WHERE rn <= {k}"""
+
+
+def sql_near_dedup_canonical(seed: int = 42) -> str:
+    """stages/dedup.near_dedup_canonical mirror: the MinHash+LSH verified
+    pair query (sql_minhash_pairs_docs) as the edge set, transitive
+    closure by recursive reachability, cluster label = smallest doc_id of
+    the component, keep = 1 iff the doc IS its cluster's label."""
+    pairs = sql_minhash_pairs_docs(seed)
+    return f"""WITH RECURSIVE edges AS MATERIALIZED (
+    SELECT a, b FROM ({pairs}) mp),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges
+                     UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+lab AS (SELECT n.doc_id,
+               CASE WHEN MIN(r.d) IS NULL OR n.doc_id <= MIN(r.d)
+                    THEN n.doc_id ELSE MIN(r.d) END AS cluster_id
+        FROM documents n LEFT JOIN reach r ON r.s = n.doc_id
+        GROUP BY n.doc_id)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id = cluster_id AS BIGINT) AS keep FROM lab"""
+
+
+def sql_stratified_sample(rates: dict, default_keep: int,
+                          buckets: int = 100, salt: str = "sample") -> str:
+    """stages/sample.stratified_sample mirror: identical md5-bucket
+    predicate with a per-stratum CASE threshold on ``lang``."""
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in rates.items())
+    bexpr = (f"CAST(('0x' || substr(md5('{salt}:' || "
+             f"CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % {buckets}")
+    return f"""SELECT doc_id, text, lang FROM documents
+WHERE {bexpr} < CASE lang {cases} ELSE {default_keep} END"""

@@ -774,3 +774,43 @@ def dedup_keep_best(ds, *, key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 
     tagged = ds.map_batches(add_h, batch_format="pyarrow")
     return partitioned_map(tagged, ["_h"], keep, n_parts=n_parts)
+
+
+def near_dedup_canonical(docs, *, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Corpus near-dedup with a canonical survivor: MinHash+LSH verified
+    pairs (:func:`minhash_dedup_pairs`) → transitive closure
+    (``cluster.connected_components`` — label = smallest id in the
+    component) → keep exactly one representative per duplicate cluster.
+
+    This is THE standard corpus-level near-dedup a training-data pipeline
+    runs (find near-dup clusters, keep one doc, drop the rest), composed
+    from stages that are each independently oracled. Returns
+    ``(id_col, cluster_id, keep)`` for EVERY input doc — ``keep = 1`` iff
+    the doc is its cluster's canonical (smallest-id) representative, so
+    ``filter(keep == 1)`` is the deduplicated corpus and the full table is
+    the audit trail (which doc each duplicate collapsed into).
+
+    Scale shape: the pair pipeline is banded-bucket bounded, the closure
+    is pointer-jumping over the (tiny) verified edge set, and the final
+    tag is a pure map — nothing corpus-sized leaves the object store.
+    """
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages.cluster import connected_components
+
+    pairs = minhash_dedup_pairs(docs, id_col=id_col, text_col=text_col)
+    edges = pairs.select_columns(["a", "b"])
+    nodes = docs.select_columns([id_col])
+    if id_col != "ref":
+        nodes = nodes.rename_columns({id_col: "ref"})
+    labeled = connected_components(edges, nodes)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.cast(pc.equal(batch["ref"], batch["cluster_id"]),
+                       pa.int64())
+        return pa.table({id_col: batch["ref"],
+                         "cluster_id": batch["cluster_id"],
+                         "keep": keep})
+
+    return labeled.map_batches(tag, batch_format="pyarrow")

@@ -208,38 +208,61 @@ def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT, *,
         n_rows = len(batch)
         codes, counts = _list_csr(batch["tris"])
         codes = codes.astype(np.int64, copy=False)
-        plens = offs_n[codes + 1] - offs_n[codes]
-        g = post_n[np.repeat(offs_n[codes], plens) + _concat_ranges(plens)]
-        doc_of = np.repeat(
-            np.repeat(np.arange(n_rows, dtype=np.int64), counts), plens)
-        # both sides hold DISTINCT trigram codes, so the bincount of
-        # (doc, needle) coincidences IS the shared-distinct-trigram count
-        cnt = np.bincount(doc_of * n_q + g, minlength=n_rows * n_q)
-        nz = np.nonzero(cnt)[0]
-        d_nz, q_nz = nz // n_q, nz % n_q
-        m_nz = cnt[nz]
-        wts = batch["weight"].to_numpy(zero_copy_only=False)[d_nz]
+        nb_starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=nb_starts[1:])
+        wts_all = batch["weight"].to_numpy(zero_copy_only=False)
         refs = batch["ref"]
         r_vals = np.asarray(refs)
         if r_vals.dtype == object:
             r_vals = r_vals.astype(str)  # lexsort needs a sortable dtype
-        # one lexsort ranks every needle's batch-local hits at once:
-        # grouped by needle, FIND order within (matches DESC, weight ASC,
-        # ref ASC) — then keep the first ``limit`` rows of each group
-        so = np.lexsort((r_vals[d_nz], wts, -m_nz, q_nz))
-        qs = q_nz[so]
-        starts = np.zeros(len(qs), dtype=np.int64)
-        if len(qs):
-            grp = np.nonzero(np.diff(qs))[0] + 1
-            starts[grp] = grp
-            np.maximum.accumulate(starts, out=starts)
-        keep = so[(np.arange(len(qs)) - starts) < limit]
+        # chunk rows so the (rows × needles) count vector stays small
+        # (≤ ~16 MB — large fresh allocations fault in at page-touch
+        # speed on this box; see fuzzy_join's measured note)
+        step = max(1, 2_000_000 // max(n_q, 1))
+        outs = []
+        for lo in range(0, n_rows if n_q else 0, step):
+            hi = min(lo + step, n_rows)
+            c = codes[nb_starts[lo]:nb_starts[hi]]
+            plens = offs_n[c + 1] - offs_n[c]
+            g = post_n[np.repeat(offs_n[c], plens) + _concat_ranges(plens)]
+            doc_of = np.repeat(np.repeat(
+                np.arange(lo, hi, dtype=np.int64), counts[lo:hi]), plens)
+            # both sides hold DISTINCT trigram codes, so the bincount of
+            # (doc, needle) coincidences IS the shared-trigram count
+            cnt = np.bincount((doc_of - lo) * n_q + g,
+                              minlength=(hi - lo) * n_q)
+            nz = np.nonzero(cnt)[0]
+            d_nz, q_nz = nz // n_q + lo, nz % n_q
+            m_nz = cnt[nz]
+            wts = wts_all[d_nz]
+            # one lexsort ranks every needle's chunk-local hits at once:
+            # grouped by needle, FIND order within (matches DESC, weight
+            # ASC, ref ASC) — then keep the first ``limit`` of each group
+            so = np.lexsort((r_vals[d_nz], wts, -m_nz, q_nz))
+            qs = q_nz[so]
+            starts = np.zeros(len(qs), dtype=np.int64)
+            if len(qs):
+                grp = np.nonzero(np.diff(qs))[0] + 1
+                starts[grp] = grp
+                np.maximum.accumulate(starts, out=starts)
+            keep = so[(np.arange(len(qs)) - starts) < limit]
+            outs.append(pa.table({
+                "needle": pa.array(
+                    np.asarray(names, dtype=object)[q_nz[keep]],
+                    type=pa.string()),
+                "ref": refs.take(pa.array(d_nz[keep])),
+                "matches": pa.array(m_nz[keep].astype(np.int64),
+                                    type=pa.int64()),
+                "weight": pa.array(wts[keep].astype(np.int64),
+                                   type=pa.int64()),
+            }))
+        if outs:
+            return pa.concat_tables(outs)
         return pa.table({
-            "needle": pa.array(np.asarray(names, dtype=object)[q_nz[keep]],
-                               type=pa.string()),
-            "ref": refs.take(pa.array(d_nz[keep])),
-            "matches": pa.array(m_nz[keep].astype(np.int64), type=pa.int64()),
-            "weight": pa.array(wts[keep].astype(np.int64), type=pa.int64()),
+            "needle": pa.array([], type=pa.string()),
+            "ref": pa.array([], type=refs.type),
+            "matches": pa.array([], type=pa.int64()),
+            "weight": pa.array([], type=pa.int64()),
         })
 
     partials = docsets.map_batches(local_topk, batch_format="pyarrow")

@@ -41,3 +41,37 @@ def deterministic_split(ds, *, key_col: str, lo: int, hi: int,
         return batch.filter(pa.array((b >= lo) & (b < hi)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, key_col: str, strata_col: str,
+                      rates: dict, default_keep: int | None = None,
+                      buckets: int = 100, salt: str = "sample"):
+    """Per-stratum deterministic sampling — the corpus REBALANCING step of
+    a training-data pipeline (e.g. downsample the dominant language or
+    source, keep the rare ones whole) with the same run/engine/partition
+    stability guarantee as :func:`deterministic_split`.
+
+    A row is kept iff its stable content bucket (md5 of ``key_col``,
+    mod ``buckets``) is below its stratum's threshold:
+    ``rates[stratum]`` buckets out of ``buckets`` (so ``{"en": 10}`` with
+    the default 100 buckets keeps a deterministic 10 % of the "en"
+    stratum). Strata missing from ``rates`` use ``default_keep``
+    (``None`` = keep everything). Pure map, no shuffle; the identical
+    predicate is SQL-expressible, so samples are portable and verifiable.
+    """
+    import pandas as pd
+
+    for v in list(rates.values()) + ([default_keep] if default_keep
+                                     is not None else []):
+        if not (0 <= v <= buckets):
+            raise ValueError(f"rates must be in [0, {buckets}]")
+    dflt = buckets if default_keep is None else default_keep
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        b = _bucket_array(keys, salt, buckets)
+        thr = pd.Series(batch[strata_col].to_pylist()) \
+            .map(rates).fillna(dflt).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(b < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -846,3 +846,66 @@ def test_sidecar_finder_is_mutable_after_mmap(tmp_path):
     assert f.find("london", 5) == []
     # durable files unchanged: a fresh load still sees only ref 1
     assert g.local_finder("db").find("london", 5)[0][0] == 1
+
+
+def test_near_dedup_canonical(docs):
+    """Near-dup clusters collapse to their smallest doc_id; every doc is
+    labeled; survivors = one per cluster."""
+    from blurrily_ray.stages.dedup import minhash_dedup_pairs, near_dedup_canonical
+
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in near_dedup_canonical(docs).take_all()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}  # every doc labeled
+    # 1==2 exact dup, 7~8 near dup (the minhash fixture facts above)
+    assert out[1] == (1, 1)
+    assert out[2] == (1, 0)
+    assert out[7] == (7, 1) and out[8][0] == 7 and out[8][1] == 0
+    # keep is 1 exactly once per cluster, on the smallest member
+    import collections
+    clusters = collections.defaultdict(list)
+    for d, (c, k) in out.items():
+        clusters[c].append((d, k))
+    for c, members in clusters.items():
+        assert sum(k for _, k in members) == 1
+        assert (c, 1) in members and c == min(d for d, _ in members)
+    # consistency with the pair engine: every verified pair co-clusters
+    for r in minhash_dedup_pairs(docs).take_all():
+        assert out[r["a"]][0] == out[r["b"]][0]
+
+
+@pytest.fixture(scope="module")
+def docs_with_lang():
+    rows = [{"doc_id": i,
+             "lang": ("en" if i % 3 == 0 else "de" if i % 3 == 1 else "xx"),
+             "text": f"doc number {i}"} for i in range(60)]
+    return ray.data.from_items(rows)
+
+
+def test_stratified_sample(docs_with_lang):
+    from blurrily_ray.stages.sample import _bucket_array, stratified_sample
+
+    rates = {"en": 30, "de": 100}
+    out = stratified_sample(docs_with_lang, key_col="doc_id",
+                            strata_col="lang", rates=rates,
+                            default_keep=0).take_all()
+    rows = docs_with_lang.take_all()
+    expect = []
+    for r in rows:
+        thr = rates.get(r["lang"], 0)
+        b = _bucket_array([r["doc_id"]], "sample", 100)[0]
+        if b < thr:
+            expect.append(r["doc_id"])
+    assert sorted(r["doc_id"] for r in out) == sorted(expect)
+    # de kept whole, unknown stratum dropped entirely
+    langs = {r["doc_id"]: r["lang"] for r in rows}
+    assert all(langs[r["doc_id"]] != "xx" for r in out)
+    assert {r["doc_id"] for r in out if langs[r["doc_id"]] == "de"} \
+        == {r["doc_id"] for r in rows if r["lang"] == "de"}
+    # run-stable: identical output on a second invocation
+    out2 = stratified_sample(docs_with_lang, key_col="doc_id",
+                             strata_col="lang", rates=rates,
+                             default_keep=0).take_all()
+    assert sorted(r["doc_id"] for r in out2) == sorted(r["doc_id"] for r in out)
+    with pytest.raises(ValueError):
+        stratified_sample(docs_with_lang, key_col="doc_id",
+                          strata_col="lang", rates={"en": 101})
