@@ -583,6 +583,16 @@ def _q_redact_tickets(sf_dir: str):
 
 STRATA_RATES = {"en": 25, "zh": 100}
 STRATA_DEFAULT = 60
+BM25_QUERIES = ["customer query batch window", "slow merge join",
+                "spark stream filter big"]
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-k retrieval (two streamed passes; integer nano-unit
+    scores so parity is exact under any partitioning)."""
+    from blurrily_ray.stages.retrieval import bm25_topk
+
+    return _i64(bm25_topk(_docs(sf_dir), BM25_QUERIES, k=10))
 
 
 def _q_near_dedup_canonical(sf_dir: str):
@@ -659,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_turns": _q_fuzzy_join,
         "near_dedup_canonical_docs": _q_near_dedup_canonical,
         "stratified_sample_docs": _q_stratified_sample,
+        "bm25_topk_docs": _q_bm25,
     }
 
 
@@ -740,4 +751,5 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_canonical_docs": oracles.sql_near_dedup_canonical(),
         "stratified_sample_docs": oracles.sql_stratified_sample(
             STRATA_RATES, STRATA_DEFAULT),
+        "bm25_topk_docs": oracles.sql_bm25_topk(BM25_QUERIES, 10),
     }

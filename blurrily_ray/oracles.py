@@ -1007,3 +1007,59 @@ def sql_stratified_sample(rates: dict, default_keep: int,
              f"CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) % {buckets}")
     return f"""SELECT doc_id, text, lang FROM documents
 WHERE {bexpr} < CASE lang {cases} ELSE {default_keep} END"""
+
+
+def sql_bm25_topk(queries: list[str], k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """stages/retrieval.bm25_topk mirror. Float discipline: every scalar
+    constant is embedded via CAST('<repr>' AS DOUBLE) (strtod is
+    correctly rounded, so the SQL double bit-matches the engine's Python
+    float), the association order of the tf/length normalization is
+    copied verbatim from the engine, ln() bit-matches libm (verified on
+    this platform), and per-term contributions are floored to integer
+    nano-units BEFORE the order-independent integer SUM."""
+    from blurrily_ray.stages.retrieval import MICRO, query_terms
+
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    per_q = query_terms(queries)
+    rows = []
+    for q, ts in zip(queries, per_q):
+        qe = q.replace("'", "''")
+        for t in ts:
+            rows.append(f"('{qe}', '{t.replace(chr(39), chr(39)*2)}')")
+    qt_rows = ", ".join(rows)
+    toks = TOKS.format(col="text")
+    k1p1, omb = k1 + 1.0, 1.0 - b
+    avgdl = "(CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))"
+    idf = (f"ln((CAST(c.n_docs - d.df AS DOUBLE) + {d(0.5)}) / "
+           f"(CAST(d.df AS DOUBLE) + {d(0.5)}) + {d(1.0)})")
+    denom = (f"(CAST(tf.tf AS DOUBLE) + {d(k1)} * ({d(omb)} + {d(b)} * "
+             f"(CAST(l.dl AS DOUBLE) / {avgdl})))")
+    contrib = (f"{idf} * ((CAST(tf.tf AS DOUBLE) * {d(k1p1)}) / {denom})")
+    return f"""WITH toks AS (
+  SELECT doc_id, lower(t) AS t
+  FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM toks GROUP BY doc_id),
+corpus AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+                  CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS BIGINT) AS sum_dl),
+qt(query, t) AS (VALUES {qt_rows}),
+dft AS (SELECT q.t, CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS df
+        FROM (SELECT DISTINCT t FROM qt) q
+        LEFT JOIN toks x ON x.t = q.t GROUP BY q.t),
+tf AS (SELECT qt.query, qt.t, x.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM qt JOIN toks x ON x.t = qt.t GROUP BY qt.query, qt.t, x.doc_id),
+contrib AS (SELECT tf.query, tf.doc_id,
+  CAST(FLOOR({contrib} * {d(MICRO)}) AS BIGINT) AS m
+  FROM tf JOIN dl l ON l.doc_id = tf.doc_id
+          JOIN dft d ON d.t = tf.t CROSS JOIN corpus c),
+scores AS (SELECT query, doc_id, CAST(SUM(m) AS BIGINT) AS score_micro
+           FROM contrib GROUP BY query, doc_id),
+ranked AS (SELECT query, doc_id, score_micro,
+           ROW_NUMBER() OVER (PARTITION BY query
+                              ORDER BY score_micro DESC, doc_id) AS rnk
+           FROM scores)
+SELECT query, CAST(rnk AS BIGINT) AS rank, doc_id, score_micro
+FROM ranked WHERE rnk <= {k}"""

@@ -909,3 +909,42 @@ def test_stratified_sample(docs_with_lang):
     with pytest.raises(ValueError):
         stratified_sample(docs_with_lang, key_col="doc_id",
                           strata_col="lang", rates={"en": 101})
+
+
+def test_bm25_topk_matches_bruteforce(docs):
+    """Engine BM25 must equal a direct per-doc computation (same formula,
+    same float association, integer nano-unit floors)."""
+    import math
+
+    from blurrily_ray.stages.retrieval import MICRO, bm25_topk, query_terms
+
+    queries = ["quick brown fox", "arrow data store", "zzz"]
+    rows = {r["doc_id"]: (r["text"] or "").lower().split()
+            for r in docs.take_all()}
+    n_docs = len(rows)
+    sum_dl = sum(len(t) for t in rows.values())
+    avgdl = float(sum_dl) / float(n_docs)
+    expect = {}
+    for q, ts in zip(queries, query_terms(queries)):
+        scores = {}
+        for d, toks in rows.items():
+            s = 0
+            for t in ts:
+                tf = float(toks.count(t))
+                if not tf:
+                    continue
+                df = sum(1 for tt in rows.values() if t in tt)
+                idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                contrib = idf * ((tf * (1.2 + 1.0)) /
+                                 (tf + 1.2 * ((1.0 - 0.75)
+                                              + 0.75 * (len(toks) / avgdl))))
+                s += math.floor(contrib * MICRO)
+            if s or any(t in toks for t in ts):
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rank, (d, s) in enumerate(ranked, 1):
+            expect[(q, rank)] = (d, s)
+    got = {(r["query"], r["rank"]): (r["doc_id"], r["score_micro"])
+           for r in bm25_topk(docs, queries, k=10).take_all()}
+    assert got == expect
+    assert not any(q == "zzz" for q, _ in got)  # no shared term -> no rows
