@@ -328,6 +328,15 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
     queries["keep_best"] = round(
         best_of(lambda: dedup_keep_best(turns).count()), 3)
 
+    from blurrily_ray.stages.dedup import near_dedup_canonical
+    from blurrily_ray.stages.retrieval import bm25_topk
+
+    queries["near_dedup_canonical"] = round(
+        best_of(lambda: near_dedup_canonical(docs).count()), 3)
+    queries["bm25"] = round(best_of(lambda: bm25_topk(
+        docs, ["customer query batch window", "slow merge join",
+               "spark stream filter big"], k=10).count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 
