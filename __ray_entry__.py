@@ -617,6 +617,25 @@ def _q_stratified_sample(sf_dir: str):
                                   default_keep=STRATA_DEFAULT))
 
 
+def _q_sq_knn(sf_dir: str):
+    """Scalar-quantized int8 MIPS top-k: all-integer scores, bit-exact
+    oracle (no float rounding smoothing)."""
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import sq_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(sq_knn(emb, query_ids=range(10), k=10))
+
+
+def _q_dup_ngram(sf_dir: str):
+    """Lee-et-al exact duplicated-substring metrics: per-doc duplicated
+    sliding-window counts + covered-token union, all-integer."""
+    from blurrily_ray.stages.dedup import dup_ngram_stats
+
+    return _i64(dup_ngram_stats(_docs(sf_dir), window=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -670,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_canonical_docs": _q_near_dedup_canonical,
         "stratified_sample_docs": _q_stratified_sample,
         "bm25_topk_docs": _q_bm25,
+        "sq_knn_embeddings": _q_sq_knn,
+        "dup_ngram_docs": _q_dup_ngram,
     }
 
 
@@ -752,4 +773,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": oracles.sql_stratified_sample(
             STRATA_RATES, STRATA_DEFAULT),
         "bm25_topk_docs": oracles.sql_bm25_topk(BM25_QUERIES, 10),
+        "sq_knn_embeddings": oracles.sql_sq_knn(10, 10),
+        "dup_ngram_docs": oracles.sql_dup_ngram_stats(10),
     }

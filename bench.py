@@ -337,6 +337,15 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         docs, ["customer query batch window", "slow merge join",
                "spark stream filter big"], k=10).count()), 3)
 
+    from blurrily_ray.stages.dedup import dup_ngram_stats
+    from blurrily_ray.stages.simsearch import sq_knn
+
+    queries["dup_ngram"] = round(
+        best_of(lambda: dup_ngram_stats(docs, window=10).count()), 3)
+    queries["sq_knn"] = round(best_of(lambda: sq_knn(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        query_ids=range(10), k=10).count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 

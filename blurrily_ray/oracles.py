@@ -1063,3 +1063,62 @@ ranked AS (SELECT query, doc_id, score_micro,
            FROM scores)
 SELECT query, CAST(rnk AS BIGINT) AS rank, doc_id, score_micro
 FROM ranked WHERE rnk <= {k}"""
+
+
+def sql_sq_knn(n_queries: int = 10, k: int = 10) -> str:
+    """Scalar-quantized int8 MIPS top-k (mirrors simsearch.sq_knn):
+    codes = FLOOR((x::DOUBLE * 127.0) / max|x|) — the identical IEEE
+    double expression the engine's numpy path evaluates, so codes agree
+    bit-for-bit — and scores are order-independent INTEGER dot products:
+    no rounding smoothing needed, the match is exact."""
+    return f"""WITH em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS d
+      FROM embeddings),
+mx AS (SELECT MAX(ABS(x)) AS ma FROM em),
+codes AS (SELECT vec_id, d,
+          CAST(FLOOR((x * 127.0) / (SELECT ma FROM mx)) AS BIGINT) AS c
+          FROM em),
+q AS (SELECT vec_id AS query_id, d, c FROM codes WHERE vec_id < {n_queries}),
+scores AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  CAST(SUM(q.c * e.c) AS BIGINT) AS score
+           FROM q JOIN codes e ON q.d = e.d AND e.vec_id <> q.query_id
+           GROUP BY q.query_id, e.vec_id),
+ranked AS (SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rnk
+           FROM scores)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, score
+FROM ranked WHERE rnk <= {k}"""
+
+
+def sql_dup_ngram_stats(window: int = 10) -> str:
+    """Duplicated sliding-window metrics (mirrors dedup.dup_ngram_stats):
+    overlapping ``window``-token spans over string_split(text, ' ') —
+    the dedup_paragraphs tokenizer — a span is duplicated when its text
+    occurs ≥2 times corpus-wide; n_dup_tokens is the union of duplicated
+    span ranges via a lag-LEAST scan. The engine groups md5 hashes where
+    SQL groups the raw window strings (same equivalence, precedent:
+    sql_dedup_paragraphs)."""
+    w = int(window)
+    return f"""WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+           FROM documents),
+wins AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {w - 1}), ' ') AS win
+         FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - {w - 1})) AS i
+               FROM t WHERE length(ws) >= {w})),
+dup AS (SELECT doc_id, pos FROM wins
+        WHERE win IN (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2)),
+cov AS (SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+        CAST(SUM(CASE WHEN prev IS NULL THEN {w}
+                      ELSE LEAST(pos - prev, {w}) END) AS BIGINT) AS n_dup_tokens
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup)
+        GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(length(ws) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(length(ws) - {w - 1}, 0) AS BIGINT) AS n_windows,
+       COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens
+FROM t LEFT JOIN cov c USING (doc_id)"""

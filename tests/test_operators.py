@@ -948,3 +948,92 @@ def test_bm25_topk_matches_bruteforce(docs):
            for r in bm25_topk(docs, queries, k=10).take_all()}
     assert got == expect
     assert not any(q == "zzz" for q, _ in got)  # no shared term -> no rows
+
+
+def test_sq_knn_matches_brute_force():
+    """sq_knn == brute-force int8 quantized MIPS computed in-process:
+    identical quantization expression, integer scores, tie by id."""
+    import numpy as np
+
+    from blurrily_ray.stages.simsearch import sq_knn
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    ds = ray.data.from_items(rows)
+    k, qids = 5, [0, 3, 17]
+
+    m = vecs.astype(np.float64)
+    ma = np.abs(m).max()
+    codes = np.floor(m * 127.0 / ma).astype(np.int64)
+    expect = {}
+    for q in qids:
+        s = codes @ codes[q]
+        order = [i for i in np.lexsort((np.arange(40), -s)) if i != q][:k]
+        for rank, n in enumerate(order, 1):
+            expect[(q, rank)] = (n, int(s[n]))
+
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+           for r in sq_knn(ds, qids, k=k).take_all()}
+    assert got == expect
+
+
+def test_sq_knn_partition_invariant():
+    """Integer scores make the result independent of block layout."""
+    import numpy as np
+
+    from blurrily_ray.stages.simsearch import sq_knn
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 6)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)]
+    a = sq_knn(ray.data.from_items(rows), [1, 2], k=4).take_all()
+    b = sq_knn(ray.data.from_items(rows).repartition(7), [1, 2], k=4).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(dict, a), key=key) == sorted(map(dict, b), key=key)
+
+
+def test_dup_ngram_stats_brute():
+    """dup_ngram_stats == pure-Python reference on planted duplicates:
+    overlapping windows, corpus-global >=2 rule, coverage union."""
+    from blurrily_ray.stages.dedup import dup_ngram_stats
+
+    w = 3
+    texts = {
+        1: "a b c d e f",          # windows abc bcd cde def
+        2: "x y z a b c d q r s",  # shares "a b c" and "b c d" with doc 1
+        3: "a b c a b c a b c",    # self-repeats "a b c" (and more)
+        4: "u v",                  # shorter than the window: no windows
+        5: "mm nn oo pp qq rr ss tt",  # unique text, no dups
+    }
+    rows = [{"doc_id": i, "text": t} for i, t in texts.items()]
+
+    # reference computation
+    from collections import Counter
+    wins = {}
+    cnt = Counter()
+    for i, t in texts.items():
+        toks = t.split(" ")
+        ws = [" ".join(toks[p:p + w]) for p in range(len(toks) - w + 1)]
+        wins[i] = ws
+        cnt.update(ws)
+    expect = {}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        dup_pos = [p for p, s in enumerate(wins[i]) if cnt[s] >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + w))
+        expect[i] = (len(toks), max(len(toks) - w + 1, 0),
+                     len(dup_pos), len(covered))
+
+    out = dup_ngram_stats(ray.data.from_items(rows), window=w).take_all()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_windows"],
+                         r["n_dup_windows"], r["n_dup_tokens"])
+           for r in out}
+    assert got == expect
+    # sanity on the planted facts
+    assert got[3][2] == got[3][1]          # every window of doc 3 repeats
+    assert got[3][3] == got[3][0]          # ...covering the whole doc
+    assert got[4] == (2, 0, 0, 0)
+    assert got[5][2] == 0
