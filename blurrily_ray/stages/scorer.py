@@ -53,6 +53,7 @@ from blurrily_ray.stages.pairs import (
 
 SHARD_MANIFEST = "SHARDS.json"
 SHARD_FORMAT = "tris-v2"  # sparse lists in shards; bitsets built at load
+_SCORE_CHUNK = 2048  # score-stage pair chunk: gather temps stay L3-resident
 
 
 def build_bitset_shards(docsets, path: str, n_shards: int, *,
@@ -538,32 +539,38 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
         bits_b = _scatter_bits(flat_b, np.diff(offs_b))
 
         outs = []
-        chunk = 16384
         for bi, (a_dict, b_dict, toffs, tris, ntri_a, wt_a,
                  code_a, code_b) in enumerate(parsed):
             bits_a = _scatter_bits(tris, np.diff(toffs.astype(np.int64)))
             gcb = remaps[bi][code_b]
             ntri_a64 = ntri_a.astype(np.int64)
-            for s in range(0, len(code_a), chunk):
-                e = min(s + chunk, len(code_a))
-                ca_c, cb_c = code_a[s:e], gcb[s:e]
-                m = _popcount_and(bits_a[ca_c], bits_b[cb_c])
-                na = ntri_a64[ca_c]
-                nb_c = ntri_b_u[cb_c]
-                lo = np.minimum(na, nb_c)
-                keep = (m >= cfg.min_matches) & (m * den >= num * lo)
-                if not keep.any():
-                    continue
-                ka, kb = ca_c[keep], cb_c[keep]
-                outs.append(pa.table({
-                    "a": _take_str(a_dict, ka),
-                    "b": _take_str(gb_dict, kb),
-                    "matches": pa.array(m[keep]),
-                    "ntri_a": pa.array(na[keep]),
-                    "ntri_b": pa.array(nb_c[keep]),
-                    "weight_a": pa.array(wt_a.astype(np.int64)[ka]),
-                    "weight_b": pa.array(wt_b_u[kb]),
-                }, schema=out_schema))
+            # pairs arrive (a, b)-sorted from the producer's np.unique —
+            # no re-sort needed; 2048-pair outer chunks keep the two
+            # gather temporaries ~5.6 MB/side (L3-resident) instead of
+            # the former 16k-row ~45 MB/side DRAM streams. Sorted-input
+            # sweep: 512-2048 plateau at 1.5-1.7x over 16384; 65536 is
+            # 0.8x (micro_score_chunk2, 2 M pairs x 6 k distinct)
+            m = np.empty(len(code_a), np.int64)
+            for s in range(0, len(code_a), _SCORE_CHUNK):
+                e = min(s + _SCORE_CHUNK, len(code_a))
+                m[s:e] = _popcount_and(bits_a[code_a[s:e]],
+                                       bits_b[gcb[s:e]])
+            na = ntri_a64[code_a]
+            nb_c = ntri_b_u[gcb]
+            lo = np.minimum(na, nb_c)
+            keep = (m >= cfg.min_matches) & (m * den >= num * lo)
+            if not keep.any():
+                continue
+            ka, kb = code_a[keep], gcb[keep]
+            outs.append(pa.table({
+                "a": _take_str(a_dict, ka),
+                "b": _take_str(gb_dict, kb),
+                "matches": pa.array(m[keep]),
+                "ntri_a": pa.array(na[keep]),
+                "ntri_b": pa.array(nb_c[keep]),
+                "weight_a": pa.array(wt_a.astype(np.int64)[ka]),
+                "weight_b": pa.array(wt_b_u[kb]),
+            }, schema=out_schema))
         return pa.concat_tables(outs) if outs else empty
 
     return run
