@@ -636,6 +636,18 @@ def _q_dup_ngram(sf_dir: str):
     return _i64(dup_ngram_stats(_docs(sf_dir), window=10))
 
 
+def _q_cms(sf_dir: str):
+    """Count-min sketch register table per source: mergeable heavy-hitter
+    summary, SUM-combined, bit-exact vs SQL."""
+    import ray.data
+
+    from blurrily_ray.stages.sketch import cms_token_registers
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return _i64(cms_token_registers(docs))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -691,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": _q_bm25,
         "sq_knn_embeddings": _q_sq_knn,
         "dup_ngram_docs": _q_dup_ngram,
+        "cms_registers_docs": _q_cms,
     }
 
 
@@ -775,4 +788,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_docs": oracles.sql_bm25_topk(BM25_QUERIES, 10),
         "sq_knn_embeddings": oracles.sql_sq_knn(10, 10),
         "dup_ngram_docs": oracles.sql_dup_ngram_stats(10),
+        "cms_registers_docs": oracles.sql_cms_registers(4, 256),
     }

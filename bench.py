@@ -346,6 +346,12 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
         query_ids=range(10), k=10).count()), 3)
 
+    from blurrily_ray.stages.sketch import cms_token_registers
+
+    queries["cms_registers"] = round(best_of(lambda: cms_token_registers(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])).count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 

@@ -1122,3 +1122,21 @@ SELECT t.doc_id,
        COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
        COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens
 FROM t LEFT JOIN cov c USING (doc_id)"""
+
+
+def sql_cms_registers(depth: int = 4, width: int = 256) -> str:
+    """Count-min register-table oracle (stages/sketch.cms_token_registers):
+    bucket = first-8-md5-bytes-of('cms-{j}-' || token) % width (the
+    stable_u64 expression sql_hll_registers pins), counts = token
+    OCCURRENCES, merged by SUM — all integer."""
+    toks = TOKS.format(col="text")
+    return f"""WITH lt AS (SELECT source, lower(t) AS t
+           FROM (SELECT source, unnest({toks}) AS t FROM documents)),
+occ AS (SELECT source, t, COUNT(*) AS c FROM lt GROUP BY source, t),
+j AS (SELECT unnest(generate_series(0, {depth - 1})) AS row_j)
+SELECT source, CAST(row_j AS BIGINT) AS row_j,
+       CAST(CAST(('0x' || substr(md5('cms-' || row_j || '-' || t), 1, 16))
+                 AS UBIGINT) % {width} AS BIGINT) AS bucket,
+       CAST(SUM(c) AS BIGINT) AS count
+FROM occ, j
+GROUP BY source, row_j, bucket"""

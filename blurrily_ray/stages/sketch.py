@@ -105,3 +105,95 @@ def hll_estimate(registers: pd.DataFrame, *, group_col: str = "source",
             est = m * np.log(m / zeros)
         out.append((g, float(est)))
     return pd.DataFrame(out, columns=[group_col, "est_distinct"])
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_token_registers(docs, *, group_col: str = "source",
+                        text_col: str = "text", lowercase: bool = True,
+                        depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                        n_parts: int = 16):
+    """Per-group count-min sketch register table over token OCCURRENCES:
+    (group, row_j, bucket, count) with ≤ depth × width rows per group,
+    independent of corpus size (Cormode & Muthukrishnan 2005). Bucket
+    for sketch row ``j`` = ``stable_u64("cms-{j}-" + token) % width``;
+    registers merge by SUM, so — like the HLL table — the result is
+    EXACT as a register table under any partitioning or row order, and
+    the point estimate ``min_j count[j][h_j(x)]`` is the standard
+    ≥-true-count CMS bound. This is the mergeable HEAVY-HITTER /
+    frequency summary that replaces a full (group, token) count shuffle
+    at 100 TB, complementing :func:`hll_token_registers`'s distinct
+    counts; map-side combine shrinks every block to its own register
+    partials before the one tiny shuffle."""
+    from blurrily_ray.stages.textstats import _token_arrays, _tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df[text_col])
+        flat, counts = _token_arrays(toks)
+        s = pd.Series(flat, dtype=object)
+        if lowercase:
+            s = s.str.lower()
+        groups = np.repeat(df[group_col].to_numpy(), counts)
+        arr = s.to_numpy()
+        if len(arr):
+            uniq, inv = np.unique(arr, return_inverse=True)
+        else:
+            uniq, inv = np.empty(0, object), np.empty(0, np.int64)
+        # occurrence counts per (group, DISTINCT token): hashing then
+        # happens depth times per distinct token, not per occurrence
+        occ = pd.DataFrame({group_col: groups, "t": inv}).groupby(
+            [group_col, "t"], as_index=False).size()
+        ti = occ["t"].to_numpy()
+        frames = []
+        for j in range(depth):
+            bj = ((stable_u64_array(f"cms-{j}-" + t for t in uniq)
+                   % np.uint64(width)).astype(np.int64)
+                  if len(uniq) else np.empty(0, np.int64))
+            frames.append(pd.DataFrame({
+                group_col: occ[group_col],
+                "row_j": np.int64(j),
+                "bucket": bj[ti] if len(uniq) else np.empty(0, np.int64),
+                "count": occ["size"].to_numpy()}))
+        out = pd.concat(frames).groupby(
+            [group_col, "row_j", "bucket"], as_index=False)["count"].sum()
+        try:
+            gtype = pa.from_numpy_dtype(df[group_col].dtype)
+            garr = pa.array(out[group_col].to_numpy(), type=gtype)
+        except (pa.ArrowNotImplementedError, ValueError, TypeError):
+            garr = pa.array(out[group_col].to_numpy(dtype=object),
+                            type=pa.string())
+        return pa.table({
+            group_col: garr,
+            "row_j": pa.array(out["row_j"].to_numpy(), type=pa.int64()),
+            "bucket": pa.array(out["bucket"].to_numpy(), type=pa.int64()),
+            "count": pa.array(out["count"].to_numpy(), type=pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([group_col, "row_j", "bucket"],
+                          as_index=False)["count"].sum()
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return partitioned_map(partials, [group_col], combine, n_parts=n_parts)
+
+
+def cms_estimate(registers: pd.DataFrame, group, tokens, *,
+                 group_col: str = "source", depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> pd.DataFrame:
+    """Driver-side convenience: register table + token list →
+    (token, est_count) point estimates for one group — min over sketch
+    rows, the standard CMS upper-bound estimator. Tiny input (≤ depth ×
+    width rows/group); not part of the oracled surface."""
+    sub = registers[registers[group_col] == group]
+    regs = np.zeros((depth, width), dtype=np.int64)
+    regs[sub["row_j"].to_numpy(), sub["bucket"].to_numpy()] = \
+        sub["count"].to_numpy()
+    out = []
+    for t in tokens:
+        # NB % must stay in uint64: uint64 % python-int promotes to
+        # float64 and silently corrupts 64-bit hashes
+        cols = [int(stable_u64_array([f"cms-{j}-{t}"])[0]
+                    % np.uint64(width)) for j in range(depth)]
+        out.append((t, int(min(regs[j, c] for j, c in enumerate(cols)))))
+    return pd.DataFrame(out, columns=["token", "est_count"])

@@ -1037,3 +1037,33 @@ def test_dup_ngram_stats_brute():
     assert got[3][3] == got[3][0]          # ...covering the whole doc
     assert got[4] == (2, 0, 0, 0)
     assert got[5][2] == 0
+
+
+def test_cms_registers():
+    """CMS register table is partition-invariant (SUM-mergeable); the
+    min-over-rows estimate upper-bounds true counts and is exact when the
+    tiny vocab avoids bucket collisions."""
+    import pandas as pd
+
+    from blurrily_ray.stages.sketch import cms_estimate, cms_token_registers
+
+    rows = [{"source": "a", "text": "x y x z"},
+            {"source": "a", "text": "x w"},
+            {"source": "b", "text": "x x x"}]
+    ds = ray.data.from_items(rows)
+    k = ["source", "row_j", "bucket"]
+    reg1 = pd.DataFrame(cms_token_registers(ds).take_all()) \
+        .sort_values(k).reset_index(drop=True)
+    reg2 = pd.DataFrame(cms_token_registers(ds.repartition(3)).take_all()) \
+        .sort_values(k).reset_index(drop=True)
+    assert reg1.equals(reg2)
+    assert reg1.groupby("source").size().max() <= 4 * 256
+    # group b: token x appears 3 times in every sketch row
+    b = reg1[reg1["source"] == "b"]
+    assert (b.groupby("row_j")["count"].sum() == 3).all()
+
+    true = {"x": 3, "y": 1, "w": 1, "zzz": 0}
+    est = cms_estimate(reg1, "a", list(true))
+    got = dict(zip(est["token"], est["est_count"]))
+    assert all(got[t] >= c for t, c in true.items())
+    assert got == true  # 4-token vocab vs width 256: no collisions
