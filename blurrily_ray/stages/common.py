@@ -142,8 +142,19 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
         .groupby("_part").map_groups(run, batch_format=batch_format)
 
 
+def _typed_empty(schema):
+    """Zero-row Dataset with an explicit Arrow schema — the substitute
+    for a side whose lazy transforms left no block to infer types from.
+    A None schema() implies zero rows (execution found no block), so the
+    swap never drops data."""
+    from ray.data import from_arrow
+
+    return from_arrow(schema.empty_table())
+
+
 def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
-                     n_parts: int = 64, part_fn_left=None, part_fn_right=None):
+                     n_parts: int = 64, part_fn_left=None, part_fn_right=None,
+                     left_schema=None, right_schema=None):
     """Two-sided coarse hash co-partitioning — the join-shaped analogue of
     ``partitioned_map`` for operators the Dataset API can't express
     (as-of join, range join): both datasets are side-tagged and
@@ -159,12 +170,19 @@ def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
     import pyarrow as pa
 
     ls, rs = ds_left.schema(), ds_right.schema()
+    if ls is None and left_schema is not None:
+        ls = left_schema
+        ds_left = _typed_empty(left_schema)
+    if rs is None and right_schema is not None:
+        rs = right_schema
+        ds_right = _typed_empty(right_schema)
     if ls is None or rs is None:
         # a zero-row side whose lazy transforms left no block to infer a
-        # schema from — the caller knows its output contract, we don't
+        # schema from — the caller knows its output contract (pass
+        # left_schema/right_schema), we don't
         raise ValueError("partitioned_map2: a side has no rows and no "
                          "derivable schema; handle empty sides in the "
-                         "calling operator")
+                         "calling operator (or pass left_/right_schema)")
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))
     for c in set(ls.names) & set(rs.names):

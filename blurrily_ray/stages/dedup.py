@@ -550,6 +550,15 @@ def dedup_paragraphs(docs, *, id_col: str = "doc_id", text_col: str = "text",
     emissions = docs.select_columns([id_col, text_col]).map_batches(
         emit, batch_format="pandas")
     winners = partitioned_map(emissions, ["h"], winners_part)
+    # select_columns on a zero-row dataset loses the schema — derive the
+    # typed contracts from the pre-select docs schema for the empty case
+    dsch = docs.schema()
+    dtypes = (dict(zip(dsch.names, dsch.types)) if dsch is not None
+              else {id_col: pa.int64(), text_col: pa.string()})
+    docs_schema = pa.schema([(id_col, dtypes[id_col]),
+                             (text_col, dtypes[text_col])])
+    winners_schema = pa.schema([(id_col, dtypes[id_col]),
+                                ("pidx", pa.int64())])
 
     def reassemble(docs_df: pd.DataFrame, win_df: pd.DataFrame) -> pd.DataFrame:
         if len(docs_df) == 0:
@@ -576,7 +585,9 @@ def dedup_paragraphs(docs, *, id_col: str = "doc_id", text_col: str = "text",
         return out[[id_col, "text", "n_kept", "n_orig"]]
 
     return partitioned_map2(docs.select_columns([id_col, text_col]),
-                            winners, [id_col], [id_col], reassemble)
+                            winners, [id_col], [id_col], reassemble,
+                            left_schema=docs_schema,
+                            right_schema=winners_schema)
 
 
 def decontaminate(docs, *, id_col: str = "doc_id", text_col: str = "text",
@@ -915,5 +926,13 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
             base[c] = base[c].astype(np.int64)
         return base
 
-    return partitioned_map2(docs.select_columns([id_col, text_col]),
-                            dup_rows, [id_col], [id_col], finalize)
+    dsch = docs.schema()
+    dtypes = (dict(zip(dsch.names, dsch.types)) if dsch is not None
+              else {id_col: pa.int64(), text_col: pa.string()})
+    return partitioned_map2(
+        docs.select_columns([id_col, text_col]), dup_rows,
+        [id_col], [id_col], finalize,
+        left_schema=pa.schema([(id_col, dtypes[id_col]),
+                               (text_col, dtypes[text_col])]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("pos", pa.int64())]))

@@ -280,6 +280,12 @@ def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT, *,
         return partitioned_map(partials, ["needle"], rank_partials)
     # driver merge: ≤ Q × limit × n_blocks rows by construction
     all_p = partials.to_pandas()
+    if "needle" not in all_p.columns:  # zero-block corpus: typed empty
+        all_p = pd.DataFrame({
+            "needle": pd.Series(dtype=object),
+            "ref": pd.Series(dtype=object),
+            "matches": pd.Series(dtype=np.int64),
+            "weight": pd.Series(dtype=np.int64)})
     return ray.data.from_pandas(rank_partials(all_p).reset_index(drop=True))
 
 

@@ -613,7 +613,10 @@ def distinct_pairs(pairs, cfg: ERConfig = DEFAULT):
             return counts[counts >= cfg.min_cokeys].reset_index()[["a", "b"]]
         return df[["a", "b"]].drop_duplicates()
 
-    key_cols = ["ab"] if "ab" in pairs.schema().names else ["a", "b"]
+    psch = pairs.schema()
+    if psch is None:  # zero-block pair stream (empty corpus): nothing to dedupe
+        return pairs
+    key_cols = ["ab"] if "ab" in psch.names else ["a", "b"]
     return partitioned_map(pairs, key_cols, dedupe,
                            n_parts=cfg.join_partitions)
 
@@ -882,7 +885,8 @@ def score_pairs(pairs, docsets, cfg: ERConfig = DEFAULT, *, mode: str = "auto"):
         from ray.data import from_arrow
 
         ds_schema = docsets.schema()
-        ref_type = dict(zip(ds_schema.names, ds_schema.types))["ref"]
+        ref_type = (dict(zip(ds_schema.names, ds_schema.types))["ref"]
+                    if ds_schema is not None else pa.string())
         empty = pa.table({
             "a": pa.array([], type=ref_type),
             "b": pa.array([], type=ref_type),
@@ -1053,8 +1057,21 @@ def score_pairs_fused(raw_pairs, docsets=None, cfg: ERConfig = DEFAULT, *,
             "weight_b": wts[ib][keep]})
 
     n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+    rsch = raw_pairs.schema()
+    if rsch is None:  # zero-block pair stream (empty corpus)
+        dsch = docsets.schema() if docsets is not None else None
+        ref_type = (dict(zip(dsch.names, dsch.types))["ref"]
+                    if dsch is not None else pa.string())
+        return _ray.data.from_arrow(pa.table({
+            "a": pa.array([], type=ref_type),
+            "b": pa.array([], type=ref_type),
+            "matches": pa.array([], type=pa.int64()),
+            "ntri_a": pa.array([], type=pa.int64()),
+            "ntri_b": pa.array([], type=pa.int64()),
+            "weight_a": pa.array([], type=pa.int64()),
+            "weight_b": pa.array([], type=pa.int64())}))
     if packed is None:
-        packed = "ab" in raw_pairs.schema().names
+        packed = "ab" in rsch.names
     key_cols = ["ab"] if packed else ["a", "b"]
     # packed (ab, n) rows take the blob exchange — the (a,b)-hash
     # all-to-all is the pipeline's largest row count by far. Partition

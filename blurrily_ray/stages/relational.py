@@ -195,9 +195,20 @@ def revenue_by_nation(orders, customer, nation):
         return j.groupby("n_name", as_index=False)[
             ["revenue_micro", "n_orders"]].sum()
 
-    partials = partitioned_map2(slim, cust.drop_columns(["c_nationkey"]),
-                                ["o_custkey"], ["c_custkey"], per_part,
-                                n_parts=32)
+    # typed contracts for the zero-row case (map_batches over an empty
+    # table loses the schema): key/price types from the source schemas
+    osch, csch = orders.schema(), customer.schema()
+    ot = dict(zip(osch.names, osch.types)) if osch is not None else {}
+    ct = dict(zip(csch.names, csch.types)) if csch is not None else {}
+    partials = partitioned_map2(
+        slim, cust.drop_columns(["c_nationkey"]),
+        ["o_custkey"], ["c_custkey"], per_part, n_parts=32,
+        left_schema=pa.schema([
+            ("o_custkey", ot.get("o_custkey", pa.int64())),
+            ("o_totalprice", ot.get("o_totalprice", pa.float64()))]),
+        right_schema=pa.schema([
+            ("c_custkey", ct.get("c_custkey", pa.int64())),
+            ("n_name", pa.string())]))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("n_name", as_index=False).sum()
@@ -208,7 +219,9 @@ def revenue_by_nation(orders, customer, nation):
 def _nation_table(nation) -> pa.Table:
     """Materialize the fixed-size nation dim (25 rows at every SF) with an
     int64 key for hash-compatible joining."""
-    t = pa.concat_tables(
-        list(nation.select_columns(["n_nationkey", "n_name"])
-             .iter_batches(batch_size=None, batch_format="pyarrow")))
+    batches = list(nation.select_columns(["n_nationkey", "n_name"])
+                   .iter_batches(batch_size=None, batch_format="pyarrow"))
+    t = (pa.concat_tables(batches) if batches
+         else pa.table({"n_nationkey": pa.array([], type=pa.int64()),
+                        "n_name": pa.array([], type=pa.string())}))
     return t.set_column(0, "n_nationkey", t["n_nationkey"].cast(pa.int64()))

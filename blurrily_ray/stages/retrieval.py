@@ -111,6 +111,9 @@ def bm25_topk(docs, queries: list[str], *, id_col: str = "doc_id",
 
     stats = docs.map_batches(stats_partial, batch_format="pandas") \
         .to_pandas()
+    if "tid" not in stats.columns:  # zero-block corpus
+        stats = pd.DataFrame({"tid": pd.Series(dtype=np.int64),
+                              "v": pd.Series(dtype=np.int64)})
     agg = stats.groupby("tid")["v"].sum()
     n_docs = int(agg.get(-1, 0))
     sum_dl = int(agg.get(-2, 0))

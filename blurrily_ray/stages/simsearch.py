@@ -33,6 +33,17 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _empty_knn_result():
+    """Typed empty (query_id, rank, neighbor_id) Dataset — the contract
+    when the corpus holds no query rows at all."""
+    from ray.data import from_arrow
+
+    return from_arrow(pa.table({
+        "query_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64())}))
+
+
 def knn_brute(embeddings, query_ids, k: int = 10, *,
               id_col: str = "vec_id", vec_col: str = "embedding"):
     """(query_id, rank, neighbor_id): exact cosine top-k for each query id,
@@ -45,6 +56,8 @@ def knn_brute(embeddings, query_ids, k: int = 10, *,
         return batch.filter(pa.array(keep))
 
     qrows = embeddings.map_batches(pick, batch_format="pyarrow").take_all()
+    if not qrows:  # no query rows in the corpus (e.g. empty table)
+        return _empty_knn_result()
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     q_mat = _unit(np.array([r[vec_col] for r in qrows], dtype=np.float64))
     q_ref = ray.put((q_ids, q_mat))
@@ -287,6 +300,8 @@ def ivf_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
 
     rows = embeddings.select_columns([id_col, vec_col]) \
         .map_batches(pick, batch_format="pyarrow").take_all()
+    if not rows:  # no centroid/query rows (e.g. empty table)
+        return _empty_knn_result()
     ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
     if want_cents:

@@ -211,6 +211,12 @@ def vocab_top_k(docs, *, text_col: str = "text", k: int = 100,
     partials = docs.map_batches(partial, batch_format="pandas")
     local = partitioned_map(partials, ["token"], merge_topk,
                             n_parts=n_parts)
+    if local.schema() is None:  # zero-block corpus: typed empty vocab
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "token": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64())}))
     return local.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
@@ -333,6 +339,9 @@ def unigram_rank_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     vocab = vocab_top_k(docs, text_col=text_col, k=top_v,
                         n_parts=n_parts).to_pandas()
+    if "n" not in vocab.columns:  # zero-block corpus: empty vocab
+        vocab = pd.DataFrame({"token": pd.Series(dtype=object),
+                              "n": pd.Series(dtype=np.int64)})
     vocab = vocab.sort_values(["n", "token"], ascending=[False, True],
                               kind="stable").reset_index(drop=True)
     ref = ray.put(pd.Index(vocab["token"].to_numpy()))
