@@ -648,6 +648,25 @@ def _q_cms(sf_dir: str):
     return _i64(cms_token_registers(docs))
 
 
+def _q_value_quantiles(sf_dir: str):
+    """Float-column quantiles via micro-int histogram combine."""
+    import ray.data
+
+    from blurrily_ray.stages.textstats import float_group_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return _i64(float_group_quantiles(ev, group_col="event_type",
+                                      value_col="value"))
+
+
+def _q_collocations(sf_dir: str):
+    """Top-k bigram collocations with integer PMI count columns."""
+    from blurrily_ray.stages.textstats import collocations_top_k
+
+    return _i64(collocations_top_k(_docs(sf_dir), k=50))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -704,6 +723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq_knn_embeddings": _q_sq_knn,
         "dup_ngram_docs": _q_dup_ngram,
         "cms_registers_docs": _q_cms,
+        "value_quantiles_events": _q_value_quantiles,
+        "collocations_docs": _q_collocations,
     }
 
 
@@ -789,4 +810,6 @@ def oracle_sql() -> dict[str, str]:
         "sq_knn_embeddings": oracles.sql_sq_knn(10, 10),
         "dup_ngram_docs": oracles.sql_dup_ngram_stats(10),
         "cms_registers_docs": oracles.sql_cms_registers(4, 256),
+        "value_quantiles_events": oracles.sql_value_quantiles_events(),
+        "collocations_docs": oracles.sql_collocations(50),
     }

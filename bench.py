@@ -352,6 +352,16 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "text"])).count()), 3)
 
+    from blurrily_ray.stages.textstats import (
+        collocations_top_k, float_group_quantiles)
+
+    queries["collocations"] = round(
+        best_of(lambda: collocations_top_k(docs, k=50).count()), 3)
+    queries["value_quantiles"] = round(best_of(lambda: float_group_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]),
+        group_col="event_type", value_col="value").count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 

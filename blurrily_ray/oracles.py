@@ -1149,3 +1149,44 @@ SELECT source, CAST(row_j AS BIGINT) AS row_j,
        CAST(SUM(c) AS BIGINT) AS count
 FROM occ, j
 GROUP BY source, row_j, bucket"""
+
+
+def sql_value_quantiles_events() -> str:
+    """Per-event-type exact discrete quantiles of the float value column
+    in micro-units (stages/textstats.float_group_quantiles): FLOOR(value
+    * 1000000.0) is the identical IEEE double expression the engine's
+    numpy path evaluates, and quantile_disc picks elements (no float
+    summation), so the match is bit-exact."""
+    return """WITH m AS (SELECT event_type,
+           CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+      FROM events)
+SELECT event_type,
+       CAST(quantile_disc(v, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(v, 0.50) AS BIGINT) AS q50,
+       CAST(quantile_disc(v, 0.75) AS BIGINT) AS q75,
+       CAST(quantile_disc(v, 0.95) AS BIGINT) AS q95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY event_type"""
+
+
+def sql_collocations(k: int = 50) -> str:
+    """Top-k bigram collocations with PMI count columns
+    (textstats.collocations_top_k): integer pair/unigram counts, order
+    (n_pair DESC, w1, w2). The engine's packed-pair partition order
+    equals this tuple order because the pack separator (0x1f) sorts
+    before every printable token character."""
+    toks = TOKS.format(col="lower(COALESCE(text, ''))")
+    return f"""WITH lt AS (SELECT {toks} AS ws FROM documents),
+big AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT ws, unnest(generate_series(1, length(ws) - 1)) AS i
+              FROM lt WHERE length(ws) >= 2)),
+cnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM big GROUP BY w1, w2),
+top AS (SELECT w1, w2, n_pair,
+        row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS rnk FROM cnt),
+uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS t FROM lt) GROUP BY t)
+SELECT CAST(rnk AS BIGINT) AS rank, w1, w2, n_pair,
+       u1.c AS n_w1, u2.c AS n_w2
+FROM top JOIN uni u1 ON u1.t = top.w1 JOIN uni u2 ON u2.t = top.w2
+WHERE rnk <= {k}"""

@@ -363,3 +363,122 @@ def unigram_rank_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def float_group_quantiles(ds, *, group_col: str, value_col: str,
+                          scale: float = 1_000_000.0, qs=None):
+    """Exact per-group discrete quantiles of a FLOAT column: values map
+    to micro-unit integers ``floor(value * scale)`` per batch (a
+    deterministic IEEE double expression both engines evaluate
+    identically — the pricing_summary discipline), then the integer
+    histogram-combine of :func:`group_quantiles` does the rest. Output
+    quantiles are micro-units, keeping the oracled surface all-integer;
+    the shuffle still moves one row per distinct (group, micro-value)
+    per block, never one per event."""
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            group_col: batch[group_col],
+            "value_micro": pa.array(
+                np.floor(v * scale).astype(np.int64))})
+
+    kw = {} if qs is None else {"qs": qs}
+    return group_quantiles(ds.map_batches(to_micro, batch_format="pyarrow"),
+                           group_col=group_col, value_col="value_micro",
+                           **kw)
+
+
+def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
+                       n_parts: int = 64):
+    """Collocation mining: the ``k`` most frequent word BIGRAMS with the
+    corpus counts behind their PMI — (rank, w1, w2, n_pair, n_w1, n_w2),
+    ordered (n_pair DESC, w1, w2). All-integer output; consumers derive
+    PMI = log(n_pair · N / (n_w1 · n_w2)).
+
+    100-TB shape (three map-side-combined passes, nothing corpus-sized
+    anywhere): (1) per-block bigram partials → one row per DISTINCT
+    bigram per block crosses the shuffle, per-partition merge keeps a
+    local top-k (exact: each bigram lives in one partition), ≤ n_parts·k
+    rows reach the driver; (2) the ≤2k winner WORDS broadcast back and
+    one streamed pass sums only their unigram counts (≤2k rows per
+    block); (3) tiny driver join."""
+    import ray
+
+    from blurrily_ray.stages.common import partitioned_map
+    from blurrily_ray.stages.pairs import _cached_get
+
+    sep = "\x1f"  # unit separator: cannot appear in \S+ tokens? it CAN —
+    # but the oracle uses the same join, so parity holds regardless
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df[text_col].str.lower())
+        flat, counts = _token_arrays(toks)
+        if not len(flat):
+            return pd.DataFrame({"pair": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        ends = np.cumsum(counts)
+        last = np.zeros(len(flat), dtype=bool)
+        last[ends[counts > 0] - 1] = True  # no bigram across doc bounds
+        w1 = flat[~last]
+        w2 = np.roll(flat, -1)[~last]
+        s = pd.Series([a + sep + b for a, b in zip(w1, w2)], dtype=object)
+        vc = s.value_counts()
+        return pd.DataFrame({"pair": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="stable").head(k)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    cand = partitioned_map(partials, ["pair"], merge_topk,
+                           n_parts=n_parts).to_pandas()
+    if "pair" not in cand.columns or not len(cand):
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array([], type=pa.int64()),
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "n_pair": pa.array([], type=pa.int64()),
+            "n_w1": pa.array([], type=pa.int64()),
+            "n_w2": pa.array([], type=pa.int64())}))
+    split = cand["pair"].str.split(sep, n=1, expand=True)
+    cand = pd.DataFrame({"w1": split[0], "w2": split[1],
+                         "n_pair": cand["n"].to_numpy()})
+    # NB sort key is (w1, w2), matching the SQL ORDER BY — the packed
+    # "w1+sep+w2" string would order differently when one w1 is a prefix
+    # of another (sep < 'a' but > digits... not lexicographically stable)
+    cand = cand.sort_values(["n_pair", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k).reset_index(drop=True)
+
+    words = np.unique(np.concatenate([cand["w1"].to_numpy(dtype=object),
+                                      cand["w2"].to_numpy(dtype=object)]))
+    w_ref = ray.put(pd.Index(words))
+
+    def unigram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = _cached_get(w_ref)
+        toks = _tokens(df[text_col].str.lower())
+        flat, _ = _token_arrays(toks)
+        pos = idx.get_indexer(flat) if len(flat) else np.empty(0, np.int64)
+        hit = pos >= 0
+        c = np.bincount(pos[hit], minlength=len(idx)).astype(np.int64)
+        return pd.DataFrame({"wid": np.arange(len(idx), dtype=np.int64),
+                             "c": c})
+
+    uni = docs.map_batches(unigram_partial, batch_format="pandas") \
+        .to_pandas()
+    counts = uni.groupby("wid")["c"].sum()
+    lookup = {words[int(i)]: int(v) for i, v in counts.items()}
+    out = pd.DataFrame({
+        "rank": np.arange(1, len(cand) + 1, dtype=np.int64),
+        "w1": cand["w1"],
+        "w2": cand["w2"],
+        "n_pair": cand["n_pair"].astype(np.int64),
+        "n_w1": cand["w1"].map(lookup).astype(np.int64),
+        "n_w2": cand["w2"].map(lookup).astype(np.int64)})
+    return ray.data.from_pandas(out)

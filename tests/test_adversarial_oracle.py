@@ -29,6 +29,7 @@ DOC_QUERIES = [
     "unigram_rank_docs", "hll_registers_docs", "curate_full_docs",
     "near_dedup_canonical_docs", "stratified_sample_docs",
     "bm25_topk_docs", "dup_ngram_docs", "cms_registers_docs",
+    "collocations_docs",
 ]
 
 TEXTS = [

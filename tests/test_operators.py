@@ -1067,3 +1067,57 @@ def test_cms_registers():
     got = dict(zip(est["token"], est["est_count"]))
     assert all(got[t] >= c for t, c in true.items())
     assert got == true  # 4-token vocab vs width 256: no collisions
+
+
+def test_collocations_top_k_brute():
+    """collocations == brute-force bigram/unigram counting, with the
+    (n_pair DESC, w1, w2) tie order and exact PMI count columns."""
+    from collections import Counter
+
+    from blurrily_ray.stages.textstats import collocations_top_k
+
+    rows = [{"doc_id": 1, "text": "The cat sat on the mat"},
+            {"doc_id": 2, "text": "the cat ate the mat"},
+            {"doc_id": 3, "text": "one"},          # no bigram
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "THE CAT the cat"}]
+    toks = [(r["text"] or "").lower().split() for r in rows]
+    uni = Counter(t for ts in toks for t in ts)
+    big = Counter((ts[i], ts[i + 1]) for ts in toks
+                  for i in range(len(ts) - 1))
+    expect = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+
+    out = collocations_top_k(ray.data.from_items(rows), k=4).take_all()
+    assert len(out) == 4
+    for r, ((w1, w2), n) in zip(sorted(out, key=lambda r: r["rank"]),
+                                expect):
+        assert (r["w1"], r["w2"], r["n_pair"]) == (w1, w2, n)
+        assert r["n_w1"] == uni[w1] and r["n_w2"] == uni[w2]
+
+
+def test_float_group_quantiles_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from blurrily_ray.stages.textstats import float_group_quantiles
+
+    rows = [{"event_type": t, "value": v}
+            for t, vals in {"a": [0.15, 2.5, -1.3, 0.0, 7.25],
+                            "b": [10.125, 0.333, 0.333]}.items()
+            for v in vals]
+    out = float_group_quantiles(ray.data.from_items(rows),
+                                group_col="event_type",
+                                value_col="value").to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    rows_df = pd.DataFrame(rows)  # noqa: F841 (registered by name)
+    ora = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(quantile_disc(v, 0.25) AS BIGINT) q25,"
+        " CAST(quantile_disc(v, 0.50) AS BIGINT) q50,"
+        " CAST(quantile_disc(v, 0.75) AS BIGINT) q75,"
+        " CAST(quantile_disc(v, 0.95) AS BIGINT) q95,"
+        " CAST(COUNT(*) AS BIGINT) n FROM ("
+        "SELECT event_type, CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0)"
+        " AS BIGINT) AS v FROM rows_df)"
+        " GROUP BY event_type ORDER BY event_type").df()
+    assert out.equals(ora), f"\n{out}\nvs\n{ora}"
