@@ -667,6 +667,17 @@ def _q_collocations(sf_dir: str):
     return _i64(collocations_top_k(_docs(sf_dir), k=50))
 
 
+def _q_funnel(sf_dir: str):
+    """Per-user view->click->purchase funnel depth + conversion times."""
+    import ray.data
+
+    from blurrily_ray.stages.windows import funnel
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    return _i64(funnel(ev))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -725,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers_docs": _q_cms,
         "value_quantiles_events": _q_value_quantiles,
         "collocations_docs": _q_collocations,
+        "funnel_events": _q_funnel,
     }
 
 
@@ -812,4 +824,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_registers_docs": oracles.sql_cms_registers(4, 256),
         "value_quantiles_events": oracles.sql_value_quantiles_events(),
         "collocations_docs": oracles.sql_collocations(50),
+        "funnel_events": oracles.sql_funnel_events(),
     }

@@ -362,6 +362,12 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
                         columns=["event_type", "value"]),
         group_col="event_type", value_col="value").count()), 3)
 
+    from blurrily_ray.stages.windows import funnel
+
+    queries["funnel"] = round(best_of(lambda: funnel(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type", "ts"])).count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 

@@ -1190,3 +1190,29 @@ SELECT CAST(rnk AS BIGINT) AS rank, w1, w2, n_pair,
        u1.c AS n_w1, u2.c AS n_w2
 FROM top JOIN uni u1 ON u1.t = top.w1 JOIN uni u2 ON u2.t = top.w2
 WHERE rnk <= {k}"""
+
+
+def sql_funnel_events(s1: str = "view", s2: str = "click",
+                      s3: str = "purchase") -> str:
+    """Per-user 3-stage funnel oracle (windows.funnel): t1 = MIN stage-1
+    ts; t_i = MIN stage-i ts strictly after t_{i-1}; depth = stages
+    reached; users with no stage-1 event emit nothing. All-integer
+    epoch-µs."""
+    return f"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+f1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (SELECT f1.user_id, f1.t1, MIN(e.us) AS t2
+       FROM f1 LEFT JOIN e ON e.user_id = f1.user_id
+            AND e.event_type = '{s2}' AND e.us > f1.t1
+       GROUP BY f1.user_id, f1.t1),
+f3 AS (SELECT f2.user_id, f2.t1, f2.t2, MIN(e.us) AS t3
+       FROM f2 LEFT JOIN e ON e.user_id = f2.user_id
+            AND e.event_type = '{s3}' AND f2.t2 IS NOT NULL
+            AND e.us > f2.t2
+       GROUP BY f2.user_id, f2.t1, f2.t2)
+SELECT user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth,
+       CAST(t1 AS BIGINT) AS t1_us,
+       CAST(COALESCE(t3, t2, t1) AS BIGINT) AS t_last_us
+FROM f3"""

@@ -192,3 +192,72 @@ def top_k_per_group(ds, *, by: str, order_col: str, k: int,
         return df.groupby(by, sort=False).head(k).reset_index(drop=True)
 
     return partitioned_map(ds, [by], head_k, n_parts=n_parts)
+
+
+def funnel(events, stages=("view", "click", "purchase"), *,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type"):
+    """Per-user ordered-sequence funnel (conversion analysis): depth =
+    how far the user got through ``stages`` via the greedy earliest
+    chain t1 < t2 < ... — t_i is the MIN timestamp of a stage-i event
+    STRICTLY after t_{i-1}, the standard funnel semantics. Users with no
+    stage-1 event emit nothing. Returns
+    (user_id, depth, t1_us, t_last_us) with epoch-µs int64 times.
+
+    Scale shape: ONE user_id-keyed shuffle of the pruned
+    (user, type, ts) columns; each partition resolves every stage for
+    ALL its users with one ``pd.merge_asof`` per stage (vectorized
+    forward search, no per-user loop)."""
+    from blurrily_ray.stages.common import partitioned_map
+
+    stages = list(stages)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            user_col: pd.Series([], dtype=np.int64),
+            "depth": pd.Series([], dtype=np.int64),
+            "t1_us": pd.Series([], dtype=np.int64),
+            "t_last_us": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        e = pd.DataFrame({user_col: df[user_col].to_numpy(np.int64),
+                          "type": df[type_col].to_numpy(),
+                          "us": us.to_numpy()})
+        cur = e[e["type"] == stages[0]].groupby(user_col, as_index=False)[
+            "us"].min().rename(columns={"us": "t"})
+        if not len(cur):
+            return empty
+        depth = np.ones(len(cur), dtype=np.int64)
+        t1 = cur["t"].to_numpy().copy()
+        t_last = cur["t"].to_numpy().copy()
+        users = cur[user_col].to_numpy()
+        # active = users still advancing; one forward merge_asof per stage
+        active = pd.DataFrame({user_col: users, "t": t_last})
+        alive_idx = np.arange(len(cur))
+        for s in stages[1:]:
+            sub = e[e["type"] == s].sort_values("us", kind="stable")
+            if not len(sub) or not len(active):
+                break
+            nxt = pd.merge_asof(
+                active.sort_values("t", kind="stable"), sub,
+                left_on="t", right_on="us", by=user_col,
+                direction="forward", allow_exact_matches=False)
+            nxt = nxt.sort_values(user_col, kind="stable")
+            act_sorted = np.argsort(active[user_col].to_numpy(),
+                                    kind="stable")
+            hit = nxt["us"].notna().to_numpy()
+            hit_users = nxt.loc[hit, user_col].to_numpy()
+            hit_ts = nxt.loc[hit, "us"].to_numpy().astype(np.int64)
+            # map back to the row index in the output arrays
+            pos = alive_idx[act_sorted][hit]
+            depth[pos] += 1
+            t_last[pos] = hit_ts
+            alive_idx = pos
+            active = pd.DataFrame({user_col: hit_users, "t": hit_ts})
+        return pd.DataFrame({
+            user_col: users, "depth": depth,
+            "t1_us": t1, "t_last_us": t_last})
+
+    pruned = events.select_columns([user_col, type_col, ts_col])
+    return partitioned_map(pruned, [user_col], per_part)

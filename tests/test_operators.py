@@ -1121,3 +1121,40 @@ def test_float_group_quantiles_matches_duckdb():
         " AS BIGINT) AS v FROM rows_df)"
         " GROUP BY event_type ORDER BY event_type").df()
     assert out.equals(ora), f"\n{out}\nvs\n{ora}"
+
+
+def test_funnel_brute():
+    """funnel == greedy earliest-chain reference on crafted orderings:
+    same-ts stages do NOT advance (strictly-after rule), repeated and
+    out-of-order stage events resolve to the earliest valid chain."""
+    import datetime as dt
+
+    from blurrily_ray.stages.windows import funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, sec):
+        return {"user_id": u, "event_type": typ,
+                "ts": t0 + dt.timedelta(seconds=sec)}
+
+    rows = (
+        # u1: full funnel, with decoy click BEFORE the view
+        [ev(1, "click", 0), ev(1, "view", 10), ev(1, "click", 20),
+         ev(1, "purchase", 30)] +
+        # u2: click at SAME ts as view -> does not count (strictly after)
+        [ev(2, "view", 0), ev(2, "click", 0)] +
+        # u3: purchase before click -> depth 2 only
+        [ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10)] +
+        # u4: no view at all -> no row
+        [ev(4, "click", 0), ev(4, "purchase", 1)] +
+        # u5: many views; chain starts at the EARLIEST view
+        [ev(5, "view", 50), ev(5, "view", 5), ev(5, "click", 20),
+         ev(5, "purchase", 21)])
+    out = {r["user_id"]: (r["depth"], r["t1_us"], r["t_last_us"])
+           for r in funnel(ray.data.from_items(rows)).take_all()}
+    us = lambda sec: int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1e6)
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1] == (3, us(10), us(30))
+    assert out[2] == (1, us(0), us(0))
+    assert out[3] == (2, us(0), us(10))
+    assert out[5] == (3, us(5), us(21))
