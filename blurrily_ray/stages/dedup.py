@@ -849,37 +849,54 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
     by h (all occurrences of a hash land together, so the partition-local
     count IS the global count); surviving (doc_id, pos) rows co-partition
     back with the doc table by doc_id and the coverage union is one
-    vectorized lag-min pass per partition. md5-of-window keeps oracle
-    bit-parity; a rolling Rabin-Karp hash is the drop-in production hash
-    (same dataflow, no string materialization).
+    vectorized lag-min pass per partition. The window hash is engine-
+    internal (the SQL oracle groups the raw window strings, and the dup
+    decision needs only content EQUALITY), so windows never materialize
+    as strings: md5 once per DISTINCT TOKEN, then a vectorized Horner
+    roll combines the w token hashes per window in uint64 — the Rabin-
+    Karp shape, w numpy passes per batch instead of a Python loop
+    building ~n·w characters of window text.
     """
+    from blurrily_ray.functions.hashing import stable_u64_array
     from blurrily_ray.stages.common import partitioned_map, partitioned_map2
 
     mod = 1 << 63
     w = int(window)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        ids, pos, wins = [], [], []
-        for i, t in zip(df[id_col], df[text_col]):
-            toks = (t or "").split(" ")
-            for p in range(len(toks) - w + 1):
-                ids.append(i)
-                pos.append(p)
-                wins.append(" ".join(toks[p:p + w]))
-        if wins:
-            # md5 once per DISTINCT window of the batch (overlapping
-            # windows repeat heavily in boilerplate-laden corpora)
-            uniq, inv = np.unique(np.asarray(wins, dtype=object),
-                                  return_inverse=True)
-            uh = np.fromiter((md5_num(s) % mod for s in uniq),
-                             dtype=np.int64, count=len(uniq))
-            hs = uh[inv]
-        else:
-            hs = np.empty(0, dtype=np.int64)
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "pos": pd.Series([], dtype=np.int64),
+            "h": pd.Series([], dtype=np.int64)})
+        if len(df) == 0:
+            return empty
+        toks_list = [(t or "").split(" ") for t in df[text_col]]
+        n_tok = np.fromiter((len(t) for t in toks_list), dtype=np.int64,
+                            count=len(toks_list))
+        cw = np.maximum(n_tok - w + 1, 0)  # windows per doc
+        total = int(cw.sum())
+        if total == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks_list])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        th = stable_u64_array(uniq)[inv]  # one md5 per DISTINCT token
+        doc_start = np.zeros(len(n_tok) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=doc_start[1:])
+        win_offs = np.zeros(len(cw), dtype=np.int64)
+        np.cumsum(cw[:-1], out=win_offs[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(win_offs, cw)
+        base = np.repeat(doc_start[:-1], cw) + pos  # flat idx of win start
+        B = np.uint64(0x100000001B3)  # FNV-1a prime as the Horner base
+        h = np.zeros(total, dtype=np.uint64)
+        for i in range(w):
+            h = h * B + th[base + i]  # uint64 wraparound by design
         return pd.DataFrame({
-            id_col: pd.Series(ids, dtype=np.int64),
+            id_col: pd.Series(
+                np.repeat(df[id_col].to_numpy(np.int64), cw),
+                dtype=np.int64),
             "pos": pd.Series(pos, dtype=np.int64),
-            "h": hs})
+            "h": pd.Series((h % np.uint64(mod)).astype(np.int64))})
 
     def dup_part(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
