@@ -409,8 +409,10 @@ def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
     from blurrily_ray.stages.common import partitioned_map
     from blurrily_ray.stages.pairs import _cached_get
 
-    sep = "\x1f"  # unit separator: cannot appear in \S+ tokens? it CAN —
-    # but the oracle uses the same join, so parity holds regardless
+    # pack (w1, w2) as one string key for the shuffle; 0x1f CAN occur
+    # inside a \S+ token, so every ORDERING decision splits back to the
+    # (w1, w2) tuple — the packed key is only ever used for equality
+    sep = "\x1f"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(df[text_col].str.lower())
@@ -430,8 +432,14 @@ def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("pair", sort=False)["n"].sum().reset_index()
-        g = g.sort_values(["n", "pair"], ascending=[False, True],
-                          kind="stable").head(k)
+        # k-boundary tie-break MUST use the same (w1, w2) tuple order as
+        # the final sort and the SQL ORDER BY — the packed-string order
+        # can disagree when a token contains a control char below 0x1f
+        ws = g["pair"].str.split(sep, n=1, expand=True)
+        g = g.assign(_w1=ws[0], _w2=ws[1]) \
+            .sort_values(["n", "_w1", "_w2"],
+                         ascending=[False, True, True],
+                         kind="stable").head(k)[["pair", "n"]]
         g["n"] = g["n"].astype(np.int64)
         return g
 
@@ -449,9 +457,6 @@ def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
     split = cand["pair"].str.split(sep, n=1, expand=True)
     cand = pd.DataFrame({"w1": split[0], "w2": split[1],
                          "n_pair": cand["n"].to_numpy()})
-    # NB sort key is (w1, w2), matching the SQL ORDER BY — the packed
-    # "w1+sep+w2" string would order differently when one w1 is a prefix
-    # of another (sep < 'a' but > digits... not lexicographically stable)
     cand = cand.sort_values(["n_pair", "w1", "w2"],
                             ascending=[False, True, True],
                             kind="stable").head(k).reset_index(drop=True)
