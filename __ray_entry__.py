@@ -678,6 +678,17 @@ def _q_funnel(sf_dir: str):
     return _i64(funnel(ev))
 
 
+def _q_pq_knn(sf_dir: str):
+    """Product-quantized ADC kNN: all-integer micro distances, codebooks
+    re-trained deterministically (exported as a literal for the oracle)."""
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import pq_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(pq_knn(emb, query_ids=range(10), k=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -737,7 +748,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_events": _q_value_quantiles,
         "collocations_docs": _q_collocations,
         "funnel_events": _q_funnel,
+        "pq_knn_embeddings": _q_pq_knn,
     }
+
+
+def _oracle_pq_codebooks(sf: float):
+    """The engine's PQ codebooks for the oracle-sf embeddings table —
+    deterministic re-train, exported as a SQL literal (sql_pq_knn)."""
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import pq_codebooks
+
+    emb = ray.data.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+    return pq_codebooks(emb)
 
 
 def _oracle_kmeans_centroids(sf: float):
@@ -825,4 +848,5 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_events": oracles.sql_value_quantiles_events(),
         "collocations_docs": oracles.sql_collocations(50),
         "funnel_events": oracles.sql_funnel_events(),
+        "pq_knn_embeddings": oracles.sql_pq_knn(_oracle_pq_codebooks(sf), 10, 10),
     }

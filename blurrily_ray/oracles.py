@@ -1216,3 +1216,42 @@ SELECT user_id,
        CAST(t1 AS BIGINT) AS t1_us,
        CAST(COALESCE(t3, t2, t1) AS BIGINT) AS t_last_us
 FROM f3"""
+
+
+def sql_pq_knn(cb, n_queries: int = 10, k: int = 10) -> str:
+    """Product-quantization ADC kNN against EXPORTED codebooks embedded
+    as a SQL literal (simsearch.pq_knn; the sql_ivf_knn_kmeans pattern —
+    Lloyd training is pytest-pinned, assignment + ADC ranking is
+    oracle-checked). Sub-distances floor to micro INTEGERS before any
+    sum or argmin (float noise ~1e-15 vs 1e-6 granularity), so encoding,
+    distance totals and ranking are all exact-integer on both sides."""
+    m, n_codes, dsub = cb.shape
+    rows = ",\n  ".join(
+        f"({j}, {c}, {d}, {float(cb[j, c, d])!r})"
+        for j in range(m) for c in range(n_codes) for d in range(dsub))
+    return f"""WITH cb(j, c, sd, v) AS (VALUES {rows}),
+em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS d
+      FROM embeddings),
+sub AS (SELECT vec_id, d // {dsub} AS j, d % {dsub} AS sd, x FROM em),
+d2 AS (SELECT s.vec_id, s.j, cb.c,
+       CAST(FLOOR(SUM((s.x - cb.v) * (s.x - cb.v)) * 1000000.0)
+            AS BIGINT) AS dm
+       FROM sub s JOIN cb ON cb.j = s.j AND cb.sd = s.sd
+       GROUP BY s.vec_id, s.j, cb.c),
+enc AS (SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dm, c) AS rn FROM d2)
+        WHERE rn = 1),
+dist AS (SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+                CAST(SUM(qd.dm) AS BIGINT) AS dist_micro
+         FROM enc e JOIN d2 qd ON qd.j = e.j AND qd.c = e.c
+         WHERE qd.vec_id < {n_queries} AND e.vec_id <> qd.vec_id
+         GROUP BY qd.vec_id, e.vec_id),
+ranked AS (SELECT query_id, neighbor_id, dist_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist_micro, neighbor_id) AS rnk
+           FROM dist)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dist_micro
+FROM ranked WHERE rnk <= {k}"""

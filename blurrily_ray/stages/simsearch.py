@@ -488,3 +488,181 @@ def lsh_neardup_pairs(embeddings, threshold: float = 0.95, *, n_planes: int = 16
     # a pair found by several tables appears once per table — global dedupe
     return partitioned_map(raw, ["a", "b"],
                            lambda df: df.drop_duplicates())
+
+
+def pq_codebooks(embeddings, m: int = 8, n_codes: int = 16, *,
+                 n_iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): the vector
+    space splits into ``m`` contiguous subspaces, each learning its own
+    ``n_codes``-codeword euclidean k-means codebook — the compression
+    tier BELOW :func:`sq_knn`'s int8 (dim·8 bits/vector → m·log2(n_codes)
+    bits, 16× less than int8 at the defaults for 64-dim vectors).
+
+    Distributed exactly like :func:`kmeans_centroids`: deterministic init
+    (subvectors of ids 0..n_codes-1 via a distributed filter), then one
+    ``map_batches`` pass per Lloyd round emitting m·n_codes partial
+    (count, sum) rows per block — the driver reduces m·n_codes·dsub
+    floats, never a corpus row. Deterministic: reruns are bit-identical,
+    so the oracle can re-train and embed the codebooks as a SQL literal
+    (the sql_ivf_knn_kmeans pattern). Returns float64 (m, n_codes, dsub).
+    """
+    init_rows = embeddings.select_columns([id_col, vec_col]).map_batches(
+        lambda b: b.filter(pa.array(
+            b[id_col].to_numpy(zero_copy_only=False) < n_codes)),
+        batch_format="pyarrow").take_all()
+    if len(init_rows) < n_codes:
+        raise ValueError(f"need ids 0..{n_codes - 1} present for init; "
+                         f"got {len(init_rows)} rows")
+    init_ids = np.array([r[id_col] for r in init_rows], dtype=np.int64)
+    init = np.array([r[vec_col] for r in init_rows],
+                    dtype=np.float64)[np.argsort(init_ids)]
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cb = np.stack([init[:, j * dsub:(j + 1) * dsub] for j in range(m)])
+
+    for _ in range(n_iters):
+        ref = ray.put(cb)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = _cached_get(ref)
+            x = _matrix(batch, vec_col)
+            if not len(x):
+                return pa.table({
+                    "j": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            js, cs, cnts, sums = [], [], [], []
+            for j in range(m):
+                xs = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((xs[:, None, :] - c[j][None]) ** 2).sum(-1)
+                code = np.argmin(d2, axis=1)  # first min = smallest c
+                o = np.argsort(code, kind="stable")
+                cc = code[o]
+                bnd = np.nonzero(cc[1:] != cc[:-1])[0] + 1
+                starts = np.concatenate(([0], bnd))
+                js.append(np.full(len(starts), j, dtype=np.int64))
+                cs.append(cc[starts].astype(np.int64))
+                cnts.append(np.diff(np.concatenate(
+                    (starts, [len(cc)]))).astype(np.int64))
+                sums.extend(np.add.reduceat(xs[o], starts, axis=0))
+            return pa.table({
+                "j": pa.array(np.concatenate(js)),
+                "c": pa.array(np.concatenate(cs)),
+                "cnt": pa.array(np.concatenate(cnts)),
+                "vsum": pa.array([s.tolist() for s in sums],
+                                 type=pa.list_(pa.float64()))})
+
+        rows = embeddings.select_columns([vec_col]) \
+            .map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((m, n_codes, dsub))
+        cnts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in rows:
+            sums[r["j"], r["c"]] += np.asarray(r["vsum"])
+            cnts[r["j"], r["c"]] += r["cnt"]
+        new = cb.copy()  # empty cells keep their previous codeword
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz, None]
+        if np.allclose(new, cb, atol=1e-12):
+            break
+        cb = new
+    return cb
+
+
+def _pq_micro_tab(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, dim) × (m, n_codes, dsub) → int64 (n, m, n_codes) micro
+    squared distances ``floor(||x_sub − codeword||² · 1e6)`` — the
+    integer contract both engines rank on (float noise ~1e-15 vs the
+    1e-6 granularity, so the floor agrees)."""
+    m, n_codes, dsub = cb.shape
+    out = np.empty((len(x), m, n_codes), dtype=np.int64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((xs[:, None, :] - cb[j][None]) ** 2).sum(-1)
+        out[:, j, :] = np.floor(d2 * 1_000_000.0).astype(np.int64)
+    return out
+
+
+def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
+           n_codes: int = 16, n_iters: int = 3, id_col: str = "vec_id",
+           vec_col: str = "embedding", codebooks: np.ndarray | None = None):
+    """(query_id, rank, neighbor_id, dist_micro): product-quantized
+    asymmetric-distance (ADC) kNN. Every corpus vector is ENCODED once to
+    m codeword ids (micro-int argmin per subspace, ties → smallest id);
+    a query precomputes its m × n_codes micro distance table and a
+    neighbor's distance is the INTEGER sum of m table lookups — exact
+    under any partitioning, so the DuckDB oracle (codebooks exported as a
+    literal) matches bit-for-bit. Rank by dist ASC, neighbor id ASC,
+    self excluded. 100 TB shape: the (n, m) uint8 code matrix is the
+    resident artifact (m·log2(n_codes) bits/vector); raw floats stay in
+    cold storage."""
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, m, n_codes, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col)
+    m, n_codes, dsub = cb.shape
+    qarr = np.unique(np.fromiter((int(q) for q in query_ids),
+                                 dtype=np.int64))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qarr)))
+
+    qrows = embeddings.select_columns([id_col, vec_col]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    if not qrows:
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "dist_micro": pa.array([], pa.int64())}))
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qo = np.argsort(q_ids)
+    q_ids = q_ids[qo]
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)[qo]
+    q_tab = _pq_micro_tab(q_mat, cb)  # (nq, m, n_codes) int64
+    ref = ray.put((q_ids, q_tab, cb))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qt, c = _cached_get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _matrix(batch, vec_col)
+        codes = np.argmin(_pq_micro_tab(x, c), axis=2)  # (n, m)
+        # ADC: dist[i, q] = Σ_j qt[q, j, codes[i, j]]
+        dist = np.zeros((len(x), len(qi)), dtype=np.int64)
+        for j in range(c.shape[0]):
+            dist += qt[:, j, :][:, codes[:, j]].T
+        out_q, out_n, out_s = [], [], []
+        for qj in range(len(qi)):
+            s = dist[:, qj]
+            mask = ids != qi[qj]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, cand_s))[:k]
+                cand_ids, cand_s = cand_ids[order], cand_s[order]
+            out_q.append(np.full(len(cand_ids), qi[qj], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else np.empty(0, np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else np.empty(0, np.int64)),
+            "dist_micro": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist_micro", "neighbor_id"],
+                            ascending=[True, True], kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+            "dist_micro": df["dist_micro"].to_numpy(),
+        })
+
+    return embeddings.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")

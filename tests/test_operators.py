@@ -1158,3 +1158,42 @@ def test_funnel_brute():
     assert out[2] == (1, us(0), us(0))
     assert out[3] == (2, us(0), us(10))
     assert out[5] == (3, us(5), us(21))
+
+
+def test_pq_knn_matches_brute_force():
+    """pq_knn == pure-numpy re-implementation (encode + integer ADC) on
+    the engine's own codebooks; training is deterministic across runs."""
+    import numpy as np
+
+    from blurrily_ray.stages.simsearch import (
+        _pq_micro_tab, pq_codebooks, pq_knn)
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    ds = ray.data.from_items(rows)
+    m, n_codes, k, qids = 4, 8, 5, [0, 2, 9]
+
+    cb1 = pq_codebooks(ds, m, n_codes)
+    cb2 = pq_codebooks(ds.repartition(7), m, n_codes)
+    assert (cb1 == cb2).all()  # deterministic + partition-invariant
+
+    x = vecs.astype(np.float64)
+    tab = _pq_micro_tab(x, cb1)            # (60, m, n_codes)
+    codes = np.argmin(tab, axis=2)          # (60, m)
+    expect = {}
+    for q in qids:
+        d = np.array([tab[q, j, codes[:, j]] for j in range(m)]).sum(0)
+        order = [i for i in np.lexsort((np.arange(60), d)) if i != q][:k]
+        for rank, n in enumerate(order, 1):
+            expect[(q, rank)] = (n, int(d[n]))
+
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["dist_micro"])
+           for r in pq_knn(ds, qids, k=k, m=m, n_codes=n_codes,
+                           codebooks=cb1).take_all()}
+    assert got == expect
+    # self-trained path agrees with the explicit-codebook path
+    got2 = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["dist_micro"])
+            for r in pq_knn(ds, qids, k=k, m=m,
+                            n_codes=n_codes).take_all()}
+    assert got2 == got
