@@ -506,12 +506,15 @@ def pq_codebooks(embeddings, m: int = 8, n_codes: int = 16, *,
     (count, sum) rows per block — the driver reduces m·n_codes·dsub
     floats, never a corpus row. Deterministic: reruns are bit-identical,
     so the oracle can re-train and embed the codebooks as a SQL literal
-    (the sql_ivf_knn_kmeans pattern). Returns float64 (m, n_codes, dsub).
+    (the sql_ivf_knn_kmeans pattern). Returns float64 (m, n_codes, dsub),
+    or None for a zero-row corpus.
     """
     init_rows = embeddings.select_columns([id_col, vec_col]).map_batches(
         lambda b: b.filter(pa.array(
             b[id_col].to_numpy(zero_copy_only=False) < n_codes)),
         batch_format="pyarrow").take_all()
+    if not init_rows:  # zero-row corpus: nothing to train
+        return None
     if len(init_rows) < n_codes:
         raise ValueError(f"need ids 0..{n_codes - 1} present for init; "
                          f"got {len(init_rows)} rows")
@@ -603,6 +606,14 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
     cb = codebooks if codebooks is not None else pq_codebooks(
         embeddings, m, n_codes, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col)
+    if cb is None:  # zero-row corpus
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "dist_micro": pa.array([], pa.int64())}))
     m, n_codes, dsub = cb.shape
     qarr = np.unique(np.fromiter((int(q) for q in query_ids),
                                  dtype=np.int64))
