@@ -459,7 +459,25 @@ def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     return out
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """Print Ray Data's per-stage execution stats for the headline ER
+    pipeline — the feedback loop used to size batches/partitions (wall
+    time per operator, rows/bytes per block, scheduling overhead)."""
+    ray = _init_ray(num_cpus)
+    from blurrily_ray.pipelines.er import run_er_grouped
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    res = run_er_grouped(paths["transcripts"])
+    clusters = res["clusters"].materialize()
+    print(clusters.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
+    if "--stats" in sys.argv:
+        run_stats(SF_DIR, NUM_CPUS)
+        sys.exit(0)
     if "--scaling" in sys.argv:
         cpus = tuple(int(x) for x in
                      os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
