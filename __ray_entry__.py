@@ -689,6 +689,21 @@ def _q_pq_knn(sf_dir: str):
     return _i64(pq_knn(emb, query_ids=range(10), k=10))
 
 
+def _q_cluster_size_hist(sf_dir: str):
+    """Cluster-size distribution of the flagship ER output: two tiny
+    aggregates over the labels (cluster sizes are bounded by entity
+    multiplicity; both groupbys ship one int row per distinct key per
+    block)."""
+    from blurrily_ray.pipelines.er import run_er_grouped
+
+    clusters = run_er_grouped(_transcripts_path(sf_dir))["clusters"]
+    sizes = clusters.groupby("cluster_id").count() \
+        .rename_columns({"count()": "cluster_size"})
+    hist = sizes.groupby("cluster_size").count() \
+        .rename_columns({"count()": "n_clusters"})
+    return _i64(hist)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -749,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations_docs": _q_collocations,
         "funnel_events": _q_funnel,
         "pq_knn_embeddings": _q_pq_knn,
+        "cluster_size_hist": _q_cluster_size_hist,
     }
 
 
@@ -849,4 +865,5 @@ def oracle_sql() -> dict[str, str]:
         "collocations_docs": oracles.sql_collocations(50),
         "funnel_events": oracles.sql_funnel_events(),
         "pq_knn_embeddings": oracles.sql_pq_knn(_oracle_pq_codebooks(sf), 10, 10),
+        "cluster_size_hist": oracles.sql_cluster_size_hist(tpath),
     }

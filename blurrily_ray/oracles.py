@@ -1255,3 +1255,17 @@ ranked AS (SELECT query_id, neighbor_id, dist_micro,
            FROM dist)
 SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dist_micro
 FROM ranked WHERE rnk <= {k}"""
+
+
+def sql_cluster_size_hist(transcripts_path: str,
+                          cfg: ERConfig = DEFAULT) -> str:
+    """Cluster-size distribution of the full ER output (the standard
+    post-resolution audit: how many singletons / pairs / giant
+    components): wraps sql_er_clusters' recursive closure with two
+    GROUP BYs — (cluster_size, n_clusters) ordered by size."""
+    inner = sql_er_clusters(transcripts_path, cfg)
+    return f"""WITH labels AS ({inner}),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM labels GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size"""

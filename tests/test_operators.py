@@ -1197,3 +1197,23 @@ def test_pq_knn_matches_brute_force():
             for r in pq_knn(ds, qids, k=k, m=m,
                             n_codes=n_codes).take_all()}
     assert got2 == got
+
+
+def test_cluster_size_hist_consistent():
+    """Histogram == direct recount of the ER labels; mass adds up."""
+    import collections
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    hist = {r["cluster_size"]: r["n_clusters"]
+            for r in entry.queries()["cluster_size_hist"](sf_dir).take_all()}
+    labels = entry.queries()["er_clusters"](sf_dir).take_all()
+    sizes = collections.Counter(r["cluster_id"] for r in labels)
+    expect = collections.Counter(sizes.values())
+    assert hist == dict(expect)
+    assert sum(s * n for s, n in hist.items()) == len(labels)
