@@ -1083,7 +1083,10 @@ def sql_sq_knn(n_queries: int = 10, k: int = 10) -> str:
     return f"""WITH em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              unnest(generate_series(0, len(embedding) - 1)) AS d
       FROM embeddings),
-mx AS (SELECT MAX(ABS(x)) AS ma FROM em),
+-- all-zero corpus: scale falls back to 1.0, matching the engine's
+-- maxabs-or-1.0 guard (codes are then all 0 on both sides)
+mx AS (SELECT CASE WHEN MAX(ABS(x)) = 0 THEN 1.0
+              ELSE MAX(ABS(x)) END AS ma FROM em),
 codes AS (SELECT vec_id, d,
           CAST(FLOOR((x * 127.0) / (SELECT ma FROM mx)) AS BIGINT) AS c
           FROM em),
@@ -1165,7 +1168,8 @@ SELECT event_type,
        CAST(quantile_disc(v, 0.50) AS BIGINT) AS q50,
        CAST(quantile_disc(v, 0.75) AS BIGINT) AS q75,
        CAST(quantile_disc(v, 0.95) AS BIGINT) AS q95,
-       CAST(COUNT(*) AS BIGINT) AS n
+       -- COUNT(v), not COUNT(*): NULL values are skipped on both sides
+       CAST(COUNT(v) AS BIGINT) AS n
 FROM m GROUP BY event_type"""
 
 

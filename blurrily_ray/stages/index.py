@@ -280,12 +280,15 @@ def find_many(docsets, needles: list[str], limit: int = LIMIT_DEFAULT, *,
         return partitioned_map(partials, ["needle"], rank_partials)
     # driver merge: ≤ Q × limit × n_blocks rows by construction
     all_p = partials.to_pandas()
-    if "needle" not in all_p.columns:  # zero-block corpus: typed empty
-        all_p = pd.DataFrame({
-            "needle": pd.Series(dtype=object),
-            "ref": pd.Series(dtype=object),
-            "matches": pd.Series(dtype=np.int64),
-            "weight": pd.Series(dtype=np.int64)})
+    if "needle" not in all_p.columns or not len(all_p):
+        # zero-block corpus / no hits: from_pandas would infer null-typed
+        # columns for an empty object frame — return a typed Arrow empty
+        return ray.data.from_arrow(pa.table({
+            "needle": pa.array([], type=pa.string()),
+            "ref": pa.array([], type=pa.string()),
+            "matches": pa.array([], type=pa.int64()),
+            "weight": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64())}))
     return ray.data.from_pandas(rank_partials(all_p).reset_index(drop=True))
 
 

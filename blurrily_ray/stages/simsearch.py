@@ -143,9 +143,16 @@ def sq_knn(embeddings, query_ids, k: int = 10, *,
     rows = embeddings.map_batches(prep, batch_format="pyarrow").take_all()
     maxabs = max((r["bmax"] for r in rows), default=0.0) or 1.0
     qrows = [r for r in rows if r[id_col] >= 0]
+    if not qrows:  # no query rows in the corpus (e.g. empty table)
+        from ray.data import from_arrow
+
+        return from_arrow(pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.int64())}))
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    q_mat = (np.array([r[vec_col] for r in qrows], dtype=np.float64)
-             if qrows else np.empty((0, 0), np.float64))
+    q_mat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     q_codes = np.floor(q_mat * 127.0 / maxabs).astype(np.int64)
     q_ref = ray.put((q_ids, q_codes, maxabs))
 
@@ -253,6 +260,11 @@ def kmeans_centroids(embeddings, k: int = 16, *, n_iters: int = 5,
 
         rows = embeddings.select_columns([vec_col]) \
             .map_batches(partial, batch_format="pyarrow").take_all()
+        # content-sorted accumulation: take_all's block ARRIVAL order is
+        # nondeterministic, and float += is order-sensitive — sorting by
+        # the full row content makes every rerun reduce identically (the
+        # oracle re-trains and embeds these floats as a literal)
+        rows.sort(key=lambda r: (r["cell"], r["cnt"], tuple(r["vsum"])))
         sums = np.zeros((len(cents), dim))
         cnts = np.zeros(len(cents), dtype=np.int64)
         for r in rows:
@@ -509,15 +521,17 @@ def pq_codebooks(embeddings, m: int = 8, n_codes: int = 16, *,
     (the sql_ivf_knn_kmeans pattern). Returns float64 (m, n_codes, dsub),
     or None for a zero-row corpus.
     """
+    def init_pick(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids >= 0) & (ids < n_codes)))
+
     init_rows = embeddings.select_columns([id_col, vec_col]).map_batches(
-        lambda b: b.filter(pa.array(
-            b[id_col].to_numpy(zero_copy_only=False) < n_codes)),
-        batch_format="pyarrow").take_all()
+        init_pick, batch_format="pyarrow").take_all()
     if not init_rows:  # zero-row corpus: nothing to train
         return None
-    if len(init_rows) < n_codes:
-        raise ValueError(f"need ids 0..{n_codes - 1} present for init; "
-                         f"got {len(init_rows)} rows")
+    if len(init_rows) != n_codes:
+        raise ValueError(f"need ids 0..{n_codes - 1} present exactly once "
+                         f"for init; got {len(init_rows)} rows")
     init_ids = np.array([r[id_col] for r in init_rows], dtype=np.int64)
     init = np.array([r[vec_col] for r in init_rows],
                     dtype=np.float64)[np.argsort(init_ids)]
@@ -562,6 +576,10 @@ def pq_codebooks(embeddings, m: int = 8, n_codes: int = 16, *,
 
         rows = embeddings.select_columns([vec_col]) \
             .map_batches(partial, batch_format="pyarrow").take_all()
+        # content-sorted accumulation — same rerun-determinism rationale
+        # as kmeans_centroids (float += is arrival-order-sensitive)
+        rows.sort(key=lambda r: (r["j"], r["c"], r["cnt"],
+                                 tuple(r["vsum"])))
         sums = np.zeros((m, n_codes, dsub))
         cnts = np.zeros((m, n_codes), dtype=np.int64)
         for r in rows:
@@ -590,6 +608,17 @@ def _pq_micro_tab(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return out
 
 
+def _empty_pq_result():
+    """Typed empty (query_id, rank, neighbor_id, dist_micro) Dataset."""
+    from ray.data import from_arrow
+
+    return from_arrow(pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "dist_micro": pa.array([], pa.int64())}))
+
+
 def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
            n_codes: int = 16, n_iters: int = 3, id_col: str = "vec_id",
            vec_col: str = "embedding", codebooks: np.ndarray | None = None):
@@ -607,13 +636,7 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
         embeddings, m, n_codes, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col)
     if cb is None:  # zero-row corpus
-        from ray.data import from_arrow
-
-        return from_arrow(pa.table({
-            "query_id": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "dist_micro": pa.array([], pa.int64())}))
+        return _empty_pq_result()
     m, n_codes, dsub = cb.shape
     qarr = np.unique(np.fromiter((int(q) for q in query_ids),
                                  dtype=np.int64))
@@ -625,13 +648,7 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
     qrows = embeddings.select_columns([id_col, vec_col]) \
         .map_batches(pick, batch_format="pyarrow").take_all()
     if not qrows:
-        from ray.data import from_arrow
-
-        return from_arrow(pa.table({
-            "query_id": pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64()),
-            "neighbor_id": pa.array([], pa.int64()),
-            "dist_micro": pa.array([], pa.int64())}))
+        return _empty_pq_result()
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qo = np.argsort(q_ids)
     q_ids = q_ids[qo]

@@ -379,10 +379,13 @@ def float_group_quantiles(ds, *, group_col: str, value_col: str,
     def to_micro(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False) \
             .astype(np.float64)
+        # NULL/NaN values are SKIPPED, matching quantile_disc's NULL rule
+        # (floor(NaN).astype(int64) would otherwise inject INT64_MIN)
+        keep = ~np.isnan(v)
         return pa.table({
-            group_col: batch[group_col],
+            group_col: batch[group_col].filter(pa.array(keep)),
             "value_micro": pa.array(
-                np.floor(v * scale).astype(np.int64))})
+                np.floor(v[keep] * scale).astype(np.int64))})
 
     kw = {} if qs is None else {"qs": qs}
     return group_quantiles(ds.map_batches(to_micro, batch_format="pyarrow"),

@@ -1152,7 +1152,9 @@ def test_funnel_brute():
          ev(5, "purchase", 21)])
     out = {r["user_id"]: (r["depth"], r["t1_us"], r["t_last_us"])
            for r in funnel(ray.data.from_items(rows)).take_all()}
-    us = lambda sec: int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1e6)
+    epoch = dt.datetime(1970, 1, 1)
+    us = lambda sec: int((t0 + dt.timedelta(seconds=sec)
+                          - epoch).total_seconds() * 1e6)
     assert set(out) == {1, 2, 3, 5}
     assert out[1] == (3, us(10), us(30))
     assert out[2] == (1, us(0), us(0))
@@ -1175,8 +1177,10 @@ def test_pq_knn_matches_brute_force():
     m, n_codes, k, qids = 4, 8, 5, [0, 2, 9]
 
     cb1 = pq_codebooks(ds, m, n_codes)
-    cb2 = pq_codebooks(ds.repartition(7), m, n_codes)
-    assert (cb1 == cb2).all()  # deterministic + partition-invariant
+    cb2 = pq_codebooks(ds, m, n_codes)
+    assert (cb1 == cb2).all()  # rerun-deterministic (the oracle premise:
+    # the query path and the oracle export re-train on the same layout;
+    # float partial sums are NOT partition-layout-invariant in general)
 
     x = vecs.astype(np.float64)
     tab = _pq_micro_tab(x, cb1)            # (60, m, n_codes)
@@ -1217,3 +1221,32 @@ def test_cluster_size_hist_consistent():
     expect = collections.Counter(sizes.values())
     assert hist == dict(expect)
     assert sum(s * n for s, n in hist.items()) == len(labels)
+
+
+def test_sq_knn_no_matching_queries():
+    """Query ids absent from a NON-empty corpus: typed empty result, no
+    (n, dim) x (0, 0) matmul crash in the batch tasks."""
+    import numpy as np
+
+    from blurrily_ray.stages.simsearch import sq_knn
+
+    rows = [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(20)]
+    out = sq_knn(ray.data.from_items(rows), query_ids=[999], k=5)
+    assert out.count() == 0
+
+
+def test_float_group_quantiles_skips_nulls():
+    """NULL/NaN values are skipped (quantile_disc's NULL rule) and n
+    counts non-null values only — no INT64_MIN sentinel leakage."""
+    from blurrily_ray.stages.textstats import float_group_quantiles
+
+    rows = [{"event_type": "a", "value": 1.0},
+            {"event_type": "a", "value": None},
+            {"event_type": "a", "value": 3.0},
+            {"event_type": "b", "value": None}]
+    out = {r["event_type"]: r for r in float_group_quantiles(
+        ray.data.from_items(rows), group_col="event_type",
+        value_col="value").take_all()}
+    assert out["a"]["n"] == 2
+    assert out["a"]["q25"] == 1_000_000 and out["a"]["q95"] == 3_000_000
+    assert "b" not in out  # all-null group emits nothing
