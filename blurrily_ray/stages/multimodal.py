@@ -543,3 +543,58 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     if px is not None:
         return px[:, :, :3] if px.shape[2] == 4 else px
     return None
+
+
+class ImagePHasher:
+    """Actor-pool stage: decode → 60-bit average-hash (aHash) perceptual
+    signature. The image is nearest-resized to a 6×10 grid (60 tiles —
+    sized to the text SimHash's 60-bit band machinery, SIMHASH_BITS) and
+    bit i is set iff tile i's INTEGER luminance sum beats the grid mean
+    (compared cross-multiplied, ``60·v_i > Σv`` — no float, so the hash
+    is bit-stable across platforms). Undecodable payloads fall back to
+    the low 60 bits of md5(payload): unique-ish, so they never create
+    false near-dup pairs. Output (id, simhash) feeds
+    ``dedup.simhash_pairs(sigs=...)`` unchanged — IMAGE near-dup reuses
+    the banded-Hamming text machinery."""
+
+    GRID_H, GRID_W = 6, 10  # 60 tiles == SIMHASH_BITS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        ids = batch["doc_id"]
+        out = np.empty(len(batch), dtype=np.int64)
+        for i, payload in enumerate(batch["payload"]):
+            raw = payload.as_py()
+            px = decode_image(raw)
+            if px is None:
+                out[i] = np.int64(int.from_bytes(
+                    _hl.md5(raw).digest()[:8], "big") & ((1 << 60) - 1))
+                continue
+            small = resize_nearest(px, self.GRID_H, self.GRID_W)
+            v = small.astype(np.int64).sum(axis=2).ravel()  # luminance sum
+            bits = (len(v) * v) > v.sum()
+            out[i] = np.int64(int.from_bytes(
+                np.packbits(bits[::-1], bitorder="little").tobytes(),
+                "little"))
+        return pa.table({"doc_id": ids, "simhash": pa.array(out)})
+
+
+def image_phash(media, *, concurrency=(1, 4), batch_size: int = 64):
+    """(doc_id, simhash): perceptual signatures via the actor pool."""
+    return media.map_batches(ImagePHasher, concurrency=concurrency,
+                             batch_size=batch_size,
+                             batch_format="pyarrow")
+
+
+def phash_neardup_pairs(media, *, max_hamming: int = 3, n_bands: int = 4,
+                        concurrency=(1, 4)):
+    """Image near-dup pairs (a, b, hamming): pHash signatures → the text
+    pipeline's banded-Hamming pair machinery (dedup.simhash_pairs with
+    ``sigs=``) — exact recall at ≤ max_hamming by the same pigeonhole,
+    one bucket shuffle, never all-pairs."""
+    from blurrily_ray.stages.dedup import simhash_pairs
+
+    sigs = image_phash(media, concurrency=concurrency)
+    return simhash_pairs(None, max_hamming=max_hamming, n_bands=n_bands,
+                         sigs=sigs)

@@ -1250,3 +1250,40 @@ def test_float_group_quantiles_skips_nulls():
     assert out["a"]["n"] == 2
     assert out["a"]["q25"] == 1_000_000 and out["a"]["q95"] == 3_000_000
     assert "b" not in out  # all-null group emits nothing
+
+
+def test_image_phash_neardup():
+    """pHash: identical images hash equal; a few changed pixels stay
+    within small Hamming distance; unrelated images differ; banded
+    near-dup pairs find exactly the close ones. Undecodable payloads
+    fall back to md5 (no false pairs)."""
+    import numpy as np
+
+    from blurrily_ray.stages.multimodal import (
+        ImagePHasher, encode_bmp, image_phash, phash_neardup_pairs)
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[0, 0] = 255 - tweak[0, 0]  # one pixel flipped
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        {"doc_id": 1, "payload": encode_bmp(base)},
+        {"doc_id": 2, "payload": encode_bmp(base)},       # exact dup
+        {"doc_id": 3, "payload": encode_bmp(tweak)},      # near dup
+        {"doc_id": 4, "payload": encode_bmp(other)},
+        {"doc_id": 5, "payload": b"not an image at all"},
+    ]
+    ds = ray.data.from_items(rows)
+    sigs = {r["doc_id"]: r["simhash"] for r in image_phash(ds).take_all()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    assert sigs[1] == sigs[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[3]) <= 3   # one pixel barely moves tile sums
+    assert ham(sigs[1], sigs[4]) > 3    # unrelated content
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in phash_neardup_pairs(ds).take_all()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
