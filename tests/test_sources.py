@@ -114,3 +114,28 @@ def test_tsv_export_reimports(tmp_path):
     assert (back["ref"].to_numpy() == docs["ref"].to_numpy()).all()
     # tabs were flattened to spaces on export
     assert back.loc[0, "text"] == "needle text 0 with tab"
+
+
+def test_csv_roundtrip_transcripts(tmp_path):
+    """write_csv → read_transcripts_csv round-trips the transcripts table
+    with the pipeline's exact dtypes (Arrow CSV inference drift coerced
+    away) and the same rows."""
+    import pyarrow as pa
+
+    from blurrily_ray.sources.csv import read_transcripts_csv, write_csv
+
+    rows = [{"conv_id": f"c{i // 3}", "turn_idx": i % 3,
+             "role": f"s{i % 2}",
+             "text": f"turn {i} text with, comma and \"quote\""}
+            for i in range(30)]
+    out = write_csv(ray.data.from_items(rows), str(tmp_path / "csv"))
+    back = read_transcripts_csv(out)
+    sch = dict(zip(back.schema().names, back.schema().types))
+    assert sch == {"conv_id": pa.string(), "turn_idx": pa.int64(),
+                   "role": pa.string(), "text": pa.string()}
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    assert sorted(map(dict, back.take_all()), key=key) == \
+        sorted(rows, key=key)
+    # projection keeps only the ER-needed columns
+    slim = read_transcripts_csv(out, columns=["conv_id", "turn_idx", "text"])
+    assert set(slim.schema().names) == {"conv_id", "turn_idx", "text"}
