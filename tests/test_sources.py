@@ -139,3 +139,30 @@ def test_csv_roundtrip_transcripts(tmp_path):
     # projection keeps only the ER-needed columns
     slim = read_transcripts_csv(out, columns=["conv_id", "turn_idx", "text"])
     assert set(slim.schema().names) == {"conv_id", "turn_idx", "text"}
+
+
+def test_orc_roundtrip_documents(tmp_path):
+    """write_orc → read_orc round-trips the documents table; column
+    projection prunes at the decoder; the sink is idempotent (re-write
+    produces the same content-hash files, no duplicate rows)."""
+    import os
+
+    from blurrily_ray.sources.orc import read_orc, write_orc
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "orc")
+    manifest = write_orc(docs, d).take_all()
+    assert sum(r["rows"] for r in manifest) == docs.count()
+    files1 = sorted(os.listdir(d))
+
+    back = read_orc(d)
+    key = lambda r: r["doc_id"]
+    assert sorted(map(dict, back.take_all()), key=key) == \
+        sorted(map(dict, docs.take_all()), key=key)
+
+    slim = read_orc(d, columns=["doc_id", "text"])
+    assert set(slim.schema().names) == {"doc_id", "text"}
+    assert slim.count() == docs.count()
+
+    write_orc(docs, d).take_all()  # idempotent re-write
+    assert sorted(os.listdir(d)) == files1
