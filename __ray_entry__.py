@@ -704,6 +704,17 @@ def _q_cluster_size_hist(sf_dir: str):
     return _i64(hist)
 
 
+def _q_ivfpq_knn(sf_dir: str):
+    """IVF-PQ (IVFADC): cosine cell probing + integer ADC ranking —
+    both halves keep their oracle-exact contracts."""
+    import ray.data
+
+    from blurrily_ray.stages.simsearch import ivfpq_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(ivfpq_knn(emb, query_ids=range(10), k=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "normalize_docs": _q_normalize,
@@ -765,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel,
         "pq_knn_embeddings": _q_pq_knn,
         "cluster_size_hist": _q_cluster_size_hist,
+        "ivfpq_knn_embeddings": _q_ivfpq_knn,
     }
 
 
@@ -866,4 +878,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": oracles.sql_funnel_events(),
         "pq_knn_embeddings": oracles.sql_pq_knn(_oracle_pq_codebooks(sf), 10, 10),
         "cluster_size_hist": oracles.sql_cluster_size_hist(tpath),
+        "ivfpq_knn_embeddings": oracles.sql_ivfpq_knn(
+            _oracle_pq_codebooks(sf), 10, 10),
     }

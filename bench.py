@@ -369,6 +369,12 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
     queries["pq_knn"] = round(best_of(lambda: pq_knn(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
         query_ids=range(10), k=10).count()), 3)
+
+    from blurrily_ray.stages.simsearch import ivfpq_knn
+
+    queries["ivfpq_knn"] = round(best_of(lambda: ivfpq_knn(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        query_ids=range(10), k=10).count()), 3)
     queries["funnel"] = round(best_of(lambda: funnel(
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "event_type", "ts"])).count()), 3)

@@ -1273,3 +1273,61 @@ sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           FROM labels GROUP BY cluster_id)
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size"""
+
+
+def sql_ivfpq_knn(cb, n_queries: int = 10, k: int = 10,
+                  n_centroids: int = 16, n_probe: int = 4) -> str:
+    """IVF-PQ (mirrors simsearch.ivfpq_knn): sql_ivf_knn's id-pick
+    centroid assignment + probing CTEs feed sql_pq_knn's integer ADC
+    ranking — both halves keep their exact contracts, so the composed
+    query hashes identically."""
+    m, n_codes, dsub = cb.shape
+    rows = ",\n  ".join(
+        f"({j}, {c}, {d}, {float(cb[j, c, d])!r})"
+        for j in range(m) for c in range(n_codes) for d in range(dsub))
+    return f"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+           FROM embeddings WHERE vec_id < {n_centroids}),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding, c.ce), 6)
+                        DESC, c.cid ASC) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {n_queries}),
+probes AS (SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6)
+                        DESC, c.cid ASC) AS rn
+    FROM q, cents c) WHERE rn <= {n_probe}),
+cb(j, c, sd, v) AS (VALUES {rows}),
+em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(generate_series(0, len(embedding) - 1)) AS d
+      FROM embeddings),
+sub AS (SELECT vec_id, d // {dsub} AS j, d % {dsub} AS sd, x FROM em),
+d2 AS (SELECT s.vec_id, s.j, cb.c,
+       CAST(FLOOR(SUM((s.x - cb.v) * (s.x - cb.v)) * 1000000.0)
+            AS BIGINT) AS dm
+       FROM sub s JOIN cb ON cb.j = s.j AND cb.sd = s.sd
+       GROUP BY s.vec_id, s.j, cb.c),
+enc AS (SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dm, c) AS rn FROM d2)
+        WHERE rn = 1),
+cand AS (SELECT p.qid, a.vec_id AS nid
+         FROM probes p JOIN assign a ON a.cid = p.cid
+         WHERE a.vec_id <> p.qid),
+dist AS (SELECT cd.qid AS query_id, cd.nid AS neighbor_id,
+                CAST(SUM(qd.dm) AS BIGINT) AS dist_micro
+         FROM cand cd JOIN enc e ON e.vec_id = cd.nid
+              JOIN d2 qd ON qd.vec_id = cd.qid
+                   AND qd.j = e.j AND qd.c = e.c
+         GROUP BY cd.qid, cd.nid),
+ranked AS (SELECT query_id, neighbor_id, dist_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist_micro, neighbor_id) AS rnk
+           FROM dist)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dist_micro
+FROM ranked WHERE rnk <= {k}"""

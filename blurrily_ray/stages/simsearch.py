@@ -694,3 +694,87 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
 
     return embeddings.map_batches(local_topk, batch_format="pyarrow") \
         .groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ivfpq_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
+              n_probe: int = 4, m: int = 8, n_codes: int = 16,
+              n_iters: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — the production-shape ANN:
+    :func:`ivf_knn`'s cell probing composed with :func:`pq_knn`'s
+    integer ADC. Every vector is assigned ONCE to its nearest of
+    ``n_centroids`` cosine cells (id-pick centroids, round-6dp ties →
+    cid — the exact ivf_knn contract) AND encoded once to m codeword
+    ids; a query scores only its ``n_probe`` closest cells' members, by
+    integer micro-distance table lookups. Both halves keep their
+    oracle-exact contracts, so the composition is DuckDB-checkable end
+    to end: probe CTEs from sql_ivf_knn + ADC CTEs from sql_pq_knn.
+    Returns (query_id, rank, neighbor_id, dist_micro); recall < 1 by
+    construction (cells prune in cosine space, ADC ranks in euclidean —
+    the standard IVFADC asymmetry)."""
+    cb = pq_codebooks(embeddings, m, n_codes, n_iters=n_iters,
+                      id_col=id_col, vec_col=vec_col)
+    if cb is None:  # zero-row corpus
+        return _empty_pq_result()
+    qarr = np.unique(np.fromiter((int(q) for q in query_ids),
+                                 dtype=np.int64))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, qarr) | (ids < n_centroids)
+        return batch.filter(pa.array(keep))
+
+    rows = embeddings.select_columns([id_col, vec_col]) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    ids_all = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat_all = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    cmask = ids_all < n_centroids
+    cents = _unit(mat_all[cmask][np.argsort(ids_all[cmask])])
+    qmask = np.isin(ids_all, qarr)
+    if not qmask.any():
+        return _empty_pq_result()
+    qo = np.argsort(ids_all[qmask])
+    q_ids = ids_all[qmask][qo]
+    q_mat = mat_all[qmask][qo]
+    q_tab = _pq_micro_tab(q_mat, cb)
+    q_cos = np.round(_unit(q_mat) @ cents.T, 6)
+    probe = np.argsort(-q_cos, axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((q_ids, q_tab, probe, cents, cb))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qt, pr, cm, c = _cached_get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _matrix(batch, vec_col)
+        cell = np.argmax(np.round(_unit(x) @ cm.T, 6), axis=1)
+        codes = np.argmin(_pq_micro_tab(x, c), axis=2)
+        dist = np.zeros((len(x), len(qi)), dtype=np.int64)
+        for j in range(c.shape[0]):
+            dist += qt[:, j, :][:, codes[:, j]].T
+        out_q, out_n, out_s = [], [], []
+        for qj in range(len(qi)):
+            mask = np.isin(cell, pr[qj]) & (ids != qi[qj])
+            cand_ids, cand_s = ids[mask], dist[mask, qj]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, cand_s))[:k]
+                cand_ids, cand_s = cand_ids[order], cand_s[order]
+            out_q.append(np.full(len(cand_ids), qi[qj], dtype=np.int64))
+            out_n.append(cand_ids)
+            out_s.append(cand_s)
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q) if out_q else np.empty(0, np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n) if out_n else np.empty(0, np.int64)),
+            "dist_micro": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist_micro", "neighbor_id"],
+                            ascending=[True, True], kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+            "dist_micro": df["dist_micro"].to_numpy(),
+        })
+
+    return embeddings.map_batches(local_topk, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(merge, batch_format="pandas")

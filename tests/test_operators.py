@@ -1287,3 +1287,40 @@ def test_image_phash_neardup():
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ivfpq_knn_subset_of_pq_within_probed_cells():
+    """IVF-PQ == PQ ADC restricted to probed cells: for every query, the
+    result equals brute-force ADC over the candidate set the IVF probe
+    admits (cells prune, ADC ranks)."""
+    import numpy as np
+
+    from blurrily_ray.stages.simsearch import (
+        _pq_micro_tab, _unit, ivfpq_knn, pq_codebooks)
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    nc, npb, m, ncd, k, qids = 8, 3, 4, 8, 5, [0, 7, 31]
+
+    cb = pq_codebooks(ds, m, ncd)
+    x = vecs.astype(np.float64)
+    cents = _unit(x[:nc])
+    cell = np.argmax(np.round(_unit(x) @ cents.T, 6), axis=1)
+    tab = _pq_micro_tab(x, cb)
+    codes = np.argmin(tab, axis=2)
+    expect = {}
+    for q in qids:
+        pr = np.argsort(-np.round(_unit(x[q:q + 1]) @ cents.T, 6)[0],
+                        kind="stable")[:npb]
+        d = np.array([tab[q, j, codes[:, j]] for j in range(m)]).sum(0)
+        cand = [i for i in range(50) if cell[i] in pr and i != q]
+        order = sorted(cand, key=lambda i: (d[i], i))[:k]
+        for rank, n in enumerate(order, 1):
+            expect[(q, rank)] = (n, int(d[n]))
+
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["dist_micro"])
+           for r in ivfpq_knn(ds, qids, k=k, n_centroids=nc, n_probe=npb,
+                              m=m, n_codes=ncd).take_all()}
+    assert got == expect
