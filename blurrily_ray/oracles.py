@@ -1222,18 +1222,15 @@ SELECT user_id,
 FROM f3"""
 
 
-def sql_pq_knn(cb, n_queries: int = 10, k: int = 10) -> str:
-    """Product-quantization ADC kNN against EXPORTED codebooks embedded
-    as a SQL literal (simsearch.pq_knn; the sql_ivf_knn_kmeans pattern —
-    Lloyd training is pytest-pinned, assignment + ADC ranking is
-    oracle-checked). Sub-distances floor to micro INTEGERS before any
-    sum or argmin (float noise ~1e-15 vs 1e-6 granularity), so encoding,
-    distance totals and ranking are all exact-integer on both sides."""
+def _pq_ctes(cb) -> str:
+    """Shared PQ CTE fragment (codebook literal + per-(vec, subspace,
+    codeword) micro distances + encoding) used by sql_pq_knn and
+    sql_ivfpq_knn — ONE definition of the micro-distance contract."""
     m, n_codes, dsub = cb.shape
     rows = ",\n  ".join(
         f"({j}, {c}, {d}, {float(cb[j, c, d])!r})"
         for j in range(m) for c in range(n_codes) for d in range(dsub))
-    return f"""WITH cb(j, c, sd, v) AS (VALUES {rows}),
+    return f"""cb(j, c, sd, v) AS (VALUES {rows}),
 em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              unnest(generate_series(0, len(embedding) - 1)) AS d
       FROM embeddings),
@@ -1247,7 +1244,17 @@ enc AS (SELECT vec_id, j, c FROM (
         SELECT vec_id, j, c,
                row_number() OVER (PARTITION BY vec_id, j
                                   ORDER BY dm, c) AS rn FROM d2)
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+
+def sql_pq_knn(cb, n_queries: int = 10, k: int = 10) -> str:
+    """Product-quantization ADC kNN against EXPORTED codebooks embedded
+    as a SQL literal (simsearch.pq_knn; the sql_ivf_knn_kmeans pattern —
+    Lloyd training is pytest-pinned, assignment + ADC ranking is
+    oracle-checked). Sub-distances floor to micro INTEGERS before any
+    sum or argmin (float noise ~1e-15 vs 1e-6 granularity), so encoding,
+    distance totals and ranking are all exact-integer on both sides."""
+    return f"""WITH {_pq_ctes(cb)},
 dist AS (SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
                 CAST(SUM(qd.dm) AS BIGINT) AS dist_micro
          FROM enc e JOIN d2 qd ON qd.j = e.j AND qd.c = e.c
@@ -1281,10 +1288,6 @@ def sql_ivfpq_knn(cb, n_queries: int = 10, k: int = 10,
     centroid assignment + probing CTEs feed sql_pq_knn's integer ADC
     ranking — both halves keep their exact contracts, so the composed
     query hashes identically."""
-    m, n_codes, dsub = cb.shape
-    rows = ",\n  ".join(
-        f"({j}, {c}, {d}, {float(cb[j, c, d])!r})"
-        for j in range(m) for c in range(n_codes) for d in range(dsub))
     return f"""WITH cents AS (SELECT vec_id AS cid, embedding AS ce
            FROM embeddings WHERE vec_id < {n_centroids}),
 assign AS (SELECT vec_id, cid FROM (
@@ -1301,21 +1304,7 @@ probes AS (SELECT qid, cid FROM (
                ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6)
                         DESC, c.cid ASC) AS rn
     FROM q, cents c) WHERE rn <= {n_probe}),
-cb(j, c, sd, v) AS (VALUES {rows}),
-em AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-             unnest(generate_series(0, len(embedding) - 1)) AS d
-      FROM embeddings),
-sub AS (SELECT vec_id, d // {dsub} AS j, d % {dsub} AS sd, x FROM em),
-d2 AS (SELECT s.vec_id, s.j, cb.c,
-       CAST(FLOOR(SUM((s.x - cb.v) * (s.x - cb.v)) * 1000000.0)
-            AS BIGINT) AS dm
-       FROM sub s JOIN cb ON cb.j = s.j AND cb.sd = s.sd
-       GROUP BY s.vec_id, s.j, cb.c),
-enc AS (SELECT vec_id, j, c FROM (
-        SELECT vec_id, j, c,
-               row_number() OVER (PARTITION BY vec_id, j
-                                  ORDER BY dm, c) AS rn FROM d2)
-        WHERE rn = 1),
+{_pq_ctes(cb)},
 cand AS (SELECT p.qid, a.vec_id AS nid
          FROM probes p JOIN assign a ON a.cid = p.cid
          WHERE a.vec_id <> p.qid),

@@ -18,7 +18,7 @@ import ray.data
 
 TRANSCRIPT_SCHEMA = {
     "conv_id": pa.string(),
-    "turn_idx": pa.int64(),
+    "turn_idx": pa.int32(),  # parity with the parquet/jsonl paths
     "role": pa.string(),
     "text": pa.string(),
     "tool": pa.string(),
@@ -26,13 +26,28 @@ TRANSCRIPT_SCHEMA = {
 }
 
 
+REQUIRED_COLS = ("conv_id", "turn_idx", "text")  # the ER path's inputs
+
+
 def read_transcripts_csv(paths, *, columns: list[str] | None = None):
     """CSV → transcripts Dataset with the pipeline's exact dtypes.
-    Unknown columns are dropped; missing optional columns are allowed
-    (the ER path needs conv_id/turn_idx/text)."""
+    Unknown columns are dropped; a missing REQUIRED column (or any
+    explicitly requested one) fails loudly AT THE READ — the jsonl
+    source's discipline — instead of three stages later with an opaque
+    missing-column error."""
+    unknown = [c for c in (columns or []) if c not in TRANSCRIPT_SCHEMA]
+    if unknown:
+        raise ValueError(f"unknown transcript column(s) {unknown}; "
+                         f"schema has {list(TRANSCRIPT_SCHEMA)}")
     want = {c: TRANSCRIPT_SCHEMA[c] for c in (columns or TRANSCRIPT_SCHEMA)}
+    need = set(columns) if columns else set(REQUIRED_COLS)
 
     def coerce(batch: pa.Table) -> pa.Table:
+        missing = need - set(batch.column_names)
+        if missing:
+            raise ValueError(
+                f"CSV transcripts missing required column(s) "
+                f"{sorted(missing)}; got {batch.column_names}")
         cols = {}
         for name, typ in want.items():
             if name not in batch.column_names:
@@ -48,8 +63,11 @@ def read_transcripts_csv(paths, *, columns: list[str] | None = None):
 
 
 def write_csv(ds, out_dir: str) -> str:
-    """Partitioned CSV sink: one file per block under ``out_dir`` (the
-    resumable-output discipline — never one giant file)."""
+    """Partitioned CSV sink: one file per block under ``out_dir`` —
+    never one giant file. NOT idempotent across re-runs (Ray names CSV
+    files per run): re-export into a FRESH directory, or use the
+    content-addressed ``sources.orc.write_orc`` / parquet checkpoints
+    when resume matters."""
     os.makedirs(out_dir, exist_ok=True)
     ds.write_csv(out_dir)
     return out_dir

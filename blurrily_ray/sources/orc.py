@@ -3,21 +3,28 @@ column-projected decode).
 
 Read: one task per file — ``read_binary_files`` distributes the I/O and
 each task decodes with ``pyarrow.orc`` (column projection pushed down,
-so a 2-column read never materializes the rest). At 100 TB the stripe is
-the natural split unit; per-file tasks are the honest granularity this
-wrapper offers — write many files (the sink below does) rather than one
-giant ORC.
+so a 2-column read never materializes the rest). Only ``*.orc`` files
+are read, so stale temp files from a crashed writer are ignored. At
+100 TB the stripe is the natural split unit; per-file tasks are the
+honest granularity this wrapper offers — write many files (the sink
+below does) rather than one giant ORC.
 
-Write: one ORC file per block, named by the CONTENT HASH of the block —
-deterministic and idempotent, so a resumed run overwrites identical
-files instead of duplicating rows (the resumable-output discipline).
-Returns the manifest Dataset (path, rows) the caller can count/verify.
+Write: one ORC file per block, CONTENT-ADDRESSED (named by the block's
+byte hash). Re-runs are idempotent — same bytes, same name, skip — and
+byte-identical duplicate BLOCKS dedupe to one stored object, visibly:
+the manifest records one (path, rows) row per block, so a path
+repeated in the manifest IS the dedup signal (callers that must
+preserve duplicate blocks check it). Each write lands via a UNIQUE
+temp file + atomic rename (no shared-temp race); the ``-n`` suffix
+branch exists only for the hash-collision case (same name, different
+size).
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 
 import pyarrow as pa
 import ray.data
@@ -36,14 +43,45 @@ def read_orc(paths, *, columns: list[str] | None = None):
             return pa.table({})
         return pa.concat_tables(tables)
 
-    return ray.data.read_binary_files(paths) \
+    return ray.data.read_binary_files(paths, file_extensions=["orc"]) \
         .map_batches(decode, batch_format="pyarrow", batch_size=None)
 
 
+def _place(out_dir: str, stem: str, buf: bytes) -> str:
+    """Land ``buf`` at ``out_dir/<stem>[-n].orc`` atomically: unique temp
+    file + rename, O_EXCL claim of the final name. An existing
+    same-size file under the stem already holds these bytes (content
+    address) → skip idempotently; a different size (hash collision)
+    falls through to a suffixed name."""
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(buf)
+        n = 0
+        while True:
+            name = f"{stem}.orc" if n == 0 else f"{stem}-{n}.orc"
+            path = os.path.join(out_dir, name)
+            try:
+                dst = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if os.path.getsize(path) == len(buf):
+                    os.unlink(tmp)
+                    return path  # identical content already landed
+                n += 1
+                continue
+            os.close(dst)
+            os.replace(tmp, path)
+            return path
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 def write_orc(ds, out_dir: str):
-    """Dataset → ``out_dir/part-<contenthash>.orc`` per block; returns
-    the (path, rows) manifest Dataset (consume it — e.g. ``.count()`` —
-    to drive the lazy write)."""
+    """Dataset → ``out_dir/part-<contenthash>[-n].orc`` per block;
+    returns the (path, rows) manifest Dataset (consume it — e.g.
+    ``.count()`` — to drive the lazy write)."""
     import pyarrow.orc as po
 
     os.makedirs(out_dir, exist_ok=True)
@@ -55,12 +93,7 @@ def write_orc(ds, out_dir: str):
         sink = pa.BufferOutputStream()
         po.write_table(batch, sink)
         buf = sink.getvalue().to_pybytes()
-        name = f"part-{hashlib.md5(buf).hexdigest()}.orc"
-        path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(buf)
-        os.replace(tmp, path)  # atomic, idempotent on content collision
+        path = _place(out_dir, f"part-{hashlib.md5(buf).hexdigest()}", buf)
         return pa.table({"path": pa.array([path], pa.string()),
                          "rows": pa.array([len(batch)], pa.int64())})
 

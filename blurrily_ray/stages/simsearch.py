@@ -608,6 +608,32 @@ def _pq_micro_tab(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return out
 
 
+def _adc_dists(q_tab: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Integer ADC: dist[i, q] = Σ_j q_tab[q, j, codes[i, j]] — the one
+    accumulation both PQ rankers share."""
+    dist = np.zeros((len(codes), len(q_tab)), dtype=np.int64)
+    for j in range(codes.shape[1]):
+        dist += q_tab[:, j, :][:, codes[:, j]].T
+    return dist
+
+
+def _pq_merge_fn(k: int):
+    """Driver/groupby merge shared by pq_knn and ivfpq_knn: dist ASC,
+    neighbor id ASC, rank 1..k."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["dist_micro", "neighbor_id"],
+                            ascending=[True, True], kind="stable").head(k)
+        return pd.DataFrame({
+            "query_id": df["query_id"].to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            "neighbor_id": df["neighbor_id"].to_numpy(),
+            "dist_micro": df["dist_micro"].to_numpy(),
+        })
+
+    return merge
+
+
 def _empty_pq_result():
     """Typed empty (query_id, rank, neighbor_id, dist_micro) Dataset."""
     from ray.data import from_arrow
@@ -661,10 +687,7 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _matrix(batch, vec_col)
         codes = np.argmin(_pq_micro_tab(x, c), axis=2)  # (n, m)
-        # ADC: dist[i, q] = Σ_j qt[q, j, codes[i, j]]
-        dist = np.zeros((len(x), len(qi)), dtype=np.int64)
-        for j in range(c.shape[0]):
-            dist += qt[:, j, :][:, codes[:, j]].T
+        dist = _adc_dists(qt, codes)
         out_q, out_n, out_s = [], [], []
         for qj in range(len(qi)):
             s = dist[:, qj]
@@ -682,18 +705,9 @@ def pq_knn(embeddings, query_ids, k: int = 10, *, m: int = 8,
             "dist_micro": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
         })
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["dist_micro", "neighbor_id"],
-                            ascending=[True, True], kind="stable").head(k)
-        return pd.DataFrame({
-            "query_id": df["query_id"].to_numpy(),
-            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
-            "neighbor_id": df["neighbor_id"].to_numpy(),
-            "dist_micro": df["dist_micro"].to_numpy(),
-        })
-
     return embeddings.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(merge, batch_format="pandas")
+        .groupby("query_id").map_groups(_pq_merge_fn(k),
+                                        batch_format="pandas")
 
 
 def ivfpq_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
@@ -746,10 +760,13 @@ def ivfpq_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = _matrix(batch, vec_col)
         cell = np.argmax(np.round(_unit(x) @ cm.T, 6), axis=1)
+        # prune to the UNION of all queries' probed cells BEFORE encoding
+        # — the point of IVF: ADC work scales with probed members, not
+        # the batch (n_probe/n_centroids of it at uniform cells)
+        probed = np.isin(cell, np.unique(pr))
+        ids, x, cell = ids[probed], x[probed], cell[probed]
         codes = np.argmin(_pq_micro_tab(x, c), axis=2)
-        dist = np.zeros((len(x), len(qi)), dtype=np.int64)
-        for j in range(c.shape[0]):
-            dist += qt[:, j, :][:, codes[:, j]].T
+        dist = _adc_dists(qt, codes)
         out_q, out_n, out_s = [], [], []
         for qj in range(len(qi)):
             mask = np.isin(cell, pr[qj]) & (ids != qi[qj])
@@ -766,15 +783,6 @@ def ivfpq_knn(embeddings, query_ids, k: int = 10, *, n_centroids: int = 16,
             "dist_micro": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.int64)),
         })
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["dist_micro", "neighbor_id"],
-                            ascending=[True, True], kind="stable").head(k)
-        return pd.DataFrame({
-            "query_id": df["query_id"].to_numpy(),
-            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
-            "neighbor_id": df["neighbor_id"].to_numpy(),
-            "dist_micro": df["dist_micro"].to_numpy(),
-        })
-
     return embeddings.map_batches(local_topk, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(merge, batch_format="pandas")
+        .groupby("query_id").map_groups(_pq_merge_fn(k),
+                                        batch_format="pandas")

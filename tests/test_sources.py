@@ -131,7 +131,7 @@ def test_csv_roundtrip_transcripts(tmp_path):
     out = write_csv(ray.data.from_items(rows), str(tmp_path / "csv"))
     back = read_transcripts_csv(out)
     sch = dict(zip(back.schema().names, back.schema().types))
-    assert sch == {"conv_id": pa.string(), "turn_idx": pa.int64(),
+    assert sch == {"conv_id": pa.string(), "turn_idx": pa.int32(),
                    "role": pa.string(), "text": pa.string()}
     key = lambda r: (r["conv_id"], r["turn_idx"])
     assert sorted(map(dict, back.take_all()), key=key) == \
@@ -139,6 +139,13 @@ def test_csv_roundtrip_transcripts(tmp_path):
     # projection keeps only the ER-needed columns
     slim = read_transcripts_csv(out, columns=["conv_id", "turn_idx", "text"])
     assert set(slim.schema().names) == {"conv_id", "turn_idx", "text"}
+    # unknown requested columns fail at the call; a schema column the
+    # FILE lacks fails loudly at the read
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown transcript column"):
+        read_transcripts_csv(out, columns=["conv_id", "nope"])
+    with _pt.raises(Exception, match="missing required column"):
+        read_transcripts_csv(out, columns=["conv_id", "ts"]).count()
 
 
 def test_orc_roundtrip_documents(tmp_path):
