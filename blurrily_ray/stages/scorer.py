@@ -507,8 +507,11 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
         ("ntri_a", pa.int64()), ("ntri_b", pa.int64()),
         ("weight_a", pa.int64()), ("weight_b", pa.int64())])
     empty = out_schema.empty_table()
+    prof = bool(os.environ.get("BLURRILY_PROF"))
 
     def run(t: pa.Table) -> pa.Table:
+        tp = time.perf_counter
+        t0 = tp()
         parsed = []
         b_dicts = []
         for r in iter_blobs(t):
@@ -531,17 +534,24 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
             b_dicts.append(b_dict)
         if not parsed:
             return empty
+        t1 = tp()
         # bitsets once per DISTINCT b across the whole partition
         gb_dict, remaps = unify_dicts(b_dicts)
+        t2 = tp()
         b_str = np.asarray(gb_dict).astype(str)
         flat_b, offs_b, ntri_b_u, wt_b_u = _gather_shard_runs(
             shard_dir, n_shards, b_str)
+        t3 = tp()
         bits_b = _scatter_bits(flat_b, np.diff(offs_b))
+        t4 = tp()
+        ph = {"scatter_a": 0.0, "pop": 0.0, "thresh": 0.0, "strs": 0.0}
 
         outs = []
         for bi, (a_dict, b_dict, toffs, tris, ntri_a, wt_a,
                  code_a, code_b) in enumerate(parsed):
+            u0 = tp()
             bits_a = _scatter_bits(tris, np.diff(toffs.astype(np.int64)))
+            ph["scatter_a"] += tp() - u0
             gcb = remaps[bi][code_b]
             ntri_a64 = ntri_a.astype(np.int64)
             # pairs arrive (a, b)-sorted from the producer's np.unique —
@@ -550,17 +560,22 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
             # the former 16k-row ~45 MB/side DRAM streams. Sorted-input
             # sweep: 512-2048 plateau at 1.5-1.7x over 16384; 65536 is
             # 0.8x (micro_score_chunk2, 2 M pairs x 6 k distinct)
+            u0 = tp()
             m = np.empty(len(code_a), np.int64)
             for s in range(0, len(code_a), _SCORE_CHUNK):
                 e = min(s + _SCORE_CHUNK, len(code_a))
                 m[s:e] = _popcount_and(bits_a[code_a[s:e]],
                                        bits_b[gcb[s:e]])
+            ph["pop"] += tp() - u0
+            u0 = tp()
             na = ntri_a64[code_a]
             nb_c = ntri_b_u[gcb]
             lo = np.minimum(na, nb_c)
             keep = (m >= cfg.min_matches) & (m * den >= num * lo)
+            ph["thresh"] += tp() - u0
             if not keep.any():
                 continue
+            u0 = tp()
             ka, kb = code_a[keep], gcb[keep]
             outs.append(pa.table({
                 "a": _take_str(a_dict, ka),
@@ -571,6 +586,15 @@ def _score_blobs_fn(shard_dir: str, n_shards: int, cfg: ERConfig):
                 "weight_a": pa.array(wt_a.astype(np.int64)[ka]),
                 "weight_b": pa.array(wt_b_u[kb]),
             }, schema=out_schema))
+            ph["strs"] += tp() - u0
+        if prof:
+            import sys
+
+            print(f"PROF-SCORE parse={t1 - t0:.3f} unify={t2 - t1:.3f} "
+                  f"gather_b={t3 - t2:.3f} scatter_b={t4 - t3:.3f} "
+                  f"scatter_a={ph['scatter_a']:.3f} pop={ph['pop']:.3f} "
+                  f"thresh={ph['thresh']:.3f} strs={ph['strs']:.3f} "
+                  f"total={tp() - t0:.3f}", file=sys.stderr)
         return pa.concat_tables(outs) if outs else empty
 
     return run
