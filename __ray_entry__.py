@@ -780,104 +780,171 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _cached_export(name: str, sf: float, compute):
+    """Disk-cache a deterministic oracle export (PQ codebooks / k-means
+    centroids are bit-identical across reruns — simsearch.py docstrings).
+
+    Lookup order: the committed repo cache (blurrily_ray/data/oracle_cache,
+    populated for the oracle sfs so the driver's ``oracle_sql()`` call runs
+    ZERO Ray work), then /tmp (warm from a prior call this boot), else
+    ``compute()`` (a Ray job) and persist to /tmp. Without this,
+    ``oracle_sql()`` re-trained both models on every call — the likely
+    cause of the empty CORRECTNESS_r04.json artifact (VERDICT r4 #1)."""
+    import os
+
+    import numpy as np
+
+    fname = f"{name}_sf{sf:g}.npy"
+    repo_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "blurrily_ray", "data", "oracle_cache", fname)
+    tmp_dir = "/tmp/blurrily_oracle_cache"
+    tmp_path = os.path.join(tmp_dir, fname)
+    for path in (repo_path, tmp_path):
+        if os.path.exists(path):
+            return np.load(path)
+    arr = compute()
+    if arr is not None:
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = f"{tmp_path}.{os.getpid()}.inprogress"
+        np.save(tmp, arr)
+        os.replace(tmp, tmp_path)
+    return arr
+
+
 def _oracle_pq_codebooks(sf: float):
     """The engine's PQ codebooks for the oracle-sf embeddings table —
     deterministic re-train, exported as a SQL literal (sql_pq_knn)."""
-    import ray.data
+    def compute():
+        import ray.data
 
-    from blurrily_ray.stages.simsearch import pq_codebooks
+        from blurrily_ray.stages.simsearch import pq_codebooks
 
-    emb = ray.data.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
-    return pq_codebooks(emb)
+        emb = ray.data.read_parquet(
+            f"/root/testdata/sf{sf:g}/embeddings.parquet")
+        return pq_codebooks(emb)
+
+    return _cached_export("pq_codebooks", sf, compute)
 
 
 def _oracle_kmeans_centroids(sf: float):
     """The engine's distributed k-means centroids for the oracle-sf
     embeddings table, exported so sql_ivf_knn_kmeans can embed them as a
     literal (the run is deterministic per session — pytest-pinned)."""
-    import ray.data
+    def compute():
+        import ray.data
 
-    from blurrily_ray.stages.simsearch import kmeans_centroids
+        from blurrily_ray.stages.simsearch import kmeans_centroids
 
-    emb = ray.data.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
-    return kmeans_centroids(emb, 16)
+        emb = ray.data.read_parquet(
+            f"/root/testdata/sf{sf:g}/embeddings.parquet")
+        return kmeans_centroids(emb, 16)
+
+    return _cached_export("kmeans_centroids", sf, compute)
 
 
 def oracle_sql() -> dict[str, str]:
+    """Per-key failure isolation: every entry is built in its own
+    try/except, so one bad export / synth table / SQL builder degrades
+    exactly that query to the driver's rows-only check instead of
+    blanking the whole artifact (the r4 failure mode)."""
+    import sys
+
+    from blurrily_ray import oracles  # noqa: F401  (used by _oracle_entries)
+
+    sf, entries = _oracle_entries()
+    out: dict[str, str] = {}
+    for key, thunk in entries.items():
+        try:
+            out[key] = thunk()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            print(f"oracle_sql: {key} failed ({exc!r}) — omitted",
+                  file=sys.stderr)
+    return out
+
+
+def _oracle_entries():
+    """(sf, {query_key: thunk returning its SQL string}). Thunks defer
+    every side effect (synth-table ensure, cached-export load) so
+    ``oracle_sql()`` can isolate failures per key."""
+    import os
+
     from blurrily_ray import oracles
     from blurrily_ray.sources.synth import ensure_tickets, ensure_transcripts
 
     # the driver runs oracles at sf0.01 (the env override lets
-    # scripts/check_oracles.py verify other scales) — make sure the
-    # synthetic transcripts parquet exists before DuckDB reads it
-    import os
-
+    # scripts/check_oracles.py verify other scales); synth parquets are
+    # /tmp-cached and only the keys that read them pay the ensure
     sf = float(os.environ.get("GRAFT_ORACLE_SF", "0.01"))
-    tpath = ensure_transcripts(sf)["transcripts"]
-    return {
-        "normalize_docs": oracles.sql_normalize_docs(),
-        "postings_docs": oracles.sql_postings_docs(),
-        "stats_docs": oracles.sql_stats_docs(),
-        "find_docs": oracles.sql_find_docs(FIND_NEEDLE, 10),
-        "find_many_docs": oracles.sql_find_many_docs(FIND_NEEDLES, 10),
-        "pairs_docs": oracles.sql_candidate_pairs_docs(),
-        "pairs_docs_triple": oracles.sql_candidate_pairs_docs(
+
+    def tpath() -> str:
+        return ensure_transcripts(sf)["transcripts"]
+
+    return sf, {
+        "normalize_docs": lambda: oracles.sql_normalize_docs(),
+        "postings_docs": lambda: oracles.sql_postings_docs(),
+        "stats_docs": lambda: oracles.sql_stats_docs(),
+        "find_docs": lambda: oracles.sql_find_docs(FIND_NEEDLE, 10),
+        "find_many_docs": lambda: oracles.sql_find_many_docs(FIND_NEEDLES, 10),
+        "pairs_docs": lambda: oracles.sql_candidate_pairs_docs(),
+        "pairs_docs_triple": lambda: oracles.sql_candidate_pairs_docs(
             oracles.TRIPLE_MODE),
-        "er_clusters": oracles.sql_er_clusters(tpath),
-        "er_clusters_sharded": oracles.sql_er_clusters(tpath),
-        "dedup_exact_docs": oracles.sql_exact_dedup_docs(),
-        "dedup_paragraphs_docs": oracles.sql_dedup_paragraphs(),
-        "repetition_docs": oracles.sql_repetition_stats(),
-        "length_quantiles_docs": oracles.sql_group_quantiles(),
-        "token_count_docs": oracles.sql_token_count_docs(),
-        "token_count_bpe_docs": oracles.sql_token_count_bpe_docs(),
-        "quality_docs": oracles.sql_quality_docs(),
-        "langid_docs": oracles.sql_langid_docs(),
-        "fingerprint_docs": oracles.sql_fingerprint_docs(),
-        "minhash_pairs_docs": oracles.sql_minhash_pairs_docs(),
-        "jaccard_ngram_pairs_docs": oracles.sql_jaccard_ngram_pairs(),
-        "simhash_docs": oracles.sql_simhash_docs(),
-        "simhash_pairs_docs": oracles.sql_simhash_pairs(),
-        "decontaminate_docs": oracles.sql_decontaminate(),
-        "knn_embeddings": oracles.sql_knn_embeddings(10, 10),
-        "ivf_knn_embeddings": oracles.sql_ivf_knn(10, 10),
-        "ivf_knn_kmeans_embeddings": oracles.sql_ivf_knn_kmeans(
+        "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
+        "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
+        "dedup_exact_docs": lambda: oracles.sql_exact_dedup_docs(),
+        "dedup_paragraphs_docs": lambda: oracles.sql_dedup_paragraphs(),
+        "repetition_docs": lambda: oracles.sql_repetition_stats(),
+        "length_quantiles_docs": lambda: oracles.sql_group_quantiles(),
+        "token_count_docs": lambda: oracles.sql_token_count_docs(),
+        "token_count_bpe_docs": lambda: oracles.sql_token_count_bpe_docs(),
+        "quality_docs": lambda: oracles.sql_quality_docs(),
+        "langid_docs": lambda: oracles.sql_langid_docs(),
+        "fingerprint_docs": lambda: oracles.sql_fingerprint_docs(),
+        "minhash_pairs_docs": lambda: oracles.sql_minhash_pairs_docs(),
+        "jaccard_ngram_pairs_docs": lambda: oracles.sql_jaccard_ngram_pairs(),
+        "simhash_docs": lambda: oracles.sql_simhash_docs(),
+        "simhash_pairs_docs": lambda: oracles.sql_simhash_pairs(),
+        "decontaminate_docs": lambda: oracles.sql_decontaminate(),
+        "knn_embeddings": lambda: oracles.sql_knn_embeddings(10, 10),
+        "ivf_knn_embeddings": lambda: oracles.sql_ivf_knn(10, 10),
+        "ivf_knn_kmeans_embeddings": lambda: oracles.sql_ivf_knn_kmeans(
             _oracle_kmeans_centroids(sf), 10, 10),
-        "embed_neardup": oracles.sql_embed_neardup(0.4),
-        "embed_neardup_lsh": oracles.sql_embed_neardup_lsh(0.4, n_planes=4, n_tables=2),
-        "sessionize_events": oracles.sql_sessionize_events(30),
-        "window_agg_events": oracles.sql_window_agg_events(60),
-        "hopping_window_events": oracles.sql_hopping_window_events(60, 15),
-        "asof_purchase_click": oracles.sql_asof_purchase_click(),
-        "range_join_events": oracles.sql_range_join_events(300),
-        "video_frames": oracles.sql_video_frames(2),
-        "curate_corpus_docs": oracles.sql_curate_corpus(),
-        "top_events_per_user": oracles.sql_top_events_per_user(3),
-        "vocab_top100_docs": oracles.sql_vocab_top_k(100),
-        "sample_docs_10pct": oracles.sql_sample_docs(0, 10),
-        "image_features": oracles.sql_image_features(),
+        "embed_neardup": lambda: oracles.sql_embed_neardup(0.4),
+        "embed_neardup_lsh": lambda: oracles.sql_embed_neardup_lsh(
+            0.4, n_planes=4, n_tables=2),
+        "sessionize_events": lambda: oracles.sql_sessionize_events(30),
+        "window_agg_events": lambda: oracles.sql_window_agg_events(60),
+        "hopping_window_events": lambda: oracles.sql_hopping_window_events(60, 15),
+        "asof_purchase_click": lambda: oracles.sql_asof_purchase_click(),
+        "range_join_events": lambda: oracles.sql_range_join_events(300),
+        "video_frames": lambda: oracles.sql_video_frames(2),
+        "curate_corpus_docs": lambda: oracles.sql_curate_corpus(),
+        "top_events_per_user": lambda: oracles.sql_top_events_per_user(3),
+        "vocab_top100_docs": lambda: oracles.sql_vocab_top_k(100),
+        "sample_docs_10pct": lambda: oracles.sql_sample_docs(0, 10),
+        "image_features": lambda: oracles.sql_image_features(),
         # image_features: multimodal stub — rows-only check by design
-        "audio_features": oracles.sql_audio_duration(),
-        "pricing_summary": oracles.sql_pricing_summary(),
-        "revenue_by_nation": oracles.sql_revenue_by_nation(),
-        "redact_tickets": oracles.sql_redact_tickets(ensure_tickets(sf)),
-        "keep_best_turns": oracles.sql_dedup_keep_best(tpath),
-        "unigram_rank_docs": oracles.sql_unigram_rank(20),
-        "hll_registers_docs": oracles.sql_hll_registers(),
-        "curate_full_docs": oracles.sql_curate_full(),
-        "fuzzy_join_turns": oracles.sql_fuzzy_join(tpath),
-        "near_dedup_canonical_docs": oracles.sql_near_dedup_canonical(),
-        "stratified_sample_docs": oracles.sql_stratified_sample(
+        "audio_features": lambda: oracles.sql_audio_duration(),
+        "pricing_summary": lambda: oracles.sql_pricing_summary(),
+        "revenue_by_nation": lambda: oracles.sql_revenue_by_nation(),
+        "redact_tickets": lambda: oracles.sql_redact_tickets(ensure_tickets(sf)),
+        "keep_best_turns": lambda: oracles.sql_dedup_keep_best(tpath()),
+        "unigram_rank_docs": lambda: oracles.sql_unigram_rank(20),
+        "hll_registers_docs": lambda: oracles.sql_hll_registers(),
+        "curate_full_docs": lambda: oracles.sql_curate_full(),
+        "fuzzy_join_turns": lambda: oracles.sql_fuzzy_join(tpath()),
+        "near_dedup_canonical_docs": lambda: oracles.sql_near_dedup_canonical(),
+        "stratified_sample_docs": lambda: oracles.sql_stratified_sample(
             STRATA_RATES, STRATA_DEFAULT),
-        "bm25_topk_docs": oracles.sql_bm25_topk(BM25_QUERIES, 10),
-        "sq_knn_embeddings": oracles.sql_sq_knn(10, 10),
-        "dup_ngram_docs": oracles.sql_dup_ngram_stats(10),
-        "cms_registers_docs": oracles.sql_cms_registers(4, 256),
-        "value_quantiles_events": oracles.sql_value_quantiles_events(),
-        "collocations_docs": oracles.sql_collocations(50),
-        "funnel_events": oracles.sql_funnel_events(),
-        "pq_knn_embeddings": oracles.sql_pq_knn(_oracle_pq_codebooks(sf), 10, 10),
-        "cluster_size_hist": oracles.sql_cluster_size_hist(tpath),
-        "ivfpq_knn_embeddings": oracles.sql_ivfpq_knn(
+        "bm25_topk_docs": lambda: oracles.sql_bm25_topk(BM25_QUERIES, 10),
+        "sq_knn_embeddings": lambda: oracles.sql_sq_knn(10, 10),
+        "dup_ngram_docs": lambda: oracles.sql_dup_ngram_stats(10),
+        "cms_registers_docs": lambda: oracles.sql_cms_registers(4, 256),
+        "value_quantiles_events": lambda: oracles.sql_value_quantiles_events(),
+        "collocations_docs": lambda: oracles.sql_collocations(50),
+        "funnel_events": lambda: oracles.sql_funnel_events(),
+        "pq_knn_embeddings": lambda: oracles.sql_pq_knn(
+            _oracle_pq_codebooks(sf), 10, 10),
+        "cluster_size_hist": lambda: oracles.sql_cluster_size_hist(tpath()),
+        "ivfpq_knn_embeddings": lambda: oracles.sql_ivfpq_knn(
             _oracle_pq_codebooks(sf), 10, 10),
     }
