@@ -37,7 +37,13 @@ SIMHASH_BITS = 60  # 15 md5 hex chars → fits a signed int64
 
 def exact_dedup(docs, *, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the smallest id per identical text. Hash-partition by content
-    digest (never by raw text — uniform keys, bounded groups)."""
+    digest (never by raw text — uniform keys, bounded groups).
+
+    Min-per-group runs inside :func:`partitioned_map` like every sibling
+    dedup operator — NOT Ray's native ``groupby().aggregate(Min)``, which
+    this repo measured hanging >6 min at 7.5M rows (NOTES_r2, cluster.py's
+    ban note); exact dedup is the most-run operator of any training-data
+    pipeline, so it gets the shape that survives corpus-sized inputs."""
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -46,10 +52,13 @@ def exact_dedup(docs, *, id_col: str = "doc_id", text_col: str = "text"):
                 lambda s: hashlib.md5(s.encode()).hexdigest()),
         })
 
-    from ray.data.aggregate import Min
+    from blurrily_ray.stages.common import partitioned_map
 
-    return docs.map_batches(digest, batch_format="pandas") \
-        .groupby("_h").aggregate(Min(id_col, alias_name=id_col)) \
+    def min_per_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("_h", sort=False, as_index=False)[id_col].min()
+
+    return partitioned_map(docs.map_batches(digest, batch_format="pandas"),
+                           ["_h"], min_per_group) \
         .select_columns([id_col])
 
 

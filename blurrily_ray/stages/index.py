@@ -100,11 +100,23 @@ def find(postings, needle: str, limit: int = LIMIT_DEFAULT, *,
         return batch.filter(pa.array(mask[tri]))
 
     if merge == "shuffle":
-        from ray.data.aggregate import Count, Min
+        # count + min-weight per ref inside hash partitions (the
+        # partitioned_map shape every sibling uses) — NOT the native
+        # groupby().aggregate(Count, Min), which hangs on corpus-sized
+        # key sets (NOTES_r2; this branch exists precisely for needles
+        # whose hit set is corpus-sized). The post-aggregate sort ranks
+        # one row per distinct hit ref.
+        from blurrily_ray.stages.common import partitioned_map
 
         hits = postings.map_batches(gather, batch_format="pyarrow")
-        agg = hits.groupby("ref").aggregate(
-            Count(alias_name="matches"), Min("weight", alias_name="weight"))
+
+        def agg_part(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("ref", sort=False)["weight"] \
+                .agg(matches="size", weight="min").reset_index()
+            g["matches"] = g["matches"].astype(np.int64)
+            return g
+
+        agg = partitioned_map(hits, ["ref"], agg_part)
         return agg.sort(["matches", "weight", "ref"],
                         descending=[True, False, False]).limit(limit)
 
