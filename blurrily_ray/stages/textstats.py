@@ -412,44 +412,39 @@ def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
     from blurrily_ray.stages.common import partitioned_map
     from blurrily_ray.stages.pairs import _cached_get
 
-    # pack (w1, w2) as one string key for the shuffle; 0x1f CAN occur
-    # inside a \S+ token, so every ORDERING decision splits back to the
-    # (w1, w2) tuple — the packed key is only ever used for equality
-    sep = "\x1f"
+    # the shuffle key is the (w1, w2) COLUMN PAIR — never a packed string:
+    # any single-string packing (e.g. w1 + '\x1f' + w2) is non-injective
+    # when the separator can occur inside a \S+ token, silently merging
+    # distinct bigrams' counts
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(df[text_col].str.lower())
         flat, counts = _token_arrays(toks)
         if not len(flat):
-            return pd.DataFrame({"pair": pd.Series(dtype=object),
+            return pd.DataFrame({"w1": pd.Series(dtype=object),
+                                 "w2": pd.Series(dtype=object),
                                  "n": pd.Series(dtype=np.int64)})
         ends = np.cumsum(counts)
         last = np.zeros(len(flat), dtype=bool)
         last[ends[counts > 0] - 1] = True  # no bigram across doc bounds
-        w1 = flat[~last]
-        w2 = np.roll(flat, -1)[~last]
-        s = pd.Series([a + sep + b for a, b in zip(w1, w2)], dtype=object)
-        vc = s.value_counts()
-        return pd.DataFrame({"pair": vc.index.to_numpy(),
-                             "n": vc.to_numpy().astype(np.int64)})
+        g = pd.DataFrame({"w1": flat[~last], "w2": np.roll(flat, -1)[~last]}) \
+            .groupby(["w1", "w2"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("pair", sort=False)["n"].sum().reset_index()
-        # k-boundary tie-break MUST use the same (w1, w2) tuple order as
-        # the final sort and the SQL ORDER BY — the packed-string order
-        # can disagree when a token contains a control char below 0x1f
-        ws = g["pair"].str.split(sep, n=1, expand=True)
-        g = g.assign(_w1=ws[0], _w2=ws[1]) \
-            .sort_values(["n", "_w1", "_w2"],
-                         ascending=[False, True, True],
-                         kind="stable").head(k)[["pair", "n"]]
+        g = df.groupby(["w1", "w2"], sort=False, as_index=False)["n"].sum()
+        g = g.sort_values(["n", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
         g["n"] = g["n"].astype(np.int64)
         return g
 
     partials = docs.map_batches(partial, batch_format="pandas")
-    cand = partitioned_map(partials, ["pair"], merge_topk,
+    cand = partitioned_map(partials, ["w1", "w2"], merge_topk,
                            n_parts=n_parts).to_pandas()
-    if "pair" not in cand.columns or not len(cand):
+    if "w1" not in cand.columns or not len(cand):
         return ray.data.from_arrow(pa.table({
             "rank": pa.array([], type=pa.int64()),
             "w1": pa.array([], type=pa.string()),
@@ -457,8 +452,7 @@ def collocations_top_k(docs, *, text_col: str = "text", k: int = 50,
             "n_pair": pa.array([], type=pa.int64()),
             "n_w1": pa.array([], type=pa.int64()),
             "n_w2": pa.array([], type=pa.int64())}))
-    split = cand["pair"].str.split(sep, n=1, expand=True)
-    cand = pd.DataFrame({"w1": split[0], "w2": split[1],
+    cand = pd.DataFrame({"w1": cand["w1"], "w2": cand["w2"],
                          "n_pair": cand["n"].to_numpy()})
     cand = cand.sort_values(["n_pair", "w1", "w2"],
                             ascending=[False, True, True],
