@@ -704,6 +704,80 @@ def _q_cluster_size_hist(sf_dir: str):
     return _i64(hist)
 
 
+def _connector_export_dir(name: str, sf_dir: str, write) -> str:
+    """Export a table once per (name, sf_dir) into a /tmp-cached directory:
+    ``write(tmp_dir)`` runs against a unique temp dir which is then
+    atomically renamed into place — queries() entries run many times per
+    driver session and the CSV sink is not idempotent across re-runs, so
+    the export must happen exactly once and losers of the rename race
+    discard their copy."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    root = "/tmp/blurrily_connector_cache"
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    final = os.path.join(root, f"{name}-{key}")
+    if os.path.isdir(final):
+        return final
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=f"{name}-{key}.")
+    try:
+        write(tmp)
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another process won
+    return final
+
+
+def _q_csv_roundtrip(sf_dir: str):
+    """Connector round-trip: transcripts → partitioned CSV export →
+    ``read_transcripts_csv`` (the schema contract re-coerces Arrow CSV's
+    inferred dtypes) → canonical projection. The oracle reads the same
+    projection straight off the source parquet — the round-trip must be
+    value-lossless."""
+    import ray.data
+
+    from blurrily_ray.sources.csv import read_transcripts_csv, write_csv
+
+    tpath = _transcripts_path(sf_dir)
+
+    def write(d: str) -> None:
+        write_csv(ray.data.read_parquet(
+            tpath, columns=["conv_id", "turn_idx", "text"]), d)
+
+    d = _connector_export_dir("csv_turns", sf_dir, write)
+    return _i64(read_transcripts_csv(
+        d, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _q_orc_roundtrip(sf_dir: str):
+    """Connector round-trip: documents → content-addressed ORC sink →
+    ``read_orc`` (per-file pyarrow.orc decode, projection pushed down).
+    The oracle is the same projection off the source parquet."""
+    import glob
+
+    import ray.data
+
+    from blurrily_ray.sources.orc import read_orc, write_orc
+
+    cols = ["doc_id", "text", "lang", "source"]
+
+    def write(d: str) -> None:
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=cols)
+        write_orc(docs, d).materialize()  # consume to drive the lazy write
+
+    d = _connector_export_dir("orc_docs", sf_dir, write)
+    if not glob.glob(f"{d}/*.orc"):  # zero-row source → no files landed
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string()),
+                         "lang": pa.array([], pa.string()),
+                         "source": pa.array([], pa.string())})
+    return _i64(read_orc(d, columns=cols))
+
+
 def _q_ivfpq_knn(sf_dir: str):
     """IVF-PQ (IVFADC): cosine cell probing + integer ADC ranking —
     both halves keep their oracle-exact contracts."""
@@ -777,6 +851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn_embeddings": _q_pq_knn,
         "cluster_size_hist": _q_cluster_size_hist,
         "ivfpq_knn_embeddings": _q_ivfpq_knn,
+        "csv_roundtrip_turns": _q_csv_roundtrip,
+        "orc_roundtrip_docs": _q_orc_roundtrip,
     }
 
 
@@ -947,4 +1023,6 @@ def _oracle_entries():
         "cluster_size_hist": lambda: oracles.sql_cluster_size_hist(tpath()),
         "ivfpq_knn_embeddings": lambda: oracles.sql_ivfpq_knn(
             _oracle_pq_codebooks(sf), 10, 10),
+        "csv_roundtrip_turns": lambda: oracles.sql_csv_roundtrip(tpath()),
+        "orc_roundtrip_docs": lambda: oracles.sql_orc_roundtrip(),
     }

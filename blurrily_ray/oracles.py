@@ -51,11 +51,11 @@ def postings_cte(src_sql: str, prefix: str = "") -> str:
     """CTE chain: src (ref, text) → postings (ref, trigram, weight).
     ``prefix`` renames every CTE so two chains can coexist in one query."""
     # NORM_FOLD, not NORM: the engine normalizer NFKD-folds decomposable
-    # accents to their base letter (functions/normalize.py; map.rb:40-47)
-    # and strip_accents matches it exactly on such corpora (parity pinned
-    # row-exact on every sf0.01 transcript turn) — the accent-to-space
-    # NORM diverges by a few trigrams per accented doc, which exact-count
-    # oracles (fuzzy_join) catch even though cluster-level ones tolerate it
+    # accents to their base letter and byte-drops the rest joining halves
+    # (functions/normalize.py; map.rb:40-47); NORM_FOLD mirrors both (see
+    # its definition) — the accent-to-space NORM diverges by a few
+    # trigrams per accented doc, which exact-count oracles (fuzzy_join)
+    # catch even though cluster-level ones tolerate it
     norm = NORM_FOLD.format(col="text")
     code = " + ".join(_code_expr(p) for p in (1, 2, 3))
     x = prefix
@@ -80,9 +80,9 @@ def transcripts_src(path: str) -> str:
 
 
 def sql_normalize_docs() -> str:
-    # NORM_FOLD (strip_accents), not NORM: the engine NFKD-folds
-    # decomposable accents to their base letters (functions/normalize.py;
-    # map.rb:40-47), and treats NULL text as '' (reference put semantics)
+    # NORM_FOLD, not NORM: mirrors the engine's NFKD fold + ascii byte
+    # drop (functions/normalize.py; map.rb:40-47), and treats NULL text
+    # as '' (reference put semantics)
     norm = NORM_FOLD.format(col="COALESCE(text, '')")
     return f"SELECT doc_id, {norm} AS norm_text FROM documents"
 
@@ -842,8 +842,47 @@ def sql_redact_tickets(path: str) -> str:
 FROM read_parquet('{path}')"""
 
 
-NORM_FOLD = ("trim(regexp_replace(strip_accents(lower({col})), "
-             "'[^a-z]+', ' ', 'g'))")
+# SQL mirror of the engine's NFKD-fold normalizer (functions/normalize.py):
+# lower → fold common NFKD *compatibility* chars DuckDB's strip_accents
+# leaves alone (ligatures 1→N via replace, super/subscript digits 1→1 via
+# translate) → strip_accents (≡ NFKD + combining-mark drop for decomposable
+# accents) → DELETE any remaining non-ASCII char (the engine's
+# ascii-'ignore' byte drop — halves JOIN, they are never spaced apart) →
+# non-[a-z] → space → collapse/trim. Exotic compatibility mappings beyond
+# this table (e.g. ℓ, №, fullwidth forms) remain engine-only dialect bound;
+# the adversarial corpus pins everything listed here.
+_COMPAT_FOLDS = [
+    ("ﬁ", "fi"), ("ﬂ", "fl"), ("ﬀ", "ff"), ("ﬃ", "ffi"), ("ﬄ", "ffl"),
+    ("ﬅ", "st"), ("ﬆ", "st"), ("ǆ", "dz"), ("ǉ", "lj"), ("ǌ", "nj"),
+    ("ǳ", "dz"), ("ĳ", "ij"),
+]
+
+
+def _norm_fold_expr() -> str:
+    inner = "lower({col})"
+    for src, dst in _COMPAT_FOLDS:
+        inner = f"replace({inner}, '{src}', '{dst}')"
+    inner = f"translate({inner}, '¹²³⁰⁴⁵⁶⁷⁸⁹', '1230456789')"
+    return ("trim(regexp_replace(regexp_replace(strip_accents(" + inner +
+            "), '[^\\x00-\\x7F]', '', 'g'), '[^a-z]+', ' ', 'g'))")
+
+
+NORM_FOLD = _norm_fold_expr()
+
+
+def sql_csv_roundtrip(path: str) -> str:
+    """Connector round-trip oracle (sources/csv.py): the CSV export +
+    schema-contract re-read must reproduce the source parquet projection
+    value-for-value."""
+    return (f"SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text "
+            f"FROM read_parquet('{path}')")
+
+
+def sql_orc_roundtrip() -> str:
+    """Connector round-trip oracle (sources/orc.py): the content-addressed
+    ORC sink + per-file pyarrow.orc re-read must reproduce the documents
+    projection value-for-value."""
+    return "SELECT doc_id, text, lang, source FROM documents"
 
 
 def sql_dedup_keep_best(path: str) -> str:

@@ -783,10 +783,11 @@ def dedup_keep_best(ds, *, key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     One digest-keyed shuffle; each partition resolves ALL of its groups
     with a single vectorized sort + drop_duplicates (never per-group).
     Normalization is the reference normalizer (functions/normalize.py);
-    the DuckDB mirror is oracles.NORM_FOLD — parity holds whenever
-    non-ASCII chars are decomposable accents (NFKD fold == strip_accents);
-    non-decomposable symbols (the engine drops them joining neighbors,
-    SQL spaces them) would diverge, and the synth corpus has none.
+    the DuckDB mirror is oracles.NORM_FOLD — it folds decomposable
+    accents, drops remaining non-ASCII joining halves (the engine's
+    ascii-'ignore') and expands the common compatibility ligatures, so
+    parity holds on every pinned hazard; exotic NFKD compatibility
+    mappings beyond NORM_FOLD's table stay engine-only.
     """
     from blurrily_ray.functions.normalize import normalize_array
     from blurrily_ray.stages.common import partitioned_map

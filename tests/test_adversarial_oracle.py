@@ -53,6 +53,13 @@ TEXTS = [
     "mixed éü unicode and ascii tokens together",
     "numbers 123 456 789 0 42",
     "a" * 3000,
+    # non-decomposable / compatibility folds (oracles.NORM_FOLD table):
+    # ß joins halves, ligatures expand, word-embedded CJK joins halves,
+    # superscripts become digit-spaces, ø/ł/œ/đ drop
+    "straße grüße ÆBLE",
+    "ﬁle ﬂow ﬀine ﬆop ǆungla ĳssel",
+    "abc中def mixed 漢kanji字 word",
+    "a²b x³y ½ cup bøb łódź œuf đavo",
 ]
 
 
