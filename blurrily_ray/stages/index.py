@@ -423,9 +423,32 @@ class LocalFinder:
              for c in codes]) if len(codes) else np.empty(0, np.int64)
         if not len(gathered):
             return []
-        hit, matches = np.unique(gathered, return_counts=True)
+        # count per ref: O(n) bincount over the dense int ids when the
+        # dictionary is comparable to the gather (the common serving
+        # case — np.unique's O(n log n) sort was 5x slower at ~100k
+        # gathered rows); the unique path remains for a huge-dictionary /
+        # tiny-needle shard where a refs-sized counter would dominate
+        if len(self.refs) <= 4 * len(gathered):
+            counts = np.bincount(gathered, minlength=len(self.refs))
+            hit = np.flatnonzero(counts)
+            matches = counts[hit]
+        else:
+            hit, matches = np.unique(gathered, return_counts=True)
         w = self.weights[hit]
-        order = np.lexsort((self.refs[hit], w, -matches))[:limit]
+        # top-k via the match-count plateau: one composite argpartition
+        # (matches DESC, weight ASC packed into one int64 — matches is
+        # bounded by the needle's trigram count, weight < 2^31 < 2^40),
+        # then the exact lexsort runs only on rows tied-or-better than
+        # the k-th — identical output to sorting everything. hit is
+        # ascending == ref ascending (the dictionary is sorted), giving
+        # the deterministic ref tie-break without touching self.refs.
+        if len(hit) > 4 * limit and int(w.max()) < (1 << 40):
+            comp = (matches.astype(np.int64) << 40) - w
+            top = np.argpartition(comp, len(comp) - limit)[-limit:]
+            kth = comp[top].min()
+            plateau = np.flatnonzero(comp >= kth)
+            hit, matches, w = hit[plateau], matches[plateau], w[plateau]
+        order = np.lexsort((hit, w, -matches))[:limit]
         return [[self.refs[hit[o]].item(), int(matches[o]), int(w[o])]
                 for o in order]
 
