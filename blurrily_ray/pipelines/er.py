@@ -98,13 +98,19 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
             else "sharded"
         metrics.stage("score_dispatch", mode=score_mode, est_bytes=est)
 
-    if assume_grouped and score_mode != "broadcast":
-        # every non-broadcast scoring path (sharded, join) skips the LUT
-        # build whose sorted-ref pass detects duplicate refs for free —
-        # run the explicit refs-only check instead
+    # sharded + composite blocking runs entirely in coordination-free
+    # surrogate-id space: the shard build assigns (shard << 21) | rank
+    # ids and its per-shard sort detects duplicate refs for free
+    use_sur = score_mode == "sharded" and cfg.blocking_mode != "trigram"
+
+    if assume_grouped and score_mode != "broadcast" and not use_sur:
+        # every non-broadcast scoring path that skips both dup detectors
+        # (the LUT's sorted-ref pass, the sur builder's shard sort) needs
+        # the explicit refs-only check
         _validate_unique_refs(docsets)
 
     lut_ref = None
+    docsets_sur = None
     if score_mode == "broadcast":
         with metrics.timeit("bitsets"):
             # one broadcast serves blocking (ref → surrogate id), scoring
@@ -115,38 +121,50 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
     elif score_mode == "sharded":
         import tempfile
 
-        from blurrily_ray.stages.scorer import build_bitset_shards
+        from blurrily_ray.stages.scorer import (build_bitset_shards,
+                                                build_bitset_shards_sur)
 
         with metrics.timeit("bitset_shards"):
             shard_dir = (os.path.join(checkpoint_dir, "bitset_shards")
                          if checkpoint_dir else
                          tempfile.mkdtemp(prefix="blurrily_shards_"))
-            build_bitset_shards(
-                docsets, shard_dir, cfg.score_shards,
-                lineage={"config": cfg.digest(),
-                         **({"input": in_digest}
-                            if checkpoint_dir is not None else {})})
+            lineage = {"config": cfg.digest(),
+                       **({"input": in_digest}
+                          if checkpoint_dir is not None else {})}
+            if use_sur:
+                # ONE corpus co-partition writes the shard files AND
+                # yields (sur, tris, ntri, weight) for int-key blocking
+                docsets_sur = build_bitset_shards_sur(
+                    docsets, shard_dir, cfg.score_shards, lineage=lineage)
+            else:
+                build_bitset_shards(docsets, shard_dir, cfg.score_shards,
+                                    lineage=lineage)
 
-    # composite blocking + broadcast scoring takes the ONE-shuffle path:
-    # partition emissions by the key's leading trigram; exact per-key
-    # counts, stoplist and pair generation all happen in-partition (no
+    # composite blocking takes the ONE-shuffle path (broadcast surrogates
+    # from the LUT, sharded surrogates from the shard build): partition
+    # emissions by the key's leading trigram; exact per-key counts,
+    # stoplist and pair generation all happen in-partition (no
     # key-histogram shuffle, no salt broadcast). Single-trigram mode
     # keeps the salted path — its keys can cover a constant corpus
     # fraction and must drop map-side. (Fusing SCORING into the same
     # partition to skip the (a,b) exchange entirely was measured and
     # REJECTED — see NOTES: the exchange is cheaper than the extra
     # per-partition popcount gathers it avoids.)
-    fused_blocking = (score_mode == "broadcast"
-                      and cfg.blocking_mode != "trigram")
+    fused_blocking = (cfg.blocking_mode != "trigram"
+                      and (score_mode == "broadcast" or use_sur))
     if fused_blocking:
         from blurrily_ray.stages.pairs import candidate_pairs_fused_blocking
 
         with metrics.timeit("blocking"):
-            keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
+            if use_sur:
+                keys = blocking_keys(
+                    docsets_sur.rename_columns({"sur": "ref"}), hist, cfg)
+            else:
+                keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
         with metrics.timeit("pairs"):
-            # lut_ref set ⇒ blocking emitted int64 surrogate ids
+            # surrogate ids (broadcast LUT or sharded sur) ⇒ int64 keys
             pairs, skew = candidate_pairs_fused_blocking(
-                keys, cfg, int_refs=lut_ref is not None)
+                keys, cfg, int_refs=use_sur or lut_ref is not None)
             metrics.stage("pairs", **skew)
     else:
         with metrics.timeit("blocking"):
@@ -173,10 +191,16 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
                 pairs, cfg=cfg, lut_ref=lut_ref, surrogate=True,
                 packed=True))
         elif score_mode == "sharded":
-            from blurrily_ray.stages.scorer import score_pairs_sharded
+            if use_sur:
+                from blurrily_ray.stages.scorer import score_pairs_sharded_sur
 
-            edges = ckpt("edges", lambda: score_pairs_sharded(
-                pairs, shard_dir, cfg))
+                edges = ckpt("edges", lambda: score_pairs_sharded_sur(
+                    pairs, shard_dir, cfg))
+            else:
+                from blurrily_ray.stages.scorer import score_pairs_sharded
+
+                edges = ckpt("edges", lambda: score_pairs_sharded(
+                    pairs, shard_dir, cfg))
         else:
             from blurrily_ray.stages.pairs import distinct_pairs
 

@@ -55,6 +55,17 @@ SHARD_MANIFEST = "SHARDS.json"
 SHARD_FORMAT = "tris-v2"  # sparse lists in shards; bitsets built at load
 _SCORE_CHUNK = 2048  # score-stage pair chunk: gather temps stay L3-resident
 
+# Coordination-free surrogate ids (the NOTES_r4 analysis, shipped in r5):
+# sur = (shard << SUR_RANK_BITS) | rank-in-ref-sorted-shard. Anyone holding
+# a shard's sorted ref array recomputes the mapping, so no global map is
+# built or broadcast; the id encodes its own routing (shard = sur >> bits)
+# and its own shard-file CSR row (rank = sur & mask — shard files are
+# written ref-sorted). 21 rank bits × ≤1024 shards keeps sur < 2^31, the
+# range the packed (a<<32)|b pair exchange and int32 wire dtypes need —
+# the same 2^31 id budget the reference protocol imposes (defaults.rb:8).
+SUR_RANK_BITS = 21
+_SUR_RANK_MASK = np.int64((1 << SUR_RANK_BITS) - 1)
+
 
 def build_bitset_shards(docsets, path: str, n_shards: int, *,
                         lineage: dict | None = None) -> str:
@@ -89,6 +100,88 @@ def build_bitset_shards(docsets, path: str, n_shards: int, *,
     with open(mf, "w") as fh:
         json.dump({**want, "created_at": time.time()}, fh)
     return path
+
+
+def build_bitset_shards_sur(docsets, path: str, n_shards: int, *,
+                            lineage: dict | None = None):
+    """ONE corpus co-partition, fused three ways: writes the ref-sorted
+    bitset shard files (one file per shard, same row layout
+    :func:`build_bitset_shards` produces), assigns every doc its
+    coordination-free surrogate ``sur = (shard << SUR_RANK_BITS) | rank``
+    in the shard's ref-sorted order, and returns the
+    ``(sur, tris, ntri, weight)`` Dataset — so blocking emits pure-int
+    keys and the whole sharded pair dataflow runs in int32-surrogate
+    space (``candidate_pairs_fused_blocking`` + ``score_pairs_sharded_sur``)
+    with no key-histogram shuffle and no string exchanges.
+
+    Duplicate refs (the assume_grouped contiguity hazard) are detected
+    for free by the per-shard sort and raised loudly. Shard writes are
+    atomic tmp+rename with deterministic content, so Ray task retries
+    are idempotent; downstream consumers only read shard files after the
+    pair shuffle's groupby barrier, by which point every builder task
+    has completed."""
+    if n_shards > (1 << (31 - SUR_RANK_BITS)):
+        raise ValueError(f"n_shards={n_shards} exceeds the surrogate "
+                         f"shard budget (≤ {1 << (31 - SUR_RANK_BITS)})")
+    from blurrily_ray.stages.common import partitioned_map
+
+    os.makedirs(path, exist_ok=True)
+    mf = os.path.join(path, SHARD_MANIFEST)
+    if os.path.exists(mf):
+        os.unlink(mf)  # a stale non-sur manifest must not skip this build
+
+    def shard_of(batch: pa.Table) -> np.ndarray:
+        r = np.asarray(batch["ref"].combine_chunks())
+        if r.dtype == object:
+            r = r.astype(str)
+        return (_u64_of_refs(r) % np.uint64(n_shards)).astype(np.int64)
+
+    def build_one(t: pa.Table) -> pa.Table:
+        refs = np.asarray(t["ref"].combine_chunks())
+        if refs.dtype == object:
+            refs = refs.astype(str)
+        if len(refs) > (1 << SUR_RANK_BITS):
+            raise ValueError(
+                f"shard holds {len(refs)} docs > 2^{SUR_RANK_BITS} rank "
+                f"budget; raise cfg.score_shards")
+        order = np.argsort(refs, kind="stable")
+        sr = refs[order]
+        if len(sr) > 1:
+            dup = sr[1:][sr[1:] == sr[:-1]]
+            if len(dup):
+                raise ValueError(
+                    "duplicate ref in docsets (assume_grouped input not "
+                    f"conversation-contiguous?), e.g. {dup[0]!r}. Re-run "
+                    "with assume_grouped=False or sort the input by "
+                    "(conv_id, turn_idx).")
+        k = int(_u64_of_refs(sr[:1])[0] % np.uint64(n_shards)) \
+            if len(sr) else 0
+        sorted_t = t.take(pa.array(order.astype(np.int64)))
+        out_file = pa.table({
+            "ref": sorted_t["ref"],
+            "tris": sorted_t["tris"],
+            "ntri": sorted_t["ntri"].cast(pa.int64()),
+            "weight": sorted_t["weight"].cast(pa.int64())})
+        sdir = os.path.join(path, f"shard={k}")
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, f".data-{os.getpid()}.tmp")
+        pq.write_table(out_file, tmp)
+        for f in os.listdir(sdir):  # clear stale multi-file layouts
+            if f.endswith(".parquet"):
+                os.unlink(os.path.join(sdir, f))
+        os.replace(tmp, os.path.join(sdir, "data-0.parquet"))
+        sur = (np.int64(k) << np.int64(SUR_RANK_BITS)) \
+            | np.arange(len(sr), dtype=np.int64)
+        return pa.table({
+            "sur": pa.array(sur),
+            "tris": out_file["tris"],
+            "ntri": out_file["ntri"],
+            "weight": out_file["weight"]})
+
+    return partitioned_map(
+        docsets.select_columns(["ref", "tris", "ntri", "weight"]),
+        ["ref"], build_one, part_fn=shard_of, n_parts=n_shards,
+        batch_format="pyarrow")
 
 
 class _ShardCache:
@@ -336,6 +429,232 @@ def _gather_shard_runs(shard_dir: str, n_shards: int, strs: np.ndarray):
         dest = np.repeat(offs[where], c) + _ranges(c)
         flat[dest] = codes_s[src]
     return flat, offs, ntri, wt
+
+
+def _gather_shard_runs_sur(shard_dir: str, sur: np.ndarray):
+    """:func:`_gather_shard_runs` for surrogate ids: the shard and the CSR
+    row come straight from the id's bits (shard files are ref-sorted, so
+    rank IS the row) — no searchsorted, no strings anywhere."""
+    shard = (sur >> np.int64(SUR_RANK_BITS)).astype(int)
+    rank = (sur & _SUR_RANK_MASK).astype(np.int64)
+    n = len(sur)
+    counts = np.empty(n, np.int64)
+    ntri = np.empty(n, np.int64)
+    wt = np.empty(n, np.int64)
+    per_shard = []
+    for k in np.unique(shard):
+        _, codes_s, offs_s, ntri_s, wt_s = _shard_csr(shard_dir, k)
+        m = shard == k
+        idx = rank[m]
+        ntri[m] = ntri_s[idx]
+        wt[m] = wt_s[idx]
+        counts[m] = offs_s[idx + 1] - offs_s[idx]
+        per_shard.append((np.nonzero(m)[0], idx, counts[m],
+                          codes_s, offs_s))
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = np.empty(int(offs[-1]), np.uint16)
+    for where, idx, c, codes_s, offs_s in per_shard:
+        src = np.repeat(offs_s[idx], c) + _ranges(c)
+        dest = np.repeat(offs[where], c) + _ranges(c)
+        flat[dest] = codes_s[src]
+    return flat, offs, ntri, wt
+
+
+def _refs_of_surs(shard_dir: str, sur: np.ndarray) -> np.ndarray:
+    """Surrogate ids → original ref values (object array — shard string
+    widths differ). Only ever called on SURVIVING edges, so the per-shard
+    CSR cache is warm and the volume is tiny."""
+    shard = (sur >> np.int64(SUR_RANK_BITS)).astype(int)
+    rank = (sur & _SUR_RANK_MASK).astype(np.int64)
+    out = np.empty(len(sur), dtype=object)
+    for k in np.unique(shard):
+        refs_s = _shard_csr(shard_dir, int(k))[0]
+        m = shard == k
+        out[m] = refs_s[rank[m]]
+    return out
+
+
+def _mix_u64(x: np.ndarray) -> np.ndarray:
+    h = x.astype(np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _dedupe_attach_sur_fn(shard_dir: str, sub2: int, cfg: ERConfig):
+    """Consumer of the packed (ab, n) exchange / producer of exchange 2,
+    all in surrogate space: dedupe + co-key filter in int64, attach the
+    a-side sparse tris by DIRECT CSR row (rank bits), and re-pack per
+    b-shard partition with pure-int framing — no dictionaries, since a
+    surrogate is already its own 4-byte code."""
+    from blurrily_ray.stages._dictpack import pack_blobs
+
+    empty = pa.table({"_part": pa.array([], pa.int64()),
+                      "blob": pa.array([], pa.large_binary())})
+
+    def run(df: pd.DataFrame):
+        if not len(df):
+            return empty
+        ab = df["ab"].to_numpy()
+        n = df["n"].to_numpy()
+        uniq, inv = np.unique(ab, return_inverse=True)
+        if cfg.min_cokeys > 1:
+            sums = np.bincount(inv, weights=n.astype(np.float64))
+            uniq = uniq[sums >= cfg.min_cokeys]
+        if not len(uniq):
+            return empty
+        a = uniq >> np.int64(32)
+        b = uniq & np.int64(0xFFFFFFFF)
+        ua, la = np.unique(a, return_inverse=True)
+        tri_flat, tri_offs, ntri_u, wt_u = _gather_shard_runs_sur(
+            shard_dir, ua)
+        sh_b = (b >> np.int64(SUR_RANK_BITS)).astype(np.uint64)
+        part2 = (sh_b * np.uint64(sub2)
+                 + _mix_u64(b) % np.uint64(sub2)).astype(np.int64)
+        order = np.argsort(part2, kind="stable")
+        la, b, part2 = la[order], b[order], part2[order]
+        bnd = np.nonzero(part2[1:] != part2[:-1])[0] + 1
+        starts = np.concatenate(([0], bnd))
+        ends = np.concatenate((bnd, [len(part2)]))
+        parts_out, blobs = [], []
+        for s, e in zip(starts, ends):
+            pres_a = np.unique(la[s:e])
+            seg_tris, seg_counts = _gather_runs(tri_flat, tri_offs, pres_a)
+            seg_toffs = np.zeros(len(pres_a) + 1, np.int64)
+            np.cumsum(seg_counts, out=seg_toffs[1:])
+            code_a = np.searchsorted(pres_a, la[s:e])
+            header = np.array([e - s, len(pres_a), len(seg_tris)],
+                              dtype=np.int64)
+            blobs.append([
+                header,
+                ua[pres_a].astype(np.int32),
+                seg_toffs.astype(np.int32), seg_tris,
+                ntri_u[pres_a].astype(np.int32), wt_u[pres_a],
+                code_a.astype(np.int32), b[s:e].astype(np.int32)])
+            parts_out.append(part2[s])
+        return pack_blobs(np.asarray(parts_out, dtype=np.int64), blobs)
+
+    return run
+
+
+def _score_blobs_sur_fn(shard_dir: str, cfg: ERConfig):
+    """Consumer of exchange 2 in surrogate space: gather b-side CSR runs
+    by rank once per DISTINCT b across the partition, scatter bitsets,
+    score with the chunked popcount(AND) kernel, threshold, and
+    materialize ref values only for survivors — swapped into the
+    broadcast path's canonical orientation (a < b in ref order) so edge
+    rows are identical across scoring modes."""
+    from blurrily_ray.stages._dictpack import iter_blobs
+    from blurrily_ray.stages.pairs import _scatter_bits
+
+    num, den = rel_fraction(cfg)
+    out_schema = pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("matches", pa.int64()),
+        ("ntri_a", pa.int64()), ("ntri_b", pa.int64()),
+        ("weight_a", pa.int64()), ("weight_b", pa.int64())])
+    empty = out_schema.empty_table()
+
+    def run(t: pa.Table) -> pa.Table:
+        parsed, all_b = [], []
+        for r in iter_blobs(t):
+            n_pairs, n_ua, tris_len = (int(x) for x in r.seg(3, np.int64))
+            ua = r.seg(n_ua, np.int32)
+            toffs = r.seg(n_ua + 1, np.int32)
+            tris = r.seg(tris_len, np.uint16)
+            ntri_a = r.seg(n_ua, np.int32)
+            wt_a = r.seg(n_ua, np.int64)
+            code_a = r.seg(n_pairs, np.int32)
+            b = r.seg(n_pairs, np.int32)
+            parsed.append((ua, toffs, tris, ntri_a, wt_a, code_a, b))
+            all_b.append(b)
+        if not parsed:
+            return empty
+        ub = np.unique(np.concatenate(all_b).astype(np.int64))
+        flat_b, offs_b, ntri_b_u, wt_b_u = _gather_shard_runs_sur(
+            shard_dir, ub)
+        bits_b = _scatter_bits(flat_b, np.diff(offs_b))
+        outs = []
+        for ua, toffs, tris, ntri_a, wt_a, code_a, b in parsed:
+            bits_a = _scatter_bits(tris, np.diff(toffs.astype(np.int64)))
+            bcode = np.searchsorted(ub, b.astype(np.int64))
+            m = np.empty(len(code_a), np.int64)
+            for s in range(0, len(code_a), _SCORE_CHUNK):
+                e = min(s + _SCORE_CHUNK, len(code_a))
+                m[s:e] = _popcount_and(bits_a[code_a[s:e]],
+                                       bits_b[bcode[s:e]])
+            na = ntri_a.astype(np.int64)[code_a]
+            nb_c = ntri_b_u[bcode]
+            lo = np.minimum(na, nb_c)
+            keep = (m >= cfg.min_matches) & (m * den >= num * lo)
+            if not keep.any():
+                continue
+            ka, kb = code_a[keep], bcode[keep]
+            a_ref = _refs_of_surs(shard_dir, ua.astype(np.int64)[ka])
+            b_ref = _refs_of_surs(shard_dir, ub[kb])
+            wa = wt_a[ka]
+            wb = wt_b_u[kb]
+            na_k, nb_k = na[keep], nb_c[keep]
+            swap = a_ref > b_ref  # canonical a < b in REF order (the
+            # broadcast path's orientation — its surrogates are positions
+            # in the globally ref-sorted array; ours are (shard, rank))
+            if swap.any():
+                a_ref[swap], b_ref[swap] = b_ref[swap], a_ref[swap].copy()
+                wa = np.where(swap, wb, wa)
+                wb = np.where(swap, wt_a[ka], wb)
+                na_s = np.where(swap, nb_k, na_k)
+                nb_k = np.where(swap, na[keep], nb_k)
+                na_k = na_s
+            outs.append(pa.table({
+                "a": pa.array(a_ref, type=pa.string()),
+                "b": pa.array(b_ref, type=pa.string()),
+                "matches": pa.array(m[keep]),
+                "ntri_a": pa.array(na_k), "ntri_b": pa.array(nb_k),
+                "weight_a": pa.array(wa.astype(np.int64)),
+                "weight_b": pa.array(wb.astype(np.int64)),
+            }, schema=out_schema))
+        return pa.concat_tables(outs) if outs else empty
+
+    return run
+
+
+def score_pairs_sharded_sur(raw_pairs, shard_dir: str,
+                            cfg: ERConfig = DEFAULT, *,
+                            n_shards: int | None = None):
+    """Surrogate-space sharded scoring — consumes the PACKED ``(ab, n)``
+    pair stream of :func:`pairs.candidate_pairs_fused_blocking` over
+    :func:`build_bitset_shards_sur` ids. Exchange 1 is a pure fixed-width
+    int blob exchange (``packed_cols`` — the generic packer; no string
+    dictionaries exist to ship); the consumer fuses dedupe + co-key
+    filter + a-side CSR attach BY ROW INDEX; exchange 2 ships int-framed
+    tris blobs to b-shard partitions; strings materialize only for
+    surviving edges. Together with int-key fused blocking this removes
+    the sharded path's key-histogram shuffle and every string exchange
+    (NOTES_r4's round-5 candidate #5 / VERDICT r4 next #4)."""
+    import ray
+
+    from blurrily_ray.stages.common import partitioned_map
+
+    n_shards = n_shards or cfg.score_shards
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    sub = max(2, -(-max(cfg.join_partitions, 2 * n_cpus) // n_shards))
+    sub2 = max(1, -(-2 * n_cpus // n_shards))
+
+    def part1(batch: pa.Table) -> np.ndarray:
+        ab = batch["ab"].to_numpy(zero_copy_only=False)
+        a = ab >> np.int64(32)
+        b = ab & np.int64(0xFFFFFFFF)
+        sh_a = (a >> np.int64(SUR_RANK_BITS)).astype(np.uint64)
+        return (sh_a * np.uint64(sub)
+                + _mix_u64(b) % np.uint64(sub)).astype(np.int64)
+
+    packed1 = partitioned_map(
+        raw_pairs, ["ab"], _dedupe_attach_sur_fn(shard_dir, sub2, cfg),
+        part_fn=part1, n_parts=n_shards * sub,
+        packed_cols={"ab": np.int64, "n": np.uint16})
+    return packed1.groupby("_part").map_groups(
+        _score_blobs_sur_fn(shard_dir, cfg), batch_format="pyarrow")
 
 
 def _pack_pairs_fn(n_shards: int, sub: int):

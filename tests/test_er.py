@@ -126,6 +126,46 @@ def test_sharded_scorer_packed_equals_scalar(sf0001_paths):
     assert e_packed == e_scalar
 
 
+def test_sur_sharded_edges_equal_broadcast(er_result, sf0001_paths):
+    """The surrogate-space sharded dataflow (shard-build surrogates +
+    fused int-key blocking + int blob exchanges) must emit EXACTLY the
+    broadcast-fused path's edge rows — same pairs, same orientation
+    (a < b in ref order), same scores and attached stats."""
+    res_b, _ = er_result
+    res_s = run_er_from_paths(sf0001_paths["transcripts"],
+                              score_mode="sharded")
+
+    def edge_rows(ds):
+        return {(r["a"], r["b"], r["matches"], r["ntri_a"], r["ntri_b"],
+                 r["weight_a"], r["weight_b"]) for r in ds.take_all()}
+
+    e_b = edge_rows(res_b["edges"])
+    e_s = edge_rows(res_s["edges"])
+    assert len(e_s) > 0
+    assert e_s == e_b
+
+
+def test_sur_builder_raises_on_duplicate_refs():
+    """build_bitset_shards_sur's per-shard sort must detect a ref that
+    assembled twice (the assume_grouped contiguity hazard) and raise —
+    it replaces the explicit refs-only validation pass on this path."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from blurrily_ray.stages.scorer import build_bitset_shards_sur
+
+    t = pa.table({
+        "ref": ["dup", "dup", "other"],
+        "tris": pa.array([[1, 2], [3], [4, 5]], type=pa.list_(pa.uint16())),
+        "ntri": pa.array([2, 1, 2], type=pa.int64()),
+        "weight": pa.array([5, 3, 4], type=pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = build_bitset_shards_sur(ds, tempfile.mkdtemp(prefix="sur_dup_"), 4)
+    with pytest.raises(Exception, match="duplicate ref"):
+        out.materialize()
+
+
 def test_auto_dispatch_honors_broadcast_limit(sf0001_paths):
     """score_mode='auto' must route to the sharded scorer when the bitset
     broadcast would exceed broadcast_limit_bytes (regression: 'auto' used
