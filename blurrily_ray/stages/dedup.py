@@ -854,7 +854,8 @@ def near_dedup_canonical(docs, *, id_col: str = "doc_id",
 
 
 def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                    window: int = 10):
+                    window: int = 10, prefilter: bool = True,
+                    cms_bits: int = 22):
     """Exact duplicated-substring metrics (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — the sliding-window
     variant of the suffix-array ExactSubstr analysis): every OVERLAPPING
@@ -946,6 +947,52 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
 
     emissions = docs.select_columns([id_col, text_col]).map_batches(
         emit, batch_format="pandas")
+    if prefilter:
+        # Exchange pre-filter (a one-row count-min register, saturating
+        # at 2 — the only question is "could this window occur ≥2×?"):
+        # each emission block bincounts its window hashes into 2^cms_bits
+        # cells capped at 2, the driver sums the (4 MB) register blobs —
+        # a combiner tree with a driver root, never a shuffle — and
+        # broadcasts the ≥2 cells as a packed bitmap (2^(cms_bits-3)
+        # bytes). Windows whose cell never reaches 2 corpus-wide CANNOT
+        # be duplicated (counts never undercount), so dropping them
+        # before the h-shuffle is exact; collisions only FALSE-KEEP,
+        # and the in-partition exact count still decides. Emissions
+        # materialize once (int64 rows, producer-local — no all-to-all)
+        # so the filter pass never recomputes the md5/Horner work. At
+        # corpus scale size cms_bits toward the distinct-window count —
+        # a saturated register keeps everything and the filter degrades
+        # to a no-op, never to an error.
+        import ray as _ray
+
+        from blurrily_ray.stages.pairs import _cached_get
+
+        emissions = emissions.materialize()
+        cw = 1 << cms_bits
+        cell_mask = np.int64(cw - 1)
+
+        def cms_partial(df: pd.DataFrame) -> pd.DataFrame:
+            cells = df["h"].to_numpy() & cell_mask
+            c = np.minimum(np.bincount(cells, minlength=cw), 2) \
+                .astype(np.uint8)
+            return pd.DataFrame({"v": [c.tobytes()]})
+
+        acc = np.zeros(cw, dtype=np.int64)
+        for batch in emissions.map_batches(
+                cms_partial, batch_format="pandas").iter_batches(
+                batch_size=64, batch_format="pyarrow"):
+            for blob in batch["v"].to_pylist():
+                acc += np.frombuffer(blob, dtype=np.uint8)
+        bm_ref = _ray.put(np.packbits(acc >= 2))
+
+        def keep_maybe_dup(df: pd.DataFrame) -> pd.DataFrame:
+            bm = _cached_get(bm_ref)
+            cells = (df["h"].to_numpy() & cell_mask).astype(np.int64)
+            bit = (bm[cells >> 3] >> (7 - (cells & 7)).astype(np.uint8)) & 1
+            return df[bit.astype(bool)]
+
+        emissions = emissions.map_batches(keep_maybe_dup,
+                                          batch_format="pandas")
     dup_rows = partitioned_map(emissions, ["h"], dup_part)
 
     def finalize(docs_df: pd.DataFrame, dup_df: pd.DataFrame) -> pd.DataFrame:
