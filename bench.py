@@ -413,6 +413,65 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return er
 
 
+def _scaling_child(n: int, scaling_sf: float) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+               GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf:g}",
+               GRAFT_BENCH_ER_ONLY="1", GRAFT_ER_REPS="1")
+    cmd = [sys.executable, __file__, "--phase", "er"]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{n - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling_paired(sf_dir: str, cpus=(4, 16)) -> dict:
+    """Variance-aware scaling protocol: each rep runs the LOW then the
+    HIGH width back-to-back in fresh taskset-pinned processes, and the
+    efficiency is computed PER PAIR — back-to-back runs share the same
+    interference window, so neighbor load moves both sides of a ratio
+    instead of silently deciding it (this box's run-to-run spread exceeds
+    the whole scaling signal; BASELINE.md round-4 note). Reports every
+    pair's ratio plus the median and best, and the same for the
+    zero-shuffle map-compute control."""
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "1.0"))
+    from blurrily_ray.sources.synth import ensure_transcripts
+
+    ensure_transcripts(scaling_sf)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    lo, hi = cpus
+    pairs = []
+    for i in range(reps):
+        r_lo = _scaling_child(lo, scaling_sf)
+        r_hi = _scaling_child(hi, scaling_sf)
+        eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
+        pair = {
+            "eff": round(eff, 3),
+            "er_sec_low": r_lo["value"], "er_sec_high": r_hi["value"],
+            "turns_per_sec_low": r_lo["turns_per_sec"],
+            "turns_per_sec_high": r_hi["turns_per_sec"],
+        }
+        if "map_turns_per_sec" in r_lo:
+            pair["map_eff"] = round(
+                (r_hi["map_turns_per_sec"] / r_lo["map_turns_per_sec"])
+                / (hi / lo), 3)
+        pairs.append(pair)
+        print(json.dumps({"pair": i + 1, **pair}), file=sys.stderr)
+    effs = sorted(p["eff"] for p in pairs)
+    med = effs[len(effs) // 2] if len(effs) % 2 else \
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    return {
+        "metric": "scaling_efficiency_paired",
+        "value": round(med, 3),
+        "unit": "ratio",
+        "sf": scaling_sf, "cpus_low": lo, "cpus_high": hi,
+        "eff_median": round(med, 3),
+        "eff_best": round(max(effs), 3),
+        "pairs": pairs,
+    }
+
+
 def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
     # Scaling is measured on a larger synthetic input so per-stage fixed
     # costs don't mask the compute scaling; both runs are fresh processes
@@ -492,6 +551,11 @@ def run_stats(sf_dir: str, num_cpus: int) -> None:
 if __name__ == "__main__":
     if "--stats" in sys.argv:
         run_stats(SF_DIR, NUM_CPUS)
+        sys.exit(0)
+    if "--scaling-paired" in sys.argv:
+        cpus = tuple(int(x) for x in
+                     os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+        print(json.dumps(run_scaling_paired(SF_DIR, cpus)))
         sys.exit(0)
     if "--scaling" in sys.argv:
         cpus = tuple(int(x) for x in
