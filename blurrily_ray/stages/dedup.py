@@ -854,7 +854,7 @@ def near_dedup_canonical(docs, *, id_col: str = "doc_id",
 
 
 def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
-                    window: int = 10, prefilter: bool = True,
+                    window: int = 10, prefilter: bool = False,
                     cms_bits: int = 22):
     """Exact duplicated-substring metrics (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — the sliding-window
@@ -963,6 +963,14 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
         # corpus scale size cms_bits toward the distinct-window count —
         # a saturated register keeps everything and the filter degrades
         # to a no-op, never to an error.
+        #
+        # DEFAULT OFF: on one box the h-shuffle is cheap (~1M int rows
+        # at sf0.1) and the materialize barrier + register combine cost
+        # MORE than they save (measured 5.9-10.8 s vs 4.1-5.0 s at
+        # sf0.1/32). The lever exists for multi-node runs where the
+        # h-shuffle crosses the network while the register combine
+        # stays node-local — there the 11x exchange-row cut (sf0.01
+        # synth corpus) is the win this trades for.
         import ray as _ray
 
         from blurrily_ray.stages.pairs import _cached_get

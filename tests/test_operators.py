@@ -1037,6 +1037,17 @@ def test_dup_ngram_stats_brute():
     assert got[3][3] == got[3][0]          # ...covering the whole doc
     assert got[4] == (2, 0, 0, 0)
     assert got[5][2] == 0
+    # the count-min exchange pre-filter (scale lever, default off) must
+    # not change ANY output — registers never undercount, so the drop
+    # set is provably non-duplicated. Tiny cms_bits forces collisions
+    # (false-keeps), which the exact in-partition count must absorb.
+    for bits in (22, 4):
+        pf = dup_ngram_stats(ray.data.from_items(rows), window=w,
+                             prefilter=True, cms_bits=bits).take_all()
+        got_pf = {r["doc_id"]: (r["n_tokens"], r["n_windows"],
+                                r["n_dup_windows"], r["n_dup_tokens"])
+                  for r in pf}
+        assert got_pf == expect, bits
 
 
 def test_cms_registers():
