@@ -727,7 +727,9 @@ def _connector_export_dir(name: str, sf_dir: str, write) -> str:
         write(tmp)
         os.rename(tmp, final)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # another process won
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise  # a real export failure, not a lost rename race
     return final
 
 
@@ -881,7 +883,9 @@ def _cached_export(name: str, sf: float, compute):
     arr = compute()
     if arr is not None:
         os.makedirs(tmp_dir, exist_ok=True)
-        tmp = f"{tmp_path}.{os.getpid()}.inprogress"
+        # np.save APPENDS '.npy' to names that lack it — the temp name
+        # must already end in .npy or the following replace can't find it
+        tmp = f"{tmp_path}.{os.getpid()}.inprogress.npy"
         np.save(tmp, arr)
         os.replace(tmp, tmp_path)
     return arr

@@ -422,8 +422,12 @@ def _scaling_child(n: int, scaling_sf: float) -> dict:
         cmd = ["/usr/bin/taskset", "-c", f"0-{n - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          timeout=1800)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling child (cpus={n}) produced no JSON:\n"
+            f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def run_scaling_paired(sf_dir: str, cpus=(4, 16)) -> dict:

@@ -128,17 +128,19 @@ def run_er(transcripts, cfg: ERConfig = DEFAULT, *,
             shard_dir = (os.path.join(checkpoint_dir, "bitset_shards")
                          if checkpoint_dir else
                          tempfile.mkdtemp(prefix="blurrily_shards_"))
-            lineage = {"config": cfg.digest(),
-                       **({"input": in_digest}
-                          if checkpoint_dir is not None else {})}
             if use_sur:
                 # ONE corpus co-partition writes the shard files AND
-                # yields (sur, tris, ntri, weight) for int-key blocking
+                # yields (sur, tris, ntri, weight) for int-key blocking.
+                # Not manifest-resumable (the surrogates ride the
+                # dataflow) — the edges checkpoint subsumes resume here.
                 docsets_sur = build_bitset_shards_sur(
-                    docsets, shard_dir, cfg.score_shards, lineage=lineage)
+                    docsets, shard_dir, cfg.score_shards)
             else:
-                build_bitset_shards(docsets, shard_dir, cfg.score_shards,
-                                    lineage=lineage)
+                build_bitset_shards(
+                    docsets, shard_dir, cfg.score_shards,
+                    lineage={"config": cfg.digest(),
+                             **({"input": in_digest}
+                                if checkpoint_dir is not None else {})})
 
     # composite blocking takes the ONE-shuffle path (broadcast surrogates
     # from the LUT, sharded surrogates from the shard build): partition

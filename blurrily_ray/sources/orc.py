@@ -34,14 +34,12 @@ def read_orc(paths, *, columns: list[str] | None = None):
     """ORC file(s)/dir → Dataset; ``columns`` prunes at the decoder."""
     import pyarrow.orc as po
 
-    def decode(batch: pa.Table) -> pa.Table:
-        tables = []
+    def decode(batch: pa.Table):
+        # generator UDF: an empty input batch yields NO output block —
+        # returning a schema-less pa.table({}) would conflict with the
+        # decoded blocks' ORC schema downstream
         for data in batch["bytes"].to_pylist():
-            f = po.ORCFile(pa.BufferReader(data))
-            tables.append(f.read(columns=columns))
-        if not tables:
-            return pa.table({})
-        return pa.concat_tables(tables)
+            yield po.ORCFile(pa.BufferReader(data)).read(columns=columns)
 
     return ray.data.read_binary_files(paths, file_extensions=["orc"]) \
         .map_batches(decode, batch_format="pyarrow", batch_size=None)
@@ -90,13 +88,11 @@ def read_orc_manifest(manifest, *, columns: list[str] | None = None):
     persisted form)."""
     import pyarrow.orc as po
 
-    def decode(batch: pa.Table) -> pa.Table:
-        tables = []
+    def decode(batch: pa.Table):
+        # generator UDF — a zero-row manifest block yields no output
+        # block instead of a schema-less table (see read_orc.decode)
         for p in batch["path"].to_pylist():
-            tables.append(po.ORCFile(p).read(columns=columns))
-        if not tables:
-            return pa.table({})
-        return pa.concat_tables(tables)
+            yield po.ORCFile(p).read(columns=columns)
 
     return manifest.map_batches(decode, batch_format="pyarrow",
                                 batch_size=None)

@@ -986,8 +986,12 @@ def dup_ngram_stats(docs, *, id_col: str = "doc_id", text_col: str = "text",
             return pd.DataFrame({"v": [c.tobytes()]})
 
         acc = np.zeros(cw, dtype=np.int64)
+        # batch_size=None: ONE register per block — the default 1024-row
+        # batches would emit a full 2^cms_bits-byte register per ~1024
+        # emissions (~100x the combine traffic)
         for batch in emissions.map_batches(
-                cms_partial, batch_format="pandas").iter_batches(
+                cms_partial, batch_format="pandas",
+                batch_size=None).iter_batches(
                 batch_size=64, batch_format="pyarrow"):
             for blob in batch["v"].to_pylist():
                 acc += np.frombuffer(blob, dtype=np.uint8)

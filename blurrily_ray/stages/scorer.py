@@ -102,8 +102,7 @@ def build_bitset_shards(docsets, path: str, n_shards: int, *,
     return path
 
 
-def build_bitset_shards_sur(docsets, path: str, n_shards: int, *,
-                            lineage: dict | None = None):
+def build_bitset_shards_sur(docsets, path: str, n_shards: int):
     """ONE corpus co-partition, fused three ways: writes the ref-sorted
     bitset shard files (one file per shard, same row layout
     :func:`build_bitset_shards` produces), assigns every doc its
@@ -119,7 +118,12 @@ def build_bitset_shards_sur(docsets, path: str, n_shards: int, *,
     atomic tmp+rename with deterministic content, so Ray task retries
     are idempotent; downstream consumers only read shard files after the
     pair shuffle's groupby barrier, by which point every builder task
-    has completed."""
+    has completed.
+
+    Unlike :func:`build_bitset_shards` this build is NOT manifest-
+    resumable: the surrogate assignment rides the returned dataflow, so
+    skipping the build would skip blocking's input too — resume is
+    handled one level up by the ``edges`` checkpoint in run_er."""
     if n_shards > (1 << (31 - SUR_RANK_BITS)):
         raise ValueError(f"n_shards={n_shards} exceeds the surrogate "
                          f"shard budget (≤ {1 << (31 - SUR_RANK_BITS)})")
@@ -475,14 +479,6 @@ def _refs_of_surs(shard_dir: str, sur: np.ndarray) -> np.ndarray:
     return out
 
 
-def _mix_u64(x: np.ndarray) -> np.ndarray:
-    h = x.astype(np.uint64)
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return h
-
-
 def _dedupe_attach_sur_fn(shard_dir: str, sub2: int, cfg: ERConfig):
     """Consumer of the packed (ab, n) exchange / producer of exchange 2,
     all in surrogate space: dedupe + co-key filter in int64, attach the
@@ -512,7 +508,7 @@ def _dedupe_attach_sur_fn(shard_dir: str, sub2: int, cfg: ERConfig):
             shard_dir, ua)
         sh_b = (b >> np.int64(SUR_RANK_BITS)).astype(np.uint64)
         part2 = (sh_b * np.uint64(sub2)
-                 + _mix_u64(b) % np.uint64(sub2)).astype(np.int64)
+                 + _u64_of_refs(b) % np.uint64(sub2)).astype(np.int64)
         order = np.argsort(part2, kind="stable")
         la, b, part2 = la[order], b[order], part2[order]
         bnd = np.nonzero(part2[1:] != part2[:-1])[0] + 1
@@ -647,7 +643,7 @@ def score_pairs_sharded_sur(raw_pairs, shard_dir: str,
         b = ab & np.int64(0xFFFFFFFF)
         sh_a = (a >> np.int64(SUR_RANK_BITS)).astype(np.uint64)
         return (sh_a * np.uint64(sub)
-                + _mix_u64(b) % np.uint64(sub)).astype(np.int64)
+                + _u64_of_refs(b) % np.uint64(sub)).astype(np.int64)
 
     packed1 = partitioned_map(
         raw_pairs, ["ab"], _dedupe_attach_sur_fn(shard_dir, sub2, cfg),
