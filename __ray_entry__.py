@@ -151,6 +151,14 @@ def _q_pairs_triple(sf_dir: str):
     return _i64(edges.select_columns(["a", "b", "matches"]))
 
 
+def _q_edit_pairs(sf_dir: str):
+    """Record-linkage verify cascade: pair-blocked candidates filtered by
+    EXACT Levenshtein ≤ 40 (Myers bit-parallel; stages/editdist.py)."""
+    from blurrily_ray.stages.editdist import edit_verify_pairs
+
+    return _i64(edit_verify_pairs(_docs(sf_dir), max_dist=40))
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -800,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "find_many_docs": _q_find_many,
         "pairs_docs": _q_pairs,
         "pairs_docs_triple": _q_pairs_triple,
+        "edit_pairs_docs": _q_edit_pairs,
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "dedup_exact_docs": _q_dedup_exact,
@@ -968,6 +977,7 @@ def _oracle_entries():
         "pairs_docs": lambda: oracles.sql_candidate_pairs_docs(),
         "pairs_docs_triple": lambda: oracles.sql_candidate_pairs_docs(
             oracles.TRIPLE_MODE),
+        "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "dedup_exact_docs": lambda: oracles.sql_exact_dedup_docs(),

@@ -354,6 +354,11 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
 
     queries["near_dedup_canonical"] = round(
         best_of(lambda: near_dedup_canonical(docs).count()), 3)
+
+    from blurrily_ray.stages.editdist import edit_verify_pairs
+
+    queries["edit_pairs"] = round(
+        best_of(lambda: edit_verify_pairs(docs, max_dist=40).count()), 3)
     queries["bm25"] = round(best_of(lambda: bm25_topk(
         docs, ["customer query batch window", "slow merge join",
                "spark stream filter big"], k=10).count()), 3)

@@ -204,6 +204,20 @@ def sql_candidate_pairs_docs(cfg: ERConfig = TRIGRAM_MODE) -> str:
     return f"WITH {pairs_cte(DOCS_SRC, cfg)} SELECT a, b, matches FROM edges"
 
 
+def sql_edit_pairs(max_dist: int = 40) -> str:
+    """Exact Levenshtein verify over the pair-blocked candidate edges
+    (stages/editdist.py): DuckDB's unit-cost levenshtein() on the same
+    normalized strings the engine's Myers bit-parallel kernel scans —
+    both sides are pure-ASCII after the fold, so character vs byte
+    semantics cannot diverge."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)}
+SELECT e.a, e.b, e.matches, CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
+WHERE levenshtein(ta.s, tb.s) <= {max_dist}"""
+
+
 def sql_er_clusters(transcripts_path: str, cfg: ERConfig = DEFAULT) -> str:
     """Full ER: blocking + scoring + threshold + transitive closure."""
     return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},

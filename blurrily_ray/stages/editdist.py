@@ -1,0 +1,287 @@
+"""Exact edit-distance verification of blocked candidate pairs.
+
+The classic record-linkage cascade the reference stops short of:
+blurrily's shared-trigram count (storage.c:477-580) is a CHEAP filter
+score — production linkage pipelines follow blocking + cheap scoring
+with an EXACT verify on the survivors (Levenshtein distance ≤ d), so
+the final match set is defined by a true string metric instead of a
+trigram proxy. This stage adds that verify step on top of the existing
+blocking/scoring machinery (stages/pairs.py).
+
+Dataflow (100-TB shape):
+
+  docs ─ docsets_from_docs ─ fused blocking ─ score_pairs_fused ─ edges
+  docs ─ normalize ──────────────────────────────┐
+  edges ── co-partition by a ── attach a-side text┤
+        ── co-partition by b ── attach b-side text┴─ Myers verify (map)
+
+Only the candidate EDGES and each survivor's two normalized strings
+cross the attach shuffles (two one-key hash exchanges of edge-sized
+data); the corpus text itself moves at most once per side per surviving
+candidate, never all-to-all. The verify itself is a pure map stage.
+
+The distance kernel is Myers' bit-parallel algorithm (Gene Myers, "A
+fast bit-vector algorithm for approximate string matching based on
+dynamic programming", JACM 46(3), 1999): O(⌈m/w⌉·n) word operations via
+a Python big-int bitvector (w = unbounded), ~µs per ~300-char pair vs
+~ms for the classic DP. The per-pair loop is inherent — character-level
+edit DP has no cross-pair vectorization — and is bounded by the
+blocking: verify cost is O(candidate_edges · len²/w), never O(corpus²).
+Two exact pre-gates keep dissimilar pairs cheap: the length gate
+(|len(a)−len(b)| > d ⇒ dist > d) and early abandon inside the scan
+(score_j − remaining ⇒ a lower bound on the final distance; both can
+only skip pairs whose distance provably exceeds ``max_dist``).
+
+Oracle: DuckDB ``levenshtein()`` over the same blocked-edge CTE
+(oracles.sql_edit_pairs) — unit-cost edit distance on the normalized
+(pure-ASCII) strings, so character vs byte semantics cannot diverge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from blurrily_ray.config import ERConfig
+from blurrily_ray.functions.normalize import normalize_array
+
+#: blocking used by the convenience entry point: the composite-key mode
+#: the scale ER pipeline runs (config.DEFAULT is transcript-tuned; the
+#: documents table uses the same mode with its default knobs).
+PAIR_MODE = ERConfig(blocking_mode="trigram_pair")
+
+
+def myers_distance(a: str, b: str, max_dist: int | None = None) -> int | None:
+    """Exact Levenshtein distance via Myers' 1999 bit-parallel scan.
+
+    Returns the distance, or ``None`` when ``max_dist`` is given and the
+    distance provably exceeds it (length gate / early abandon — both
+    exact, never a false skip)."""
+    if a == b:
+        return 0
+    m, n = len(a), len(b)
+    if max_dist is not None and abs(m - n) > max_dist:
+        return None
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+
+    peq: dict[str, int] = {}
+    bit = 1
+    for ch in a:
+        peq[ch] = peq.get(ch, 0) | bit
+        bit <<= 1
+    mask = bit - 1
+    msb = bit >> 1
+
+    pv = mask
+    mv = 0
+    score = m
+    get = peq.get
+    for j in range(n):
+        eq = get(b[j], 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (~(xh | pv) & mask)
+        mh = pv & xh
+        if ph & msb:
+            score += 1
+        elif mh & msb:
+            score -= 1
+        ph = ((ph << 1) | 1) & mask
+        mh = (mh << 1) & mask
+        pv = mh | (~(xv | ph) & mask)
+        mv = ph & xv
+        # the suffix b[j+1:] can lower the running score by at most one
+        # per remaining character: score - remaining is an exact lower
+        # bound on the final distance
+        if max_dist is not None and score - (n - j - 1) > max_dist:
+            return None
+    if max_dist is not None and score > max_dist:
+        return None
+    return score
+
+
+def levenshtein_dp(a: str, b: str) -> int:
+    """Classic O(m·n) rolling-row DP — the independent semantic pin the
+    Myers kernel is property-tested against (tests/test_editdist.py)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def normalized_texts(docs, *, ref_col: str = "doc_id",
+                     text_col: str = "text"):
+    """(ref, _nt) — the engine-normalized string per doc (the SAME fold
+    the tokenizer applies, functions/normalize.py, so the verify metric
+    and the trigram blocking see one string)."""
+    def norm(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col].combine_chunks()
+        if pa.types.is_null(txt.type):
+            txt = txt.cast(pa.string())
+        return pa.table({"ref": batch[ref_col],
+                         "_nt": normalize_array(txt.fill_null(""))})
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
+                      weights_are_lengths: bool = False, mode: str = "auto",
+                      broadcast_limit_bytes: int = 256 << 20):
+    """Attach both sides' normalized text to (a, b, matches) candidate
+    edges and keep those with exact Levenshtein distance ≤ ``max_dist``.
+
+    ``texts`` is the (ref, _nt) output of :func:`normalized_texts`.
+    Same broadcast/join duality as score_pairs and decontaminate:
+    ``mode='broadcast'`` ships the ref→string table once via ray.put
+    (fetched per worker, not per task) and the whole verify is ONE pure
+    map over the edges — zero shuffles; ``mode='join'`` runs two
+    co-partition exchanges (edge rows + each side's strings) so nothing
+    corpus-sized is ever broadcast or driver-materialized. ``'auto'``
+    picks by estimated table size vs ``broadcast_limit_bytes``.
+
+    Exact q-gram prefilter: one character edit changes the content of at
+    most 3 trigram windows, so it can remove at most 3 distinct trigram
+    TYPES from either side's set — ``dist ≥ (max(ntri_a, ntri_b) −
+    matches) / 3``. When the edges carry the scorer's ntri columns
+    (score_pairs_fused does), pairs whose bound already exceeds
+    ``max_dist`` drop BEFORE the attach exchange / Myers scan (~3.4×
+    fewer at sf0.1) with zero false drops (a true lower bound; validated
+    row-for-row against DuckDB levenshtein). The analogous length gate
+    ``dist ≥ |len_a − len_b|`` applies only when the docset weights are
+    the default normalized lengths — ``weights_are_lengths`` says so
+    (a custom weight_col breaks that reading, so it defaults off)."""
+    import pyarrow.compute as pc
+
+    lim = 3 * max_dist
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        # column presence checked per batch — edges.schema() on a lazy
+        # Dataset would trigger partial execution just to decide this
+        names = set(t.column_names)
+        if not {"ntri_a", "ntri_b", "matches"} <= names:
+            return t
+        lb = pc.subtract(pc.max_element_wise(t["ntri_a"], t["ntri_b"]),
+                         t["matches"])
+        keep = pc.less_equal(lb, lim)
+        if weights_are_lengths and {"weight_a", "weight_b"} <= names:
+            ldiff = pc.abs(pc.subtract(t["weight_a"], t["weight_b"]))
+            keep = pc.and_(keep, pc.less_equal(ldiff, max_dist))
+        return t.filter(keep)
+
+    edges = edges.map_batches(prefilter, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype=df["a"].dtype),
+                                 "b": pd.Series([], dtype=df["b"].dtype),
+                                 "matches": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        # sort by the a-side string so consecutive rows share a pattern:
+        # myers_distance rebuilds Peq per call, but the dominant cost is
+        # the n-char scan, so this is a cache nicety, not a requirement
+        df = df.sort_values("_ta", kind="stable")
+        ta = df["_ta"].to_numpy(dtype=object)
+        tb = df["_tb"].to_numpy(dtype=object)
+        keep = np.zeros(len(df), dtype=bool)
+        dist = np.zeros(len(df), dtype=np.int64)
+        for i in range(len(df)):
+            d = myers_distance(ta[i], tb[i], max_dist)
+            if d is not None:
+                keep[i] = True
+                dist[i] = d
+        out = df.loc[keep, ["a", "b", "matches"]].copy()
+        out["dist"] = dist[keep]
+        return out
+
+    if mode == "auto":
+        # ~400 B/doc of normalized text+ref (documents avg ~300 chars)
+        mode = ("broadcast"
+                if texts.count() * 400 <= broadcast_limit_bytes else "join")
+
+    if mode == "broadcast":
+        import ray
+
+        from blurrily_ray.stages.pairs import _cached_get
+
+        lut: dict = {}
+        for batch in texts.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            lut.update(zip(batch["ref"].to_pylist(),
+                           batch["_nt"].to_pylist()))
+        lut_ref = ray.put(lut)
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            t = _cached_get(lut_ref)
+            # inner semantics: an edge ref absent from texts has no string
+            # to verify against (caller passed a docs subset) — drop, the
+            # only exact answer (same as the join path's inner merge)
+            df = df[["a", "b", "matches"]].copy()
+            df["_ta"] = df["a"].map(t)
+            df["_tb"] = df["b"].map(t)
+            df = df[df["_ta"].notna() & df["_tb"].notna()]
+            return verify(df)
+
+        return edges.map_batches(verify_broadcast, batch_format="pandas")
+
+    from blurrily_ray.stages.common import (join_partitions_cap,
+                                            partitioned_map2)
+
+    n_parts = join_partitions_cap(n_parts)
+
+    def attach(side_col: str, text_out: str):
+        def fn(edge_df: pd.DataFrame, text_df: pd.DataFrame) -> pd.DataFrame:
+            t = text_df.rename(columns={"ref": side_col, "_nt": text_out})
+            # inner merge: see verify_broadcast note
+            return edge_df.merge(t, on=side_col, how="inner")
+        return fn
+
+    edges = edges.select_columns(["a", "b", "matches"])
+    with_a = partitioned_map2(edges, texts, ["a"], ["ref"],
+                              attach("a", "_ta"), n_parts=n_parts)
+    with_b = partitioned_map2(with_a, texts, ["b"], ["ref"],
+                              attach("b", "_tb"), n_parts=n_parts)
+
+    return with_b.map_batches(verify, batch_format="pandas")
+
+
+def edit_verify_pairs(docs, *, max_dist: int = 40,
+                      cfg: ERConfig = PAIR_MODE,
+                      ref_col: str = "doc_id", text_col: str = "text"):
+    """Blocking + trigram scoring + EXACT Levenshtein verify over one
+    document table: (a, b, matches, dist) with dist ≤ ``max_dist``.
+
+    The candidate edges come from the broadcast one-shuffle path
+    (blocking_keys → candidate_pairs_fused_blocking → score_pairs_fused
+    — the same composition pipelines/er.py runs at sandbox scale); a
+    beyond-broadcast corpus produces its edges through the sharded ER
+    engine and verifies them with :func:`edit_verify_edges` directly."""
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           docsets_bitsets_ref,
+                                           score_pairs_fused,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(docs, ref_col=ref_col,
+                                text_col=text_col).materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
+    pairs, _skew = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
+    edges = score_pairs_fused(pairs, cfg=cfg, lut_ref=lut_ref,
+                              surrogate=True, packed=True)
+    texts = normalized_texts(docs, ref_col=ref_col, text_col=text_col)
+    # the docsets above use the default weight (= normalized length), so
+    # the |len_a − len_b| gate is sound here
+    return edit_verify_edges(edges, texts, max_dist=max_dist,
+                             weights_are_lengths=True)
