@@ -165,6 +165,22 @@ def _q_er_clusters(sf_dir: str):
     return run_er_grouped(_transcripts_path(sf_dir))["clusters"]
 
 
+def _q_er_eval(sf_dir: str):
+    """North-rule metric as an operator: distributed pairwise-F1 counts
+    (tp/pred/truth same-cluster pairs) of the ER clusters against the
+    labeled ground-truth table (stages/cluster.cluster_eval)."""
+    import ray.data
+
+    from blurrily_ray.pipelines.er import run_er_grouped
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.cluster import cluster_eval
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    clusters = run_er_grouped(paths["transcripts"])["clusters"]
+    truth = ray.data.read_parquet(paths["ground_truth"])
+    return cluster_eval(clusters, truth)
+
+
 def _q_er_clusters_sharded(sf_dir: str):
     """The beyond-heap scale path, driver-verified: the partitioned
     scorer actor pool (nothing corpus-sized broadcast or on the driver)
@@ -811,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs_docs": _q_edit_pairs,
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
+        "er_eval": _q_er_eval,
         "dedup_exact_docs": _q_dedup_exact,
         "dedup_paragraphs_docs": _q_para_dedup,
         "repetition_docs": _q_repetition,
@@ -980,6 +997,8 @@ def _oracle_entries():
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
+        "er_eval": lambda: oracles.sql_er_eval(
+            tpath(), ensure_transcripts(sf)["ground_truth"]),
         "dedup_exact_docs": lambda: oracles.sql_exact_dedup_docs(),
         "dedup_paragraphs_docs": lambda: oracles.sql_dedup_paragraphs(),
         "repetition_docs": lambda: oracles.sql_repetition_stats(),

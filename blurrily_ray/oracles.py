@@ -232,6 +232,31 @@ FROM nodes n LEFT JOIN reach r ON r.s = n.ref
 GROUP BY n.ref"""
 
 
+def sql_er_eval(transcripts_path: str, truth_path: str,
+                cfg: ERConfig = DEFAULT) -> str:
+    """Pairwise-F1 integer counts of the SQL-derived clusters against the
+    labeled ground truth (mirrors stages/cluster.cluster_eval): the
+    contingency identity Σ C(n_g, 2) over cluster / entity /
+    cluster×entity group sizes — no pair enumeration."""
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                  THEN n.ref ELSE MIN(r.d) END AS cluster_id
+             FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+j AS (SELECT c.cluster_id, g.entity_id
+      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref),
+bs AS (SELECT COUNT(*) AS n FROM j GROUP BY cluster_id, entity_id),
+ps AS (SELECT COUNT(*) AS n FROM j GROUP BY cluster_id),
+ts AS (SELECT COUNT(*) AS n FROM j GROUP BY entity_id)
+SELECT CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM bs), 0) AS BIGINT) AS tp_pairs,
+       CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM ps), 0) AS BIGINT) AS pred_pairs,
+       CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM ts), 0) AS BIGINT) AS truth_pairs"""
+
+
 def sql_exact_dedup_docs() -> str:
     return ("SELECT MIN(doc_id) AS doc_id FROM documents "
         "GROUP BY COALESCE(text, '')")  # NULL text == ''

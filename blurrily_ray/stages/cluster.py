@@ -206,6 +206,60 @@ def connected_components(edges, nodes, cfg: ERConfig = DEFAULT, *,
     return nodes.select_columns(["ref"]).map_batches(assign, batch_format="pyarrow")
 
 
+def cluster_eval(clusters, truth, *, truth_ref_col: str = "conv_id",
+                 truth_col: str = "entity_id", n_parts: int = 64):
+    """Distributed pairwise linkage evaluation: (tp_pairs, pred_pairs,
+    truth_pairs) of a (ref, cluster_id) labeling against a labeled
+    (ref, entity_id) table — the integer numerators/denominators of the
+    north rule's pairwise F1, computed WITHOUT enumerating pairs.
+
+    Same contingency identity as :func:`pairwise_f1` (Σ C(n_g, 2) over
+    group sizes), but every count is distributed: one ref-keyed
+    co-partition attaches the truth label, then each of the three
+    groupings (cluster, entity, cluster×entity) runs as map-side partial
+    counts → one tiny keyed shuffle → exact sizes → per-partition
+    partial pair-sums; the driver adds ≤ n_parts rows per grouping.
+    Truth rows are restricted to refs present in ``clusters`` (inner
+    attach), matching pairwise_f1's evaluation set. Returns a one-row
+    pandas DataFrame (int64), ready for the caller's F1 arithmetic."""
+    n_parts = join_partitions_cap(n_parts)
+
+    def attach(c_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+        t = t_df.rename(columns={truth_ref_col: "ref",
+                                 truth_col: "_entity"})
+        return c_df.merge(t, on="ref", how="inner")[["cluster_id",
+                                                     "_entity"]]
+
+    joined = partitioned_map2(
+        clusters.select_columns(["ref", "cluster_id"]),
+        truth.select_columns([truth_ref_col, truth_col]),
+        ["ref"], [truth_ref_col], attach, n_parts=n_parts).materialize()
+
+    def pair_sum(key_cols: list[str]) -> int:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(key_cols, sort=False).size().reset_index()
+            out.columns = [*key_cols, "cnt"]
+            return out
+
+        partials = joined.map_batches(partial, batch_format="pandas")
+
+        def per_part(df: pd.DataFrame) -> pd.DataFrame:
+            tot = df.groupby(key_cols, sort=False)["cnt"].sum().to_numpy()
+            return pd.DataFrame(
+                {"pairs": [int((tot * (tot - 1) // 2).sum())]})
+
+        parts = partitioned_map(partials, key_cols, per_part,
+                                n_parts=n_parts).to_pandas()
+        return int(parts["pairs"].sum()) if len(parts) else 0
+
+    return pd.DataFrame({
+        "tp_pairs": pd.Series([pair_sum(["cluster_id", "_entity"])],
+                              dtype=np.int64),
+        "pred_pairs": pd.Series([pair_sum(["cluster_id"])], dtype=np.int64),
+        "truth_pairs": pd.Series([pair_sum(["_entity"])], dtype=np.int64),
+    })
+
+
 def pairwise_f1(pred_clusters: dict, truth_clusters: dict) -> dict:
     """Pairwise precision/recall/F1 between two {item: cluster} labelings.
 

@@ -34,6 +34,39 @@ def test_f1_gate(er_result, sf0001_paths):
     assert f1["f1"] >= 0.99, f1
 
 
+def test_cluster_eval_matches_pairwise_f1(er_result, sf0001_paths):
+    """The distributed contingency counts (stages/cluster.cluster_eval)
+    must equal the driver-side dict implementation's integers."""
+    from blurrily_ray.stages.cluster import cluster_eval
+
+    res, clusters = er_result
+    exp = pairwise_f1(clusters, truth_map(sf0001_paths))
+    truth = ray.data.read_parquet(sf0001_paths["ground_truth"])
+    got = cluster_eval(res["clusters"], truth).iloc[0]
+    assert int(got["tp_pairs"]) == exp["tp_pairs"]
+    assert int(got["pred_pairs"]) == exp["pred_pairs"]
+    assert int(got["truth_pairs"]) == exp["truth_pairs"]
+
+
+def test_cluster_eval_truth_subset():
+    """Truth rows restrict to refs present in clusters (inner attach) —
+    extra labeled refs must not inflate truth_pairs; a perfect 2-cluster
+    labeling gives tp == pred == truth."""
+    from blurrily_ray.stages.cluster import cluster_eval
+
+    clusters = ray.data.from_items(
+        [{"ref": "c1", "cluster_id": "x"}, {"ref": "c2", "cluster_id": "x"},
+         {"ref": "c3", "cluster_id": "y"}])
+    truth = ray.data.from_items(
+        [{"conv_id": "c1", "entity_id": "e1"},
+         {"conv_id": "c2", "entity_id": "e1"},
+         {"conv_id": "c3", "entity_id": "e2"},
+         {"conv_id": "c9", "entity_id": "e1"}])  # unclustered extra
+    got = cluster_eval(clusters, truth).iloc[0]
+    assert (int(got["tp_pairs"]), int(got["pred_pairs"]),
+            int(got["truth_pairs"])) == (1, 1, 1)
+
+
 def test_every_conv_labeled(er_result, sf0001_paths):
     _, clusters = er_result
     assert set(clusters) == set(truth_map(sf0001_paths))
