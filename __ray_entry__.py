@@ -159,6 +159,15 @@ def _q_edit_pairs(sf_dir: str):
     return _i64(edit_verify_pairs(_docs(sf_dir), max_dist=40))
 
 
+def _q_jw_pairs(sf_dir: str):
+    """Record-linkage verify cascade, Jaro-Winkler edition: pair-blocked
+    candidates kept at exact JW >= 0.8 (bit-parallel matching scan,
+    DuckDB-dialect-pinned; stages/stringsim.py)."""
+    from blurrily_ray.stages.stringsim import jw_verify_pairs
+
+    return _i64(jw_verify_pairs(_docs(sf_dir), min_sim=0.8))
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -825,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs": _q_pairs,
         "pairs_docs_triple": _q_pairs_triple,
         "edit_pairs_docs": _q_edit_pairs,
+        "jw_pairs_docs": _q_jw_pairs,
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
@@ -995,6 +1005,7 @@ def _oracle_entries():
         "pairs_docs_triple": lambda: oracles.sql_candidate_pairs_docs(
             oracles.TRIPLE_MODE),
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
+        "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "er_eval": lambda: oracles.sql_er_eval(

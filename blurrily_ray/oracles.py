@@ -218,6 +218,23 @@ FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
 WHERE levenshtein(ta.s, tb.s) <= {max_dist}"""
 
 
+def sql_jw_pairs(min_sim: float = 0.8) -> str:
+    """Exact Jaro-Winkler verify over the pair-blocked candidate edges
+    (stages/stringsim.py): DuckDB's jaro_winkler_similarity() on the
+    same normalized strings the engine's bit-parallel kernel scans.
+    The engine kernel is fuzz-pinned bit-for-bit to DuckDB's float64
+    (tests/test_stringsim.py), so the micro-int export FLOOR(jw*1e6)
+    and the >= threshold are exact on both sides."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)}
+SELECT e.a, e.b, e.matches,
+       CAST(FLOOR(jaro_winkler_similarity(ta.s, tb.s) * 1e6) AS BIGINT)
+           AS jw_micro
+FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
+WHERE jaro_winkler_similarity(ta.s, tb.s) >= {min_sim}"""
+
+
 def sql_er_clusters(transcripts_path: str, cfg: ERConfig = DEFAULT) -> str:
     """Full ER: blocking + scoring + threshold + transitive closure."""
     return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},

@@ -203,6 +203,20 @@ def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
         out["dist"] = dist[keep]
         return out
 
+    return attach_texts_and_verify(edges, texts, verify, mode=mode,
+                                   n_parts=n_parts,
+                                   broadcast_limit_bytes=broadcast_limit_bytes)
+
+
+def attach_texts_and_verify(edges, texts, verify, *, mode: str = "auto",
+                            n_parts: int = 64,
+                            broadcast_limit_bytes: int = 256 << 20):
+    """Shared attach plumbing for exact verify stages (Levenshtein here,
+    Jaro-Winkler in stages/stringsim.py): bring both sides' normalized
+    strings to each (a, b, matches) edge, then apply ``verify`` — a
+    whole-partition pandas kernel over columns (a, b, matches, _ta, _tb).
+
+    Broadcast/join duality as documented on :func:`edit_verify_edges`."""
     if mode == "auto":
         # ~400 B/doc of normalized text+ref (documents avg ~300 chars)
         mode = ("broadcast"
