@@ -190,6 +190,35 @@ def _q_er_eval(sf_dir: str):
     return cluster_eval(clusters, truth)
 
 
+def _q_blocking_eval(sf_dir: str):
+    """Blocking-quality audit (reduction ratio / pair completeness / pair
+    quality, Christen 2012) of the DEFAULT composite-key blocking against
+    the labeled ground truth — integer pair counts + exact floor-division
+    micro-ratios, no quadratic enumeration (stages/cluster.blocking_eval)."""
+    import ray.data
+
+    from blurrily_ray.config import DEFAULT
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.cluster import blocking_eval
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           candidate_pairs_restored,
+                                           docsets_bitsets_ref,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_grouped
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    transcripts = ray.data.read_parquet(paths["transcripts"])
+    docsets = docsets_grouped(transcripts).materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, DEFAULT, lut_ref=lut_ref)
+    pairs, _ = candidate_pairs_fused_blocking(keys, DEFAULT, int_refs=True)
+    cand = candidate_pairs_restored(pairs, DEFAULT, lut_ref=lut_ref)
+    truth = ray.data.read_parquet(paths["ground_truth"])
+    return blocking_eval(cand, truth, docsets.select_columns(["ref"]))
+
+
 def _q_er_clusters_sharded(sf_dir: str):
     """The beyond-heap scale path, driver-verified: the partitioned
     scorer actor pool (nothing corpus-sized broadcast or on the driver)
@@ -838,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
+        "blocking_eval": _q_blocking_eval,
         "dedup_exact_docs": _q_dedup_exact,
         "dedup_paragraphs_docs": _q_para_dedup,
         "repetition_docs": _q_repetition,
@@ -1009,6 +1039,8 @@ def _oracle_entries():
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "er_eval": lambda: oracles.sql_er_eval(
+            tpath(), ensure_transcripts(sf)["ground_truth"]),
+        "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "dedup_exact_docs": lambda: oracles.sql_exact_dedup_docs(),
         "dedup_paragraphs_docs": lambda: oracles.sql_dedup_paragraphs(),

@@ -274,6 +274,46 @@ SELECT CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM bs), 0) AS BIGINT) AS tp_pai
        CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM ts), 0) AS BIGINT) AS truth_pairs"""
 
 
+def sql_blocking_eval(transcripts_path: str, truth_path: str,
+                      cfg: ERConfig = DEFAULT) -> str:
+    """Blocking-quality metrics (mirrors stages/cluster.blocking_eval):
+    candidate / true-positive / truth pair counts over the pre-threshold
+    `cand` CTE plus the labeled ground truth; ratios exported as exact
+    BIGINT floor-division micro-ints (reduction ratio, pair completeness,
+    pair quality — Christen 2012). Degenerate denominators export the
+    vacuous 1.0 (1_000_000), pairwise_f1's empty-denominator convention."""
+    return f"""WITH {pairs_cte(transcripts_src(transcripts_path), cfg)},
+lab AS (SELECT conv_id AS ref, entity_id FROM read_parquet('{truth_path}')),
+nodes AS (SELECT DISTINCT ref FROM src),
+nlab AS (SELECT l.ref, l.entity_id FROM lab l JOIN nodes n USING (ref)),
+m AS (SELECT
+    (SELECT COUNT(*) FROM nodes) AS n_refs,
+    (SELECT COUNT(*) FROM cand) AS cand_pairs,
+    (SELECT COUNT(*) FROM cand p
+        JOIN nlab la ON la.ref = p.a
+        JOIN nlab lb ON lb.ref = p.b AND la.entity_id = lb.entity_id)
+        AS tp_pairs,
+    (SELECT CAST(COALESCE(SUM((n*(n-1))//2), 0) AS BIGINT)
+     FROM (SELECT COUNT(*) AS n FROM nlab GROUP BY entity_id))
+        AS truth_pairs)
+SELECT CAST(n_refs AS BIGINT) AS n_refs,
+       CAST(n_refs*(n_refs-1)//2 AS BIGINT) AS total_pairs,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(tp_pairs AS BIGINT) AS tp_pairs,
+       CAST(truth_pairs AS BIGINT) AS truth_pairs,
+       CAST(CASE WHEN n_refs >= 2
+            THEN (n_refs*(n_refs-1)//2 - cand_pairs) * 1000000
+                 // (n_refs*(n_refs-1)//2)
+            ELSE 1000000 END AS BIGINT) AS rr_micro,
+       CAST(CASE WHEN truth_pairs > 0
+            THEN tp_pairs * 1000000 // truth_pairs
+            ELSE 1000000 END AS BIGINT) AS pc_micro,
+       CAST(CASE WHEN cand_pairs > 0
+            THEN tp_pairs * 1000000 // cand_pairs
+            ELSE 1000000 END AS BIGINT) AS pq_micro
+FROM m"""
+
+
 def sql_exact_dedup_docs() -> str:
     return ("SELECT MIN(doc_id) AS doc_id FROM documents "
         "GROUP BY COALESCE(text, '')")  # NULL text == ''

@@ -235,28 +235,116 @@ def cluster_eval(clusters, truth, *, truth_ref_col: str = "conv_id",
         truth.select_columns([truth_ref_col, truth_col]),
         ["ref"], [truth_ref_col], attach, n_parts=n_parts).materialize()
 
-    def pair_sum(key_cols: list[str]) -> int:
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby(key_cols, sort=False).size().reset_index()
-            out.columns = [*key_cols, "cnt"]
-            return out
+    return pd.DataFrame({
+        "tp_pairs": pd.Series(
+            [_group_pair_sum(joined, ["cluster_id", "_entity"], n_parts)],
+            dtype=np.int64),
+        "pred_pairs": pd.Series(
+            [_group_pair_sum(joined, ["cluster_id"], n_parts)],
+            dtype=np.int64),
+        "truth_pairs": pd.Series(
+            [_group_pair_sum(joined, ["_entity"], n_parts)],
+            dtype=np.int64),
+    })
 
-        partials = joined.map_batches(partial, batch_format="pandas")
 
-        def per_part(df: pd.DataFrame) -> pd.DataFrame:
-            tot = df.groupby(key_cols, sort=False)["cnt"].sum().to_numpy()
-            return pd.DataFrame(
-                {"pairs": [int((tot * (tot - 1) // 2).sum())]})
+def _group_pair_sum(ds, key_cols: list[str], n_parts: int) -> int:
+    """Σ C(n_g, 2) over the sizes of ``ds``'s ``key_cols`` groups —
+    map-side partial counts, one tiny keyed shuffle for the exact sizes,
+    per-partition pair-sums; the driver adds ≤ n_parts rows."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_cols, sort=False).size().reset_index()
+        out.columns = [*key_cols, "cnt"]
+        return out
 
-        parts = partitioned_map(partials, key_cols, per_part,
-                                n_parts=n_parts).to_pandas()
-        return int(parts["pairs"].sum()) if len(parts) else 0
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(key_cols, sort=False)["cnt"].sum().to_numpy()
+        return pd.DataFrame(
+            {"pairs": [int((tot * (tot - 1) // 2).sum())]})
+
+    parts = partitioned_map(partials, key_cols, per_part,
+                            n_parts=n_parts).to_pandas()
+    return int(parts["pairs"].sum()) if len(parts) else 0
+
+
+def blocking_eval(cand_pairs, truth, nodes, *,
+                  truth_ref_col: str = "conv_id",
+                  truth_col: str = "entity_id", n_parts: int = 64):
+    """Distributed blocking-quality evaluation (Christen 2012's standard
+    metrics): given the DISTINCT candidate pairs a blocking scheme emits
+    (BEFORE any similarity threshold), the labeled ground truth, and the
+    evaluated node set, compute the integer numerators/denominators of
+
+      reduction ratio   RR = 1 − |cand| / C(n, 2)
+      pair completeness PC = |cand ∩ truth| / |truth-pairs|   (recall)
+      pair quality      PQ = |cand ∩ truth| / |cand|          (precision)
+
+    without enumerating anything quadratic: tp attaches the entity label
+    to each pair side via two edge-sized co-partition exchanges (the
+    editdist attach shape), truth-pairs is Σ C(n_e, 2) over the node-
+    restricted entity sizes (map-side combined), and the ratios export as
+    micro-ints via exact BIGINT floor division (no float in the compare).
+    Returns a one-row pandas DataFrame, all int64.
+
+    Pairs whose refs lack a truth label count in |cand| but not in tp
+    (inner attach — the only exact reading of a partially-labeled audit
+    sample). Degenerate denominators (< 2 nodes, zero truth pairs, zero
+    candidates) export 1_000_000 (the vacuous 1.0, pairwise_f1's own
+    convention for empty denominators)."""
+    n_parts = join_partitions_cap(n_parts)
+
+    lab_cols = [truth_ref_col, truth_col]
+
+    def attach(side_col: str, out_col: str):
+        def fn(p_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+            t = t_df.rename(columns={truth_ref_col: side_col,
+                                     truth_col: out_col})
+            return p_df.merge(t, on=side_col, how="inner")
+        return fn
+
+    cand_pairs = cand_pairs.select_columns(["a", "b"]).materialize()
+    n_cand = cand_pairs.count()
+    with_a = partitioned_map2(cand_pairs, truth.select_columns(lab_cols),
+                              ["a"], [truth_ref_col], attach("a", "_ea"),
+                              n_parts=n_parts)
+    with_b = partitioned_map2(with_a, truth.select_columns(lab_cols),
+                              ["b"], [truth_ref_col], attach("b", "_eb"),
+                              n_parts=n_parts)
+
+    def count_tp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tp": [int((df["_ea"] == df["_eb"]).sum())]})
+
+    tp_parts = with_b.map_batches(count_tp, batch_format="pandas").to_pandas()
+    tp = int(tp_parts["tp"].sum()) if len(tp_parts) else 0
+
+    def keep_labeled(n_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+        t = t_df.rename(columns={truth_ref_col: "ref", truth_col: "_entity"})
+        return n_df.merge(t, on="ref", how="inner")[["_entity"]]
+
+    nlab = partitioned_map2(nodes.select_columns(["ref"]),
+                            truth.select_columns(lab_cols),
+                            ["ref"], [truth_ref_col], keep_labeled,
+                            n_parts=n_parts).materialize()
+    truth_pairs = _group_pair_sum(nlab, ["_entity"], n_parts)
+    n_refs = nodes.count()
+    total = n_refs * (n_refs - 1) // 2
+
+    def micro(num: int, den: int) -> int:
+        return num * 1_000_000 // den if den > 0 else 1_000_000
 
     return pd.DataFrame({
-        "tp_pairs": pd.Series([pair_sum(["cluster_id", "_entity"])],
+        "n_refs": pd.Series([n_refs], dtype=np.int64),
+        "total_pairs": pd.Series([total], dtype=np.int64),
+        "cand_pairs": pd.Series([n_cand], dtype=np.int64),
+        "tp_pairs": pd.Series([tp], dtype=np.int64),
+        "truth_pairs": pd.Series([truth_pairs], dtype=np.int64),
+        "rr_micro": pd.Series([micro(total - n_cand, total)],
                               dtype=np.int64),
-        "pred_pairs": pd.Series([pair_sum(["cluster_id"])], dtype=np.int64),
-        "truth_pairs": pd.Series([pair_sum(["_entity"])], dtype=np.int64),
+        "pc_micro": pd.Series([micro(tp, truth_pairs)], dtype=np.int64),
+        "pq_micro": pd.Series([micro(tp, n_cand)], dtype=np.int64),
     })
 
 

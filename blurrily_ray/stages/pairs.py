@@ -1099,3 +1099,21 @@ def threshold_edges(scored, cfg: ERConfig = DEFAULT):
         return batch.filter(pa.array(ok))
 
     return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def candidate_pairs_restored(raw_pairs, cfg: ERConfig = DEFAULT, *,
+                             lut_ref=None, docsets=None):
+    """The DISTINCT candidate-pair set in REF space — dedupe + min_cokeys
+    applied, NO similarity threshold (the `cand` CTE of the SQL oracle).
+
+    Exists for blocking AUDITS (stages/cluster.blocking_eval): the normal
+    pipeline never materializes pre-threshold pairs with refs restored.
+    Implemented as score_pairs_fused with both score floors zeroed — one
+    hash-partitioned pass reusing the fused dedupe / min_cokeys / ref
+    restoration (and its exact-score column, informative in an audit);
+    the popcount it also runs is candidate-sized, never corpus-sized."""
+    from dataclasses import replace
+
+    nocut = replace(cfg, min_matches=0, min_matches_rel=0.0)
+    return score_pairs_fused(raw_pairs, docsets, cfg=nocut, lut_ref=lut_ref,
+                             surrogate=True, packed=True)

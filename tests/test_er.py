@@ -67,6 +67,79 @@ def test_cluster_eval_truth_subset():
             int(got["truth_pairs"])) == (1, 1, 1)
 
 
+def test_blocking_eval_hand_counts():
+    """Hand-verifiable fixture: 4 nodes, truth {n1,n2,n3}=e1 + n4=e2,
+    candidates (n1,n2) tp, (n1,n4) non-tp, (n1,n9) unlabeled side.
+    total=C(4,2)=6, cand=3, tp=1, truth=C(3,2)=3."""
+    from blurrily_ray.stages.cluster import blocking_eval
+
+    pairs = ray.data.from_items(
+        [{"a": "n1", "b": "n2"}, {"a": "n1", "b": "n4"},
+         {"a": "n1", "b": "n9"}])
+    truth = ray.data.from_items(
+        [{"conv_id": "n1", "entity_id": "e1"},
+         {"conv_id": "n2", "entity_id": "e1"},
+         {"conv_id": "n3", "entity_id": "e1"},
+         {"conv_id": "n4", "entity_id": "e2"},
+         {"conv_id": "n8", "entity_id": "e9"}])  # outside node set
+    nodes = ray.data.from_items(
+        [{"ref": r} for r in ["n1", "n2", "n3", "n4"]])
+    got = blocking_eval(pairs, truth, nodes).iloc[0]
+    assert (int(got["n_refs"]), int(got["total_pairs"]),
+            int(got["cand_pairs"]), int(got["tp_pairs"]),
+            int(got["truth_pairs"])) == (4, 6, 3, 1, 3)
+    assert int(got["rr_micro"]) == (6 - 3) * 1_000_000 // 6
+    assert int(got["pc_micro"]) == 1 * 1_000_000 // 3
+    assert int(got["pq_micro"]) == 1 * 1_000_000 // 3
+
+
+def test_blocking_eval_degenerate_denominators():
+    """Empty candidates / single node / no truth overlap export the
+    vacuous 1.0 (pairwise_f1's empty-denominator convention)."""
+    import pyarrow as pa  # noqa: F811
+
+    from blurrily_ray.stages.cluster import blocking_eval
+
+    empty_pairs = ray.data.from_arrow(pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}))
+    truth = ray.data.from_items([{"conv_id": "n1", "entity_id": "e1"}])
+    nodes = ray.data.from_items([{"ref": "n1"}])
+    got = blocking_eval(empty_pairs, truth, nodes).iloc[0]
+    assert (int(got["cand_pairs"]), int(got["tp_pairs"]),
+            int(got["truth_pairs"])) == (0, 0, 0)
+    assert (int(got["rr_micro"]), int(got["pc_micro"]),
+            int(got["pq_micro"])) == (1_000_000,) * 3
+
+
+def test_candidate_pairs_restored_is_prethreshold_cand(sf0001_paths):
+    """candidate_pairs_restored == the oracle's `cand` CTE: distinct,
+    min_cokeys-filtered, ref-space, NO score threshold — a superset of
+    the thresholded edges with identical (a, b, matches) on the kept."""
+    import duckdb
+
+    from blurrily_ray import oracles
+    from blurrily_ray.config import DEFAULT
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           candidate_pairs_restored,
+                                           docsets_bitsets_ref,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_grouped
+
+    tpath = sf0001_paths["transcripts"]
+    docsets = docsets_grouped(ray.data.read_parquet(tpath)).materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, DEFAULT, lut_ref=lut_ref)
+    raw, _ = candidate_pairs_fused_blocking(keys, DEFAULT, int_refs=True)
+    got = candidate_pairs_restored(raw, DEFAULT, lut_ref=lut_ref).to_pandas()
+    got = set(zip(got["a"], got["b"]))
+    sql = (f"WITH {oracles.pairs_cte(oracles.transcripts_src(tpath), DEFAULT)}"
+           " SELECT a, b FROM cand")
+    exp = set(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == exp
+
+
 def test_every_conv_labeled(er_result, sf0001_paths):
     _, clusters = er_result
     assert set(clusters) == set(truth_map(sf0001_paths))
