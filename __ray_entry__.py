@@ -168,6 +168,15 @@ def _q_jw_pairs(sf_dir: str):
     return _i64(jw_verify_pairs(_docs(sf_dir), min_sim=0.8))
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): pairs
+    within a 4-record window of the normalized-text sort order — linear
+    candidate volume, skew-free by construction (stages/snm.py)."""
+    from blurrily_ray.stages.snm import snm_pairs
+
+    return _i64(snm_pairs(_docs(sf_dir), window=4))
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -864,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs_triple": _q_pairs_triple,
         "edit_pairs_docs": _q_edit_pairs,
         "jw_pairs_docs": _q_jw_pairs,
+        "snm_pairs_docs": _q_snm_pairs,
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
@@ -1036,6 +1046,7 @@ def _oracle_entries():
             oracles.TRIPLE_MODE),
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
+        "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "er_eval": lambda: oracles.sql_er_eval(

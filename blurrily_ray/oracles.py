@@ -218,6 +218,19 @@ FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
 WHERE levenshtein(ta.s, tb.s) <= {max_dist}"""
 
 
+def sql_snm_pairs(window: int = 4) -> str:
+    """Sorted-neighborhood blocking (stages/snm.py): every pair within
+    ``window`` consecutive positions of the (normalized-text, ref) sort
+    order, as a row_number window self-join. Codepoint string order on
+    both sides (pure-ASCII normalized strings), unique-ref tie-break."""
+    norm = NORM_FOLD.format(col="text")
+    return f"""WITH src AS ({DOCS_SRC}),
+norm AS (SELECT ref, {norm} AS s FROM src),
+ranked AS (SELECT ref, row_number() OVER (ORDER BY s, ref) AS rk FROM norm)
+SELECT r1.ref AS a, r2.ref AS b, CAST(r2.rk - r1.rk AS BIGINT) AS rank_dist
+FROM ranked r1 JOIN ranked r2 ON r2.rk > r1.rk AND r2.rk < r1.rk + {window}"""
+
+
 def sql_jw_pairs(min_sim: float = 0.8) -> str:
     """Exact Jaro-Winkler verify over the pair-blocked candidate edges
     (stages/stringsim.py): DuckDB's jaro_winkler_similarity() on the
