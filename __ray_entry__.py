@@ -177,6 +177,53 @@ def _q_snm_pairs(sf_dir: str):
     return _i64(snm_pairs(_docs(sf_dir), window=4))
 
 
+def _fs_agree_ds(sf_dir: str):
+    """Shared FS composition: pre-threshold candidate pairs (the cand
+    CTE, ref-restored) -> agreement vectors (stages/fellegi.py)."""
+    from blurrily_ray.stages.editdist import PAIR_MODE, normalized_texts
+    from blurrily_ray.stages.fellegi import fs_agreements
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           candidate_pairs_restored,
+                                           docsets_bitsets_ref,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docs = _docs(sf_dir)
+    docsets = docsets_from_docs(docs, ref_col="doc_id",
+                                text_col="text").materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, PAIR_MODE, lut_ref=lut_ref)
+    pairs, _ = candidate_pairs_fused_blocking(keys, PAIR_MODE, int_refs=True)
+    cand = candidate_pairs_restored(pairs, PAIR_MODE, lut_ref=lut_ref)
+    return fs_agreements(cand, normalized_texts(docs))
+
+
+def _q_fs_counts(sf_dir: str):
+    """Fellegi-Sunter agreement-pattern histogram — the 2^K-count
+    sufficient statistic the unsupervised EM runs on (one streaming
+    bincount-combiner pass; stages/fellegi.py)."""
+    import numpy as np
+
+    from blurrily_ray.stages.fellegi import fs_pattern_counts
+
+    counts = fs_pattern_counts(_fs_agree_ds(sf_dir))
+    nz = np.nonzero(counts)[0]
+    return pa.table({"pattern": pa.array(nz, pa.int64()),
+                     "n": pa.array(counts[nz], pa.int64())})
+
+
+def _q_fs_scores(sf_dir: str):
+    """Fellegi-Sunter match weights per candidate pair: EM-learned m/u
+    over the pattern histogram, fixed-order float64 log-weight sum,
+    micro-int export (stages/fellegi.py)."""
+    from blurrily_ray.stages.fellegi import fs_score_pairs
+
+    scored, _params = fs_score_pairs(_docs(sf_dir))
+    return _i64(scored)
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -874,6 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs_docs": _q_edit_pairs,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
+        "fs_counts_docs": _q_fs_counts,
+        "fs_scores_docs": _q_fs_scores,
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
@@ -982,6 +1031,23 @@ def _oracle_pq_codebooks(sf: float):
     return _cached_export("pq_codebooks", sf, compute)
 
 
+def _oracle_fs_weights(sf: float):
+    """The engine's EM-learned FS weight matrix for the oracle-sf
+    documents table — deterministic re-train (fixed init / iteration
+    count), exported as repr-exact SQL literals (sql_fs_scores)."""
+    def compute():
+        import ray.data
+
+        from blurrily_ray.stages.fellegi import fs_score_pairs
+
+        docs = ray.data.read_parquet(
+            f"/root/testdata/sf{sf:g}/documents.parquet",
+            columns=["doc_id", "text"])
+        return fs_score_pairs(docs)[1]["weights"]
+
+    return _cached_export("fs_weights", sf, compute)
+
+
 def _oracle_kmeans_centroids(sf: float):
     """The engine's distributed k-means centroids for the oracle-sf
     embeddings table, exported so sql_ivf_knn_kmeans can embed them as a
@@ -1047,6 +1113,9 @@ def _oracle_entries():
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
+        "fs_counts_docs": lambda: oracles.sql_fs_counts(),
+        "fs_scores_docs": lambda: oracles.sql_fs_scores(
+            _oracle_fs_weights(sf)),
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "er_eval": lambda: oracles.sql_er_eval(

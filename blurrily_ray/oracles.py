@@ -218,6 +218,55 @@ FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
 WHERE levenshtein(ta.s, tb.s) <= {max_dist}"""
 
 
+def _fs_ag_cte() -> str:
+    """Agreement-vector CTE over the PRE-threshold candidate set
+    (stages/fellegi.py fields: trigram ≥80 %, length ±5, 16-char prefix).
+    `score` is computed FROM `cand` in pairs_cte, so its rows ARE the
+    candidate pairs (every cand pair shares ≥ arity trigrams)."""
+    from blurrily_ray.stages.fellegi import LEN_TOL, PREFIX_LEN, TRIGRAM_PCT
+
+    return f"""ag AS (SELECT s.a, s.b,
+    CASE WHEN s.matches * 100 >= {TRIGRAM_PCT} * LEAST(na.ntri, nb.ntri)
+         THEN 1 ELSE 0 END AS g0,
+    CASE WHEN ABS(length(ta.s) - length(tb.s)) <= {LEN_TOL}
+         THEN 1 ELSE 0 END AS g1,
+    CASE WHEN substr(ta.s, 1, {PREFIX_LEN}) = substr(tb.s, 1, {PREFIX_LEN})
+         THEN 1 ELSE 0 END AS g2
+    FROM score s JOIN ntri na ON na.ref = s.a JOIN ntri nb ON nb.ref = s.b
+         JOIN norm ta ON ta.ref = s.a JOIN norm tb ON tb.ref = s.b)"""
+
+
+def sql_fs_counts() -> str:
+    """Fellegi-Sunter agreement-pattern histogram — the distributed
+    EM's sufficient statistic, fully integer."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+{_fs_ag_cte()}
+SELECT CAST(g0 + 2*g1 + 4*g2 AS BIGINT) AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ag GROUP BY 1"""
+
+
+def sql_fs_scores(weights) -> str:
+    """Fellegi-Sunter match weights over the candidate pairs GIVEN the
+    engine's EM-learned (K, 2) weight matrix, embedded as repr-exact
+    float64 literals (strtod round-trip — the bm25 precedent). The
+    score expression parenthesizes each field term and sums
+    left-to-right, exactly the engine's accumulation order, so the
+    float64s and their micro-int floors agree bitwise."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    w = [(repr(float(row[0])), repr(float(row[1]))) for row in weights]
+    terms = " + ".join(
+        f"(g{k} * {wa} + (1 - g{k}) * {wd})" for k, (wa, wd) in enumerate(w))
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+{_fs_ag_cte()}
+SELECT a, b, CAST(g0 + 2*g1 + 4*g2 AS BIGINT) AS pattern,
+       CAST(FLOOR(({terms}) * 1e6) AS BIGINT) AS fs_micro
+FROM ag"""
+
+
 def sql_snm_pairs(window: int = 4) -> str:
     """Sorted-neighborhood blocking (stages/snm.py): every pair within
     ``window`` consecutive positions of the (normalized-text, ref) sort

@@ -210,13 +210,18 @@ def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
 
 def attach_texts_and_verify(edges, texts, verify, *, mode: str = "auto",
                             n_parts: int = 64,
-                            broadcast_limit_bytes: int = 256 << 20):
+                            broadcast_limit_bytes: int = 256 << 20,
+                            extra_cols: list[str] | None = None):
     """Shared attach plumbing for exact verify stages (Levenshtein here,
-    Jaro-Winkler in stages/stringsim.py): bring both sides' normalized
-    strings to each (a, b, matches) edge, then apply ``verify`` — a
-    whole-partition pandas kernel over columns (a, b, matches, _ta, _tb).
+    Jaro-Winkler in stages/stringsim.py, Fellegi-Sunter agreements in
+    stages/fellegi.py): bring both sides' normalized strings to each
+    (a, b, matches) edge, then apply ``verify`` — a whole-partition
+    pandas kernel over columns (a, b, matches, _ta, _tb). ``extra_cols``
+    names additional edge columns to carry through the attach (e.g. the
+    scorer's ntri/weight columns).
 
     Broadcast/join duality as documented on :func:`edit_verify_edges`."""
+    keep = ["a", "b", "matches", *(extra_cols or [])]
     if mode == "auto":
         # ~400 B/doc of normalized text+ref (documents avg ~300 chars)
         mode = ("broadcast"
@@ -239,7 +244,7 @@ def attach_texts_and_verify(edges, texts, verify, *, mode: str = "auto",
             # inner semantics: an edge ref absent from texts has no string
             # to verify against (caller passed a docs subset) — drop, the
             # only exact answer (same as the join path's inner merge)
-            df = df[["a", "b", "matches"]].copy()
+            df = df[keep].copy()
             df["_ta"] = df["a"].map(t)
             df["_tb"] = df["b"].map(t)
             df = df[df["_ta"].notna() & df["_tb"].notna()]
@@ -259,7 +264,7 @@ def attach_texts_and_verify(edges, texts, verify, *, mode: str = "auto",
             return edge_df.merge(t, on=side_col, how="inner")
         return fn
 
-    edges = edges.select_columns(["a", "b", "matches"])
+    edges = edges.select_columns(keep)
     with_a = partitioned_map2(edges, texts, ["a"], ["ref"],
                               attach("a", "_ta"), n_parts=n_parts)
     with_b = partitioned_map2(with_a, texts, ["b"], ["ref"],

@@ -30,10 +30,18 @@ def main() -> None:
         os.path.abspath(__file__))), "blurrily_ray", "data", "oracle_cache")
     os.makedirs(out_dir, exist_ok=True)
     import ray.data
+
+    from blurrily_ray.stages.fellegi import fs_score_pairs
+
     for sf in sfs:
         emb = ray.data.read_parquet(f"/root/testdata/sf{sf:g}/embeddings.parquet")
+        docs = ray.data.read_parquet(
+            f"/root/testdata/sf{sf:g}/documents.parquet",
+            columns=["doc_id", "text"])
+        _, fs_params = fs_score_pairs(docs)
         for name, arr in (("pq_codebooks", pq_codebooks(emb)),
-                          ("kmeans_centroids", kmeans_centroids(emb, 16))):
+                          ("kmeans_centroids", kmeans_centroids(emb, 16)),
+                          ("fs_weights", fs_params["weights"])):
             path = os.path.join(out_dir, f"{name}_sf{sf:g}.npy")
             np.save(path, arr)
             print(f"wrote {path} shape={arr.shape} dtype={arr.dtype}")
