@@ -405,6 +405,17 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "event_type", "ts"])).count()), 3)
 
+    from blurrily_ray.stages.fellegi import fs_score_pairs
+    from blurrily_ray.stages.snm import snm_pairs
+    from blurrily_ray.stages.stringsim import jw_verify_pairs
+
+    queries["jw_pairs"] = round(
+        best_of(lambda: jw_verify_pairs(docs, min_sim=0.8).count()), 3)
+    queries["snm_pairs"] = round(
+        best_of(lambda: snm_pairs(docs, window=4).count()), 3)
+    queries["fs_scores"] = round(
+        best_of(lambda: fs_score_pairs(docs)[0].count()), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 
