@@ -246,6 +246,21 @@ def _q_er_eval(sf_dir: str):
     return cluster_eval(clusters, truth)
 
 
+def _q_er_golden(sf_dir: str):
+    """Survivorship / golden-record rollup of the ER clusters: canonical
+    member + exact integer merge stats per entity
+    (stages/cluster.cluster_golden)."""
+    import ray.data
+
+    from blurrily_ray.pipelines.er import run_er_grouped
+    from blurrily_ray.stages.cluster import cluster_golden
+
+    tpath = _transcripts_path(sf_dir)
+    clusters = run_er_grouped(tpath)["clusters"]
+    transcripts = ray.data.read_parquet(tpath, columns=["conv_id", "text"])
+    return _i64(cluster_golden(clusters, transcripts))
+
+
 def _q_blocking_eval(sf_dir: str):
     """Blocking-quality audit (reduction ratio / pair completeness / pair
     quality, Christen 2012) of the DEFAULT composite-key blocking against
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
         "blocking_eval": _q_blocking_eval,
+        "er_golden": _q_er_golden,
         "dedup_exact_docs": _q_dedup_exact,
         "dedup_paragraphs_docs": _q_para_dedup,
         "repetition_docs": _q_repetition,
@@ -1122,6 +1138,7 @@ def _oracle_entries():
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
+        "er_golden": lambda: oracles.sql_er_golden(tpath()),
         "dedup_exact_docs": lambda: oracles.sql_exact_dedup_docs(),
         "dedup_paragraphs_docs": lambda: oracles.sql_dedup_paragraphs(),
         "repetition_docs": lambda: oracles.sql_repetition_stats(),

@@ -311,6 +311,31 @@ FROM nodes n LEFT JOIN reach r ON r.s = n.ref
 GROUP BY n.ref"""
 
 
+def sql_er_golden(transcripts_path: str, cfg: ERConfig = DEFAULT) -> str:
+    """Survivorship rollup of the SQL-derived clusters (mirrors
+    stages/cluster.cluster_golden): canonical member + exact integer
+    merge stats per entity cluster. length() counts codepoints in both
+    DuckDB and the engine's str.len (parity pinned in tests)."""
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                  THEN n.ref ELSE MIN(r.d) END AS cluster_id
+             FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+stats AS (SELECT conv_id, COUNT(*) AS n_turns,
+                 SUM(length(COALESCE(text, ''))) AS chars
+          FROM read_parquet('{transcripts_path}') GROUP BY conv_id)
+SELECT c.cluster_id, MIN(c.ref) AS canonical_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s.n_turns) AS BIGINT) AS n_turns,
+       CAST(SUM(s.chars) AS BIGINT) AS text_chars
+FROM clusters c JOIN stats s ON s.conv_id = c.ref
+GROUP BY c.cluster_id"""
+
+
 def sql_er_eval(transcripts_path: str, truth_path: str,
                 cfg: ERConfig = DEFAULT) -> str:
     """Pairwise-F1 integer counts of the SQL-derived clusters against the

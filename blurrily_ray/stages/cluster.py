@@ -369,3 +369,57 @@ def pairwise_f1(pred_clusters: dict, truth_clusters: dict) -> dict:
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"precision": precision, "recall": recall, "f1": f1,
             "tp_pairs": tp, "pred_pairs": pp, "truth_pairs": ap}
+
+
+def cluster_golden(clusters, transcripts, *, turn_ref_col: str = "conv_id",
+                   text_col: str = "text", n_parts: int = 64):
+    """Survivorship / golden-record rollup — the deliverable AFTER
+    resolution: one row per entity cluster with its canonical member and
+    merged integer stats. canonical_ref = MIN(ref) (the same deterministic
+    survivor rule near_dedup_canonical and the cluster labeling use),
+    n_members = member conversations, n_turns / text_chars = exact sums
+    over every member's turns (codepoint counts — DuckDB length() parity
+    pinned in tests).
+
+    Distributed shape: per-batch partial (conv, n, chars) rows map-side
+    combine the turn table, ONE conv-keyed co-partition attaches the
+    cluster label, ONE cluster-keyed partition merges — corpus text is
+    reduced to two ints per conversation before anything shuffles."""
+    n_parts = join_partitions_cap(n_parts)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # codepoint counts vectorized ONCE, then a plain groupby sum —
+        # no per-group Python; Arrow output so partitioned_map2 sees
+        # pa.DataTypes (a pandas block schema carries numpy dtypes)
+        tmp = pd.DataFrame({
+            turn_ref_col: df[turn_ref_col],
+            "_c": df[text_col].fillna("").str.len().astype(np.int64)})
+        g = tmp.groupby(turn_ref_col, sort=False)["_c"]
+        out = g.agg(n_turns="size", text_chars="sum").reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["text_chars"] = out["text_chars"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = transcripts.select_columns([turn_ref_col, text_col]) \
+        .map_batches(partial, batch_format="pandas")
+
+    def attach(c_df: pd.DataFrame, s_df: pd.DataFrame) -> pd.DataFrame:
+        s = s_df.groupby(turn_ref_col, sort=False).sum().reset_index() \
+            .rename(columns={turn_ref_col: "ref"})
+        return c_df.merge(s, on="ref", how="inner")
+
+    joined = partitioned_map2(
+        clusters.select_columns(["ref", "cluster_id"]), stats,
+        ["ref"], [turn_ref_col], attach, n_parts=n_parts)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", sort=False)
+        out = g.agg(canonical_ref=("ref", "min"),
+                    n_members=("ref", "size"),
+                    n_turns=("n_turns", "sum"),
+                    text_chars=("text_chars", "sum")).reset_index()
+        for c in ["n_members", "n_turns", "text_chars"]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return partitioned_map(joined, ["cluster_id"], merge, n_parts=n_parts)

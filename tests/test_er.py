@@ -67,6 +67,33 @@ def test_cluster_eval_truth_subset():
             int(got["truth_pairs"])) == (1, 1, 1)
 
 
+def test_cluster_golden_hand_counts():
+    """Hand-verifiable survivorship: cluster x = {c1, c2}, y = {c3};
+    codepoint counting (emoji = 1) must match DuckDB length()."""
+    from blurrily_ray.stages.cluster import cluster_golden
+
+    clusters = ray.data.from_items(
+        [{"ref": "c2", "cluster_id": "c1"}, {"ref": "c1", "cluster_id": "c1"},
+         {"ref": "c3", "cluster_id": "c3"}])
+    turns = ray.data.from_items(
+        [{"conv_id": "c1", "text": "hello"},       # 5
+         {"conv_id": "c1", "text": "café"},   # 4 codepoints
+         {"conv_id": "c2", "text": "\U0001F600"},  # 1 codepoint
+         {"conv_id": "c2", "text": None},          # null == ''
+         {"conv_id": "c3", "text": "xyz"},
+         {"conv_id": "c9", "text": "orphan turn — no cluster"}])
+    got = cluster_golden(clusters, turns).to_pandas() \
+        .set_index("cluster_id").sort_index()
+    assert list(got.index) == ["c1", "c3"]
+    assert got.loc["c1", "canonical_ref"] == "c1"
+    assert (int(got.loc["c1", "n_members"]),
+            int(got.loc["c1", "n_turns"]),
+            int(got.loc["c1", "text_chars"])) == (2, 4, 10)
+    assert (int(got.loc["c3", "n_members"]),
+            int(got.loc["c3", "n_turns"]),
+            int(got.loc["c3", "text_chars"])) == (1, 1, 3)
+
+
 def test_blocking_eval_hand_counts():
     """Hand-verifiable fixture: 4 nodes, truth {n1,n2,n3}=e1 + n4=e2,
     candidates (n1,n2) tp, (n1,n4) non-tp, (n1,n9) unlabeled side.
