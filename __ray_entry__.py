@@ -224,6 +224,14 @@ def _q_fs_scores(sf_dir: str):
     return _i64(scored)
 
 
+def _q_snm_multi(sf_dir: str):
+    """Multi-pass sorted neighborhood: forward + reversed-key passes,
+    canonical union with a per-pair pass count (stages/snm.py)."""
+    from blurrily_ray.stages.snm import snm_pairs_multi
+
+    return _i64(snm_pairs_multi(_docs(sf_dir), window=4))
+
+
 def _q_er_clusters(sf_dir: str):
     from blurrily_ray.pipelines.er import run_er_grouped
 
@@ -936,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs_docs": _q_edit_pairs,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
+        "snm_multi_pairs_docs": _q_snm_multi,
         "fs_counts_docs": _q_fs_counts,
         "fs_scores_docs": _q_fs_scores,
         "er_clusters": _q_er_clusters,
@@ -1129,6 +1138,7 @@ def _oracle_entries():
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
+        "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),
         "fs_counts_docs": lambda: oracles.sql_fs_counts(),
         "fs_scores_docs": lambda: oracles.sql_fs_scores(
             _oracle_fs_weights(sf)),

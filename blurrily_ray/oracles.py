@@ -280,6 +280,25 @@ SELECT r1.ref AS a, r2.ref AS b, CAST(r2.rk - r1.rk AS BIGINT) AS rank_dist
 FROM ranked r1 JOIN ranked r2 ON r2.rk > r1.rk AND r2.rk < r1.rk + {window}"""
 
 
+def sql_snm_pairs_multi(window: int = 4) -> str:
+    """Multi-pass SNM (stages/snm.snm_pairs_multi): union of the forward
+    and reversed-key windowed pairs, canonical (a < b in ref order),
+    passes = how many passes proposed the pair."""
+    norm = NORM_FOLD.format(col="text")
+    return f"""WITH src AS ({DOCS_SRC}),
+norm AS (SELECT ref, {norm} AS s FROM src),
+r1 AS (SELECT ref, row_number() OVER (ORDER BY s, ref) AS rk FROM norm),
+r2 AS (SELECT ref, row_number() OVER (ORDER BY reverse(s), ref) AS rk
+       FROM norm),
+p1 AS (SELECT x.ref AS ra, y.ref AS rb FROM r1 x JOIN r1 y
+       ON y.rk > x.rk AND y.rk < x.rk + {window}),
+p2 AS (SELECT x.ref AS ra, y.ref AS rb FROM r2 x JOIN r2 y
+       ON y.rk > x.rk AND y.rk < x.rk + {window}),
+allp AS (SELECT LEAST(ra, rb) AS a, GREATEST(ra, rb) AS b
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS passes FROM allp GROUP BY a, b"""
+
+
 def sql_jw_pairs(min_sim: float = 0.8) -> str:
     """Exact Jaro-Winkler verify over the pair-blocked candidate edges
     (stages/stringsim.py): DuckDB's jaro_winkler_similarity() on the

@@ -49,24 +49,40 @@ import pyarrow.compute as pc
 
 from blurrily_ray.stages.editdist import normalized_texts
 
-__all__ = ["snm_pairs"]
+__all__ = ["snm_pairs", "snm_pairs_multi"]
 
 
 def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
               text_col: str = "text", n_parts: int = 64,
-              prefix_len: int = 2):
+              prefix_len: int = 2, key_transform: str = "identity"):
     """Sorted-neighborhood candidate pairs over one document table:
     (a, b, rank_dist) for every pair within ``window`` consecutive
-    positions of the (normalized-text, ref) sort order; ``a`` is the
-    earlier record in that order, 1 ≤ rank_dist ≤ window−1."""
+    positions of the (sort-key, ref) order; ``a`` is the earlier record
+    in that order, 1 ≤ rank_dist ≤ window−1.
+
+    ``key_transform``: 'identity' sorts by the normalized text;
+    'reverse' sorts by the codepoint-reversed normalized text — the
+    classic second pass of multi-pass SNM (a typo in the first
+    characters destroys a record's forward neighborhood but not its
+    reversed one). See :func:`snm_pairs_multi`."""
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
+    if key_transform not in ("identity", "reverse"):
+        raise ValueError(f"unknown key_transform {key_transform!r}")
     from blurrily_ray.stages.common import (join_partitions_cap,
                                             partitioned_map)
 
     w = window
     n_parts = join_partitions_cap(n_parts)
     texts = normalized_texts(docs, ref_col=ref_col, text_col=text_col)
+    if key_transform == "reverse":
+        def rev(batch: pa.Table) -> pa.Table:
+            # Arrow codepoint reverse — matches DuckDB reverse() and
+            # Python s[::-1] on this domain
+            return pa.table({"ref": batch["ref"],
+                             "_nt": pc.utf8_reverse(batch["_nt"])})
+
+        texts = texts.map_batches(rev, batch_format="pyarrow")
 
     def add_pid(batch: pa.Table) -> pa.Table:
         s = batch["_nt"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -175,3 +191,52 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
     import ray.data
 
     return pairs_ds.union(ray.data.from_pandas(cross))
+
+
+def snm_pairs_multi(docs, *, window: int = 4, ref_col: str = "doc_id",
+                    text_col: str = "text", n_parts: int = 64,
+                    prefix_len: int = 2):
+    """Multi-pass sorted neighborhood (the standard production recipe —
+    Hernández & Stolfo run several cheap passes under DIFFERENT sort
+    keys and union the candidates, because one key's sort order is
+    blind to typos at its own front): pass 1 sorts by the normalized
+    text, pass 2 by its codepoint reverse. Output is the canonical
+    union — (a, b, passes) with a < b in ref order and passes ∈ {1, 2}
+    the number of passes that proposed the pair (2 ⇒ both neighborhoods
+    agree — a confidence signal meta-blocking can weight).
+
+    The union/dedup is ONE pair-keyed partition over rows that are
+    already candidate-sized; each pass's internal exchange is snm_pairs'
+    own."""
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages.common import join_partitions_cap, \
+        partitioned_map
+
+    fwd = snm_pairs(docs, window=window, ref_col=ref_col,
+                    text_col=text_col, n_parts=n_parts,
+                    prefix_len=prefix_len, key_transform="identity")
+    rev = snm_pairs(docs, window=window, ref_col=ref_col,
+                    text_col=text_col, n_parts=n_parts,
+                    prefix_len=prefix_len, key_transform="reverse")
+
+    def canon(t: pa.Table) -> pa.Table:
+        # orient a < b in REF order (each pass orients by its own sort)
+        lo = pc.min_element_wise(t["a"], t["b"])
+        hi = pc.max_element_wise(t["a"], t["b"])
+        return pa.table({"a": lo, "b": hi})
+
+    both = fwd.map_batches(canon, batch_format="pyarrow").union(
+        rev.map_batches(canon, batch_format="pyarrow"))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["a", "b"], sort=False).size().reset_index()
+        out.columns = ["a", "b", "passes"]
+        # a pair can repeat WITHIN one pass only if it repeats in the
+        # window — impossible (distinct rank pairs) — so size() counts
+        # passes exactly
+        out["passes"] = out["passes"].astype(np.int64)
+        return out
+
+    n_parts = join_partitions_cap(n_parts)
+    return partitioned_map(both, ["a", "b"], dedup, n_parts=n_parts)

@@ -67,6 +67,32 @@ def test_snm_window_validation():
         snm_pairs(ray.data.from_items(ROWS), window=1)
 
 
+def test_snm_multi_union_semantics():
+    """Multi-pass union: canonical orientation, passes = membership
+    count across the forward and reversed windows (brute-checked)."""
+    from blurrily_ray.stages.snm import snm_pairs_multi
+
+    def brute_multi(rows, window):
+        ds = ray.data.from_items(rows)
+        nt = {r["ref"]: r["_nt"] for r in normalized_texts(ds).take_all()}
+        out = {}
+        for keyf in (lambda r: (nt[r], r), lambda r: (nt[r][::-1], r)):
+            order = sorted(nt, key=keyf)
+            for i in range(len(order)):
+                for d in range(1, window):
+                    if i + d < len(order):
+                        p = tuple(sorted((order[i], order[i + d])))
+                        out[p] = out.get(p, 0) + 1
+        return out
+
+    got = snm_pairs_multi(ray.data.from_items(ROWS), window=3).to_pandas()
+    got_map = {(a, b): p for a, b, p in zip(got["a"], got["b"],
+                                            got["passes"])}
+    assert got_map == brute_multi(ROWS, 3)
+    assert set(got["passes"]) <= {1, 2}
+    assert (got["a"] < got["b"]).all()
+
+
 def test_snm_cross_partition_pairs_present():
     """Adjacent sort neighbors landing in different prefix partitions
     (first letters differ) must still pair — the boundary path."""
