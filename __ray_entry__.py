@@ -177,38 +177,15 @@ def _q_snm_pairs(sf_dir: str):
     return _i64(snm_pairs(_docs(sf_dir), window=4))
 
 
-def _fs_agree_ds(sf_dir: str):
-    """Shared FS composition: pre-threshold candidate pairs (the cand
-    CTE, ref-restored) -> agreement vectors (stages/fellegi.py)."""
-    from blurrily_ray.stages.editdist import PAIR_MODE, normalized_texts
-    from blurrily_ray.stages.fellegi import fs_agreements
-    from blurrily_ray.stages.pairs import (blocking_keys,
-                                           candidate_pairs_fused_blocking,
-                                           candidate_pairs_restored,
-                                           docsets_bitsets_ref,
-                                           trigram_histogram)
-    from blurrily_ray.stages.tokenize import docsets_from_docs
-
-    docs = _docs(sf_dir)
-    docsets = docsets_from_docs(docs, ref_col="doc_id",
-                                text_col="text").materialize()
-    hist = trigram_histogram(docsets)
-    lut_ref = docsets_bitsets_ref(docsets)
-    keys = blocking_keys(docsets, hist, PAIR_MODE, lut_ref=lut_ref)
-    pairs, _ = candidate_pairs_fused_blocking(keys, PAIR_MODE, int_refs=True)
-    cand = candidate_pairs_restored(pairs, PAIR_MODE, lut_ref=lut_ref)
-    return fs_agreements(cand, normalized_texts(docs))
-
-
 def _q_fs_counts(sf_dir: str):
     """Fellegi-Sunter agreement-pattern histogram — the 2^K-count
     sufficient statistic the unsupervised EM runs on (one streaming
     bincount-combiner pass; stages/fellegi.py)."""
     import numpy as np
 
-    from blurrily_ray.stages.fellegi import fs_pattern_counts
+    from blurrily_ray.stages.fellegi import fs_candidates, fs_pattern_counts
 
-    counts = fs_pattern_counts(_fs_agree_ds(sf_dir))
+    counts = fs_pattern_counts(fs_candidates(_docs(sf_dir)))
     nz = np.nonzero(counts)[0]
     return pa.table({"pattern": pa.array(nz, pa.int64()),
                      "n": pa.array(counts[nz], pa.int64())})

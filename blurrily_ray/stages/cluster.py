@@ -297,37 +297,56 @@ def blocking_eval(cand_pairs, truth, nodes, *,
 
     lab_cols = [truth_ref_col, truth_col]
 
-    def attach(side_col: str, out_col: str):
-        def fn(p_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
-            t = t_df.rename(columns={truth_ref_col: side_col,
-                                     truth_col: out_col})
-            return p_df.merge(t, on=side_col, how="inner")
-        return fn
-
-    cand_pairs = cand_pairs.select_columns(["a", "b"]).materialize()
-    n_cand = cand_pairs.count()
-    with_a = partitioned_map2(cand_pairs, truth.select_columns(lab_cols),
-                              ["a"], [truth_ref_col], attach("a", "_ea"),
-                              n_parts=n_parts)
-    with_b = partitioned_map2(with_a, truth.select_columns(lab_cols),
-                              ["b"], [truth_ref_col], attach("b", "_eb"),
-                              n_parts=n_parts)
-
-    def count_tp(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"tp": [int((df["_ea"] == df["_eb"]).sum())]})
-
-    tp_parts = with_b.map_batches(count_tp, batch_format="pandas").to_pandas()
-    tp = int(tp_parts["tp"].sum()) if len(tp_parts) else 0
-
+    # node-restrict the label table FIRST: tp, truth_pairs and the SQL
+    # oracle must all read labels from the SAME universe (a pair ref
+    # labeled in truth but outside `nodes` — an audit over a sampled
+    # node set — must not count as tp while being absent from the
+    # truth-pair denominator)
     def keep_labeled(n_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
         t = t_df.rename(columns={truth_ref_col: "ref", truth_col: "_entity"})
-        return n_df.merge(t, on="ref", how="inner")[["_entity"]]
+        return n_df.merge(t, on="ref", how="inner")[["ref", "_entity"]]
 
     nlab = partitioned_map2(nodes.select_columns(["ref"]),
                             truth.select_columns(lab_cols),
                             ["ref"], [truth_ref_col], keep_labeled,
                             n_parts=n_parts).materialize()
+    # an all-filtered nlab leaves no block to infer a schema from — the
+    # contract is known, state it for the downstream co-partitions
+    tt = dict(zip(truth.schema().names, truth.schema().types))
+    nlab_schema = pa.schema([("ref", tt[truth_ref_col]),
+                             ("_entity", tt[truth_col])])
+
+    def attach(side_col: str, out_col: str):
+        def fn(p_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+            t = t_df.rename(columns={"ref": side_col, "_entity": out_col})
+            return p_df.merge(t, on=side_col, how="inner")
+        return fn
+
+    cand_pairs = cand_pairs.select_columns(["a", "b"]).materialize()
+    n_cand = cand_pairs.count()
+    if n_cand == 0:
+        tp = 0
+    else:
+        cs = dict(zip(cand_pairs.schema().names, cand_pairs.schema().types))
+        with_a = partitioned_map2(cand_pairs, nlab,
+                                  ["a"], ["ref"], attach("a", "_ea"),
+                                  n_parts=n_parts,
+                                  right_schema=nlab_schema)
+        wa_schema = pa.schema([("a", cs["a"]), ("b", cs["b"]),
+                               ("_ea", tt[truth_col])])
+        with_b = partitioned_map2(with_a, nlab,
+                                  ["b"], ["ref"], attach("b", "_eb"),
+                                  n_parts=n_parts, left_schema=wa_schema,
+                                  right_schema=nlab_schema)
+
+        def count_tp(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"tp": [int((df["_ea"] == df["_eb"]).sum())]})
+
+        tp_parts = with_b.map_batches(count_tp,
+                                      batch_format="pandas").to_pandas()
+        tp = int(tp_parts["tp"].sum()) if len(tp_parts) else 0
+
     truth_pairs = _group_pair_sum(nlab, ["_entity"], n_parts)
     n_refs = nodes.count()
     total = n_refs * (n_refs - 1) // 2

@@ -166,13 +166,14 @@ def score_with_weights(agree_ds, weights: np.ndarray):
     return agree_ds.map_batches(score, batch_format="pandas")
 
 
-def fs_score_pairs(docs, *, cfg: ERConfig = PAIR_MODE,
-                   ref_col: str = "doc_id", text_col: str = "text",
-                   iters: int = 100):
-    """Blocking + agreement vectors + unsupervised EM + FS scoring over
-    one document table. Returns (scored_ds, params) where scored_ds is
-    (a, b, pattern, fs_micro) and params carries the learned m/u/p and
-    the (K, 2) weight matrix (the oracle-export surface)."""
+def fs_candidates(docs, *, cfg: ERConfig = PAIR_MODE,
+                  ref_col: str = "doc_id", text_col: str = "text"):
+    """The ONE canonical FS candidate composition — blocking → fused
+    pair generation → PRE-threshold ref restoration → agreement vectors
+    (the classic reading: EM needs the non-match mass; thresholded edges
+    would feed it only near-matches). fs_pattern_counts and
+    fs_score_pairs must see the SAME pair set, so both routes call
+    here."""
     from blurrily_ray.stages.pairs import (blocking_keys,
                                            candidate_pairs_fused_blocking,
                                            candidate_pairs_restored,
@@ -186,12 +187,20 @@ def fs_score_pairs(docs, *, cfg: ERConfig = PAIR_MODE,
     lut_ref = docsets_bitsets_ref(docsets)
     keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
     pairs, _ = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
-    # FS scores the PRE-threshold candidate set (the classic reading:
-    # EM needs the non-match mass; the thresholded edges would feed it
-    # only near-matches) — the `cand` CTE, ref-restored
     cand = candidate_pairs_restored(pairs, cfg, lut_ref=lut_ref)
     texts = normalized_texts(docs, ref_col=ref_col, text_col=text_col)
-    agree = fs_agreements(cand, texts).materialize()
+    return fs_agreements(cand, texts)
+
+
+def fs_score_pairs(docs, *, cfg: ERConfig = PAIR_MODE,
+                   ref_col: str = "doc_id", text_col: str = "text",
+                   iters: int = 100):
+    """Blocking + agreement vectors + unsupervised EM + FS scoring over
+    one document table. Returns (scored_ds, params) where scored_ds is
+    (a, b, pattern, fs_micro) and params carries the learned m/u/p and
+    the (K, 2) weight matrix (the oracle-export surface)."""
+    agree = fs_candidates(docs, cfg=cfg, ref_col=ref_col,
+                          text_col=text_col).materialize()
     counts = fs_pattern_counts(agree)
     params = fs_em(counts, iters=iters)
     weights = fs_weights(params["m"], params["u"])

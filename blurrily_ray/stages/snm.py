@@ -102,7 +102,7 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
     def gen(df: pd.DataFrame) -> pd.DataFrame:
         ref_dtype = df["ref"].dtype
         a_out, b_out, d_out = [], [], []
-        m_ref, m_rank, m_pid, m_skey, m_kind = [], [], [], [], []
+        m_ref, m_rank, m_pid, m_kind = [], [], [], []
         for pid, g in df.groupby("_pid", sort=False):
             g = g.sort_values(["_nt", "ref"], kind="stable")
             refs = g["ref"].to_numpy()
@@ -116,13 +116,11 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
             m_ref.append(refs[bmask])
             m_rank.append(lrank[bmask])
             m_pid.append(np.full(int(bmask.sum()), pid, dtype=np.int64))
-            m_skey.append(g["_nt"].to_numpy()[bmask])
             m_kind.append(np.ones(int(bmask.sum()), dtype=np.int64))
             # size row (kind=2): rank_dist carries the partition size
             m_ref.append(refs[:1])
             m_rank.append(np.array([n], dtype=np.int64))
             m_pid.append(np.array([pid], dtype=np.int64))
-            m_skey.append(np.array([""], dtype=object))
             m_kind.append(np.array([2], dtype=np.int64))
 
         def cat(parts, dtype=None):
@@ -132,7 +130,6 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
             return np.concatenate(parts)
 
         pairs_n = sum(len(x) for x in a_out)
-        meta_n = sum(len(x) for x in m_ref)
         return pd.DataFrame({
             "kind": np.concatenate([np.zeros(pairs_n, dtype=np.int64),
                                     cat(m_kind, np.int64)]),
@@ -142,8 +139,6 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
                                          cat(m_rank, np.int64)]),
             "pid": np.concatenate([np.full(pairs_n, -1, dtype=np.int64),
                                    cat(m_pid, np.int64)]),
-            "skey": np.concatenate([np.full(pairs_n, "", dtype=object),
-                                    cat(m_skey, object)]),
         })
 
     out = partitioned_map(keyed, ["_pid"], gen,
@@ -155,13 +150,18 @@ def snm_pairs(docs, *, window: int = 4, ref_col: str = "doc_id",
 
     pairs_ds = out.map_batches(only_pairs, batch_format="pyarrow")
 
-    # --- driver reconciliation: O(P·w) metadata rows, never corpus data
-    metas = []
-    for t in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # --- driver reconciliation over O(P·w) metadata rows, never corpus
+    # data: the kind>0 filter runs DISTRIBUTED (map_batches), so only the
+    # boundary/size rows — not the n·(w−1) pair rows — reach the driver
+    def only_meta(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["kind"], 0))
+        return t.select(["kind", "a", "rank_dist", "pid"])
+
+    metas = []
+    for t in out.map_batches(only_meta, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         if len(t):
-            metas.append(t.select(["kind", "a", "rank_dist", "pid",
-                                   "skey"]).to_pandas())
+            metas.append(t.to_pandas())
     if not metas:
         return pairs_ds
     meta = pd.concat(metas, ignore_index=True)

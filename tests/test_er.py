@@ -120,6 +120,23 @@ def test_blocking_eval_hand_counts():
     assert int(got["pq_micro"]) == 1 * 1_000_000 // 3
 
 
+def test_blocking_eval_label_universe_is_node_restricted():
+    """tp and truth_pairs must read labels from the SAME node-restricted
+    universe: a candidate pair whose ref is labeled in truth but outside
+    `nodes` (audit over a sampled node set) counts in |cand| but NOT as
+    tp — matching the SQL oracle's nlab join."""
+    from blurrily_ray.stages.cluster import blocking_eval
+
+    pairs = ray.data.from_items([{"a": "n1", "b": "x9"}])  # x9 ∉ nodes
+    truth = ray.data.from_items(
+        [{"conv_id": "n1", "entity_id": "e1"},
+         {"conv_id": "x9", "entity_id": "e1"}])  # labeled, same entity
+    nodes = ray.data.from_items([{"ref": "n1"}, {"ref": "n2"}])
+    got = blocking_eval(pairs, truth, nodes).iloc[0]
+    assert (int(got["cand_pairs"]), int(got["tp_pairs"]),
+            int(got["truth_pairs"])) == (1, 0, 0)
+
+
 def test_blocking_eval_degenerate_denominators():
     """Empty candidates / single node / no truth overlap export the
     vacuous 1.0 (pairwise_f1's empty-denominator convention)."""
