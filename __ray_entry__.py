@@ -159,6 +159,16 @@ def _q_edit_pairs(sf_dir: str):
     return _i64(edit_verify_pairs(_docs(sf_dir), max_dist=40))
 
 
+def _q_dl_pairs(sf_dir: str):
+    """Record-linkage verify cascade, typo edition: pair-blocked
+    candidates filtered by EXACT true Damerau-Levenshtein ≤ 40
+    (adjacent transposition = one edit; row-vectorized Lowrance-Wagner;
+    stages/editdist.py)."""
+    from blurrily_ray.stages.editdist import dl_verify_pairs
+
+    return _i64(dl_verify_pairs(_docs(sf_dir), max_dist=40))
+
+
 def _q_jw_pairs(sf_dir: str):
     """Record-linkage verify cascade, Jaro-Winkler edition: pair-blocked
     candidates kept at exact JW >= 0.8 (bit-parallel matching scan,
@@ -919,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs": _q_pairs,
         "pairs_docs_triple": _q_pairs_triple,
         "edit_pairs_docs": _q_edit_pairs,
+        "dl_pairs_docs": _q_dl_pairs,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1113,6 +1124,7 @@ def _oracle_entries():
         "pairs_docs_triple": lambda: oracles.sql_candidate_pairs_docs(
             oracles.TRIPLE_MODE),
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
+        "dl_pairs_docs": lambda: oracles.sql_dl_pairs(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

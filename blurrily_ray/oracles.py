@@ -218,6 +218,22 @@ FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
 WHERE levenshtein(ta.s, tb.s) <= {max_dist}"""
 
 
+def sql_dl_pairs(max_dist: int = 40) -> str:
+    """Exact TRUE Damerau-Levenshtein verify over the pair-blocked
+    candidate edges (stages/editdist.dl_verify_pairs): DuckDB's
+    damerau_levenshtein() — probe-verified unrestricted Lowrance-Wagner
+    ('CA'→'ABC' = 2, not OSA's 3) counting UTF-8 bytes, the same
+    dialect the engine kernel scans (pure-ASCII post-normalize, so
+    characters == bytes)."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)}
+SELECT e.a, e.b, e.matches,
+       CAST(damerau_levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
+WHERE damerau_levenshtein(ta.s, tb.s) <= {max_dist}"""
+
+
 def _fs_ag_cte() -> str:
     """Agreement-vector CTE over the PRE-threshold candidate set
     (stages/fellegi.py fields: trigram ≥80 %, length ±5, 16-char prefix).

@@ -119,6 +119,107 @@ def levenshtein_dp(a: str, b: str) -> int:
     return prev[-1]
 
 
+def dl_distance_dp(a: str, b: str) -> int:
+    """Classic Lowrance-Wagner full-matrix TRUE Damerau-Levenshtein
+    (insert / delete / substitute / transpose, transposed halves may be
+    edited further — NOT the restricted OSA variant) — the independent
+    semantic pin :func:`dl_distance` is property-tested against.
+    Operates on UTF-8 BYTES, the dialect DuckDB's damerau_levenshtein
+    counts (irrelevant post-normalize: the fold output is pure ASCII)."""
+    ab, bb = a.encode(), b.encode()
+    m, n = len(ab), len(bb)
+    inf = m + n
+    d = [[inf] * (n + 2) for _ in range(m + 2)]
+    d[1][1] = 0
+    for j in range(1, n + 1):
+        d[1][j + 1] = j
+    for i in range(1, m + 1):
+        d[i + 1][1] = i
+    da: dict[int, int] = {}
+    for i in range(1, m + 1):
+        db = 0
+        row, up = d[i + 1], d[i]
+        for j in range(1, n + 1):
+            i1 = da.get(bb[j - 1], 0)
+            j1 = db
+            if ab[i - 1] == bb[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            row[j + 1] = min(up[j] + cost, row[j] + 1, up[j + 1] + 1,
+                             d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))
+        da[ab[i - 1]] = i
+    return d[m + 1][n + 1]
+
+
+def dl_distance(a: str, b: str, max_dist: int | None = None) -> int | None:
+    """Exact true Damerau-Levenshtein distance, row-vectorized.
+
+    The Lowrance-Wagner recurrence needs the FULL matrix (the
+    transposition term reaches back to d[i1−1][j1−1] for the last
+    occurrence row/column of the crossing characters), so no Myers-style
+    bit-parallel scan exists; instead each row computes in ~8 numpy
+    kernels over the full matrix: the transposition candidates gather
+    with one fancy index (da is a 256-entry last-row table over bytes,
+    j1 a running maximum.accumulate of in-row match positions), and the
+    in-row left dependency min(cur[j−1]+1) resolves with the standard
+    min-plus prefix scan (accumulate of w[k]−k, add back k).
+
+    Early abandon (exact): row minima are non-decreasing even WITH the
+    transposition edge — f(i) ≤ f(i−1)+1 (delete from the argmin cell)
+    and the transposition term ≥ f(r) + (i−r−1) for its source row
+    r ≤ i−2, so by induction f(i) ≥ min(f(i−1), min_r f(r)+(i−r−1))
+    ≥ f(i−1); a row min > ``max_dist`` therefore proves the final
+    distance exceeds it. Length gate |m−n| ≤ dist holds too (every DL
+    op changes the length by at most 1). Returns None when the distance
+    provably exceeds ``max_dist`` — never a false skip (both gates are
+    true lower bounds; fuzz-pinned to dl_distance_dp and to DuckDB)."""
+    if a == b:
+        return 0
+    ab_, bb_ = a.encode(), b.encode()
+    m, n = len(ab_), len(bb_)
+    if max_dist is not None and abs(m - n) > max_dist:
+        return None
+    if m == 0 or n == 0:
+        dist = m or n
+        return None if (max_dist is not None and dist > max_dist) else dist
+    av = np.frombuffer(ab_, np.uint8).astype(np.int64)
+    bv = np.frombuffer(bb_, np.uint8).astype(np.int64)
+    inf = m + n
+    mat = np.full((m + 2, n + 2), inf, dtype=np.int64)
+    mat[1, 1:] = np.arange(n + 1)
+    mat[1:, 1] = np.arange(m + 1)
+    da = np.zeros(256, dtype=np.int64)
+    jj = np.arange(1, n + 1)
+    jj0 = np.arange(n + 1)
+    w = np.empty(n + 1, dtype=np.int64)
+    j1 = np.empty(n, dtype=np.int64)
+    for i in range(1, m + 1):
+        ca = av[i - 1]
+        match = bv == ca
+        i1 = da[bv]
+        pos = np.where(match, jj, 0)
+        j1[0] = 0
+        np.maximum.accumulate(pos[:-1], out=j1[1:])
+        prev = mat[i]
+        v = np.minimum(prev[1:n + 1] + (1 - match), prev[2:n + 2] + 1)
+        np.minimum(v, mat[i1, j1] + (i - i1 - 1) + (jj - j1), out=v)
+        w[0] = i
+        w[1:] = v
+        np.subtract(w, jj0, out=w)
+        np.minimum.accumulate(w, out=w)
+        np.add(w, jj0, out=w)
+        mat[i + 1, 1:] = w
+        if max_dist is not None and w.min() > max_dist:
+            return None
+        da[ca] = i
+    dist = int(mat[m + 1, n + 1])
+    if max_dist is not None and dist > max_dist:
+        return None
+    return dist
+
+
 def normalized_texts(docs, *, ref_col: str = "doc_id",
                      text_col: str = "text"):
     """(ref, _nt) — the engine-normalized string per doc (the SAME fold
@@ -136,7 +237,8 @@ def normalized_texts(docs, *, ref_col: str = "doc_id",
 
 def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
                       weights_are_lengths: bool = False, mode: str = "auto",
-                      broadcast_limit_bytes: int = 256 << 20):
+                      broadcast_limit_bytes: int = 256 << 20,
+                      kernel=None, qgram_per_edit: int = 3):
     """Attach both sides' normalized text to (a, b, matches) candidate
     edges and keep those with exact Levenshtein distance ≤ ``max_dist``.
 
@@ -159,10 +261,21 @@ def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
     row-for-row against DuckDB levenshtein). The analogous length gate
     ``dist ≥ |len_a − len_b|`` applies only when the docset weights are
     the default normalized lengths — ``weights_are_lengths`` says so
-    (a custom weight_col breaks that reading, so it defaults off)."""
+    (a custom weight_col breaks that reading, so it defaults off).
+
+    ``kernel`` (default :func:`myers_distance`) is the exact distance
+    callable ``(a, b, max_dist) -> int | None``; ``qgram_per_edit`` is
+    the kernel's matching q-gram bound — how many distinct trigram
+    TYPES one edit operation can remove (3 for Levenshtein ops; 4 for
+    Damerau-Levenshtein, whose adjacent transposition touches 4
+    overlapping windows — see :func:`dl_verify_edges`). Both gates stay
+    exact lower bounds for either metric (DL ≤ Lev never helps here;
+    the bounds are derived per-op, not from Lev)."""
     import pyarrow.compute as pc
 
-    lim = 3 * max_dist
+    if kernel is None:
+        kernel = myers_distance
+    lim = qgram_per_edit * max_dist
 
     def prefilter(t: pa.Table) -> pa.Table:
         # column presence checked per batch — edges.schema() on a lazy
@@ -195,7 +308,7 @@ def edit_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
         keep = np.zeros(len(df), dtype=bool)
         dist = np.zeros(len(df), dtype=np.int64)
         for i in range(len(df)):
-            d = myers_distance(ta[i], tb[i], max_dist)
+            d = kernel(ta[i], tb[i], max_dist)
             if d is not None:
                 keep[i] = True
                 dist[i] = d
@@ -304,3 +417,53 @@ def edit_verify_pairs(docs, *, max_dist: int = 40,
     # the |len_a − len_b| gate is sound here
     return edit_verify_edges(edges, texts, max_dist=max_dist,
                              weights_are_lengths=True)
+
+
+def dl_verify_edges(edges, texts, *, max_dist: int, n_parts: int = 64,
+                    weights_are_lengths: bool = False, mode: str = "auto",
+                    broadcast_limit_bytes: int = 256 << 20):
+    """:func:`edit_verify_edges` with the TRUE Damerau-Levenshtein
+    metric (:func:`dl_distance`) — typo-oriented linkage counts an
+    adjacent transposition ('recieve'/'receive') as ONE edit.
+
+    The q-gram prefilter relaxes to ``qgram_per_edit=4``: a transposition
+    of adjacent characters at position p rewrites the 4 overlapping
+    trigram windows starting p−2..p+1, so one DL op removes at most 4
+    distinct trigram types per side — dist ≥ (max(ntri)−matches)/4,
+    still a zero-false-drop bound (validated row-for-row in
+    tests/test_editdist.py). The |len_a−len_b| gate is unchanged: every
+    DL op (transposition included) changes the length by at most 1."""
+    return edit_verify_edges(edges, texts, max_dist=max_dist,
+                             n_parts=n_parts,
+                             weights_are_lengths=weights_are_lengths,
+                             mode=mode,
+                             broadcast_limit_bytes=broadcast_limit_bytes,
+                             kernel=dl_distance, qgram_per_edit=4)
+
+
+def dl_verify_pairs(docs, *, max_dist: int = 40,
+                    cfg: ERConfig = PAIR_MODE,
+                    ref_col: str = "doc_id", text_col: str = "text"):
+    """Blocking + trigram scoring + EXACT true Damerau-Levenshtein
+    verify over one document table: (a, b, matches, dist) with dist ≤
+    ``max_dist`` — :func:`edit_verify_pairs` with transpositions as
+    first-class single edits (oracle: DuckDB damerau_levenshtein over
+    the identical blocked-edge CTE, oracles.sql_dl_pairs)."""
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           docsets_bitsets_ref,
+                                           score_pairs_fused,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(docs, ref_col=ref_col,
+                                text_col=text_col).materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
+    pairs, _skew = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
+    edges = score_pairs_fused(pairs, cfg=cfg, lut_ref=lut_ref,
+                              surrogate=True, packed=True)
+    texts = normalized_texts(docs, ref_col=ref_col, text_col=text_col)
+    return dl_verify_edges(edges, texts, max_dist=max_dist,
+                           weights_are_lengths=True)
