@@ -169,6 +169,15 @@ def _q_dl_pairs(sf_dir: str):
     return _i64(dl_verify_pairs(_docs(sf_dir), max_dist=40))
 
 
+def _q_wjac_pairs(sf_dir: str):
+    """IDF-style rescoring of the blocked candidates: rarity-weighted
+    trigram Jaccard (w = N·10⁶ // df), exact integer arithmetic end to
+    end (stages/wjaccard.py)."""
+    from blurrily_ray.stages.wjaccard import wjac_pairs
+
+    return _i64(wjac_pairs(_docs(sf_dir), min_micro=200_000))
+
+
 def _q_jw_pairs(sf_dir: str):
     """Record-linkage verify cascade, Jaro-Winkler edition: pair-blocked
     candidates kept at exact JW >= 0.8 (bit-parallel matching scan,
@@ -930,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairs_docs_triple": _q_pairs_triple,
         "edit_pairs_docs": _q_edit_pairs,
         "dl_pairs_docs": _q_dl_pairs,
+        "wjac_pairs_docs": _q_wjac_pairs,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1125,6 +1135,7 @@ def _oracle_entries():
             oracles.TRIPLE_MODE),
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "dl_pairs_docs": lambda: oracles.sql_dl_pairs(),
+        "wjac_pairs_docs": lambda: oracles.sql_wjac_pairs(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

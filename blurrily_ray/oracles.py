@@ -234,6 +234,32 @@ FROM edges e JOIN norm ta ON ta.ref = e.a JOIN norm tb ON tb.ref = e.b
 WHERE damerau_levenshtein(ta.s, tb.s) <= {max_dist}"""
 
 
+def sql_wjac_pairs(min_micro: int = 200_000) -> str:
+    """Rarity-weighted trigram Jaccard over the pair-blocked candidate
+    edges (stages/wjaccard.py): w(t) = (N·10⁶) // df(t) from the SAME
+    postings/hist CTEs the blocking uses, per-side and shared weight
+    sums as exact BIGINT aggregates, the final ratio one HUGEINT floor
+    division — no float anywhere, so engine and oracle agree bitwise."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+nn AS (SELECT COUNT(*) AS n FROM ntri),
+wt AS (SELECT trigram, ((SELECT n FROM nn) * 1000000) // n AS w FROM hist),
+dw AS (SELECT p.ref, SUM(w.w) AS sw FROM postings p
+       JOIN wt w USING (trigram) GROUP BY p.ref),
+shw AS (SELECT e.a, e.b, e.matches, SUM(w.w) AS sh
+        FROM edges e JOIN postings p1 ON p1.ref = e.a
+        JOIN postings p2 ON p2.ref = e.b AND p2.trigram = p1.trigram
+        JOIN wt w ON w.trigram = p1.trigram
+        GROUP BY e.a, e.b, e.matches)
+SELECT s.a, s.b, s.matches,
+       CAST((CAST(s.sh AS HUGEINT) * 1000000)
+            // (da.sw + db.sw - s.sh) AS BIGINT) AS wjac_micro
+FROM shw s JOIN dw da ON da.ref = s.a JOIN dw db ON db.ref = s.b
+WHERE (CAST(s.sh AS HUGEINT) * 1000000)
+      // (da.sw + db.sw - s.sh) >= {min_micro}"""
+
+
 def _fs_ag_cte() -> str:
     """Agreement-vector CTE over the PRE-threshold candidate set
     (stages/fellegi.py fields: trigram ≥80 %, length ±5, 16-char prefix).
