@@ -250,6 +250,22 @@ def _q_er_eval(sf_dir: str):
     return cluster_eval(clusters, truth)
 
 
+def _q_er_eval_bcubed(sf_dir: str):
+    """B-cubed precision/recall integer sums of the ER clusters against
+    the labeled ground truth — item-weighted evaluation beside er_eval's
+    pair-weighted F1 (stages/cluster.cluster_eval_bcubed)."""
+    import ray.data
+
+    from blurrily_ray.pipelines.er import run_er_grouped
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.cluster import cluster_eval_bcubed
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    clusters = run_er_grouped(paths["transcripts"])["clusters"]
+    truth = ray.data.read_parquet(paths["ground_truth"])
+    return cluster_eval_bcubed(clusters, truth)
+
+
 def _q_er_golden(sf_dir: str):
     """Survivorship / golden-record rollup of the ER clusters: canonical
     member + exact integer merge stats per entity
@@ -948,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters": _q_er_clusters,
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
+        "er_eval_bcubed": _q_er_eval_bcubed,
         "blocking_eval": _q_blocking_eval,
         "er_golden": _q_er_golden,
         "dedup_exact_docs": _q_dedup_exact,
@@ -1145,6 +1162,8 @@ def _oracle_entries():
         "er_clusters": lambda: oracles.sql_er_clusters(tpath()),
         "er_clusters_sharded": lambda: oracles.sql_er_clusters(tpath()),
         "er_eval": lambda: oracles.sql_er_eval(
+            tpath(), ensure_transcripts(sf)["ground_truth"]),
+        "er_eval_bcubed": lambda: oracles.sql_er_eval_bcubed(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),

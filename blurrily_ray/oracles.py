@@ -422,6 +422,36 @@ SELECT CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM bs), 0) AS BIGINT) AS tp_pai
        CAST(COALESCE((SELECT SUM((n*(n-1))//2) FROM ts), 0) AS BIGINT) AS truth_pairs"""
 
 
+def sql_er_eval_bcubed(transcripts_path: str, truth_path: str,
+                       cfg: ERConfig = DEFAULT) -> str:
+    """B-cubed integer sums of the SQL-derived clusters against the
+    labeled ground truth (mirrors stages/cluster.cluster_eval_bcubed):
+    per (cluster, entity) cell of size n, precision adds
+    ⌊n²·10⁶/|cluster|⌋ and recall ⌊n²·10⁶/|entity|⌋ — HUGEINT floor
+    division, identical to the engine's per-cell integer floors."""
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                  THEN n.ref ELSE MIN(r.d) END AS cluster_id
+             FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+j AS (SELECT c.cluster_id, g.entity_id
+      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref),
+cells AS (SELECT cluster_id, entity_id, COUNT(*) AS n FROM j GROUP BY 1, 2),
+cs AS (SELECT cluster_id, SUM(n) AS nc FROM cells GROUP BY 1),
+es AS (SELECT entity_id, SUM(n) AS ne FROM cells GROUP BY 1)
+SELECT CAST(COALESCE((SELECT SUM(n) FROM cells), 0) AS BIGINT) AS n_items,
+       CAST(COALESCE((SELECT SUM((CAST(c.n AS HUGEINT) * c.n * 1000000) // s.nc)
+                      FROM cells c JOIN cs s USING (cluster_id)), 0)
+            AS BIGINT) AS bp_micro_sum,
+       CAST(COALESCE((SELECT SUM((CAST(c.n AS HUGEINT) * c.n * 1000000) // s.ne)
+                      FROM cells c JOIN es s USING (entity_id)), 0)
+            AS BIGINT) AS br_micro_sum"""
+
+
 def sql_blocking_eval(transcripts_path: str, truth_path: str,
                       cfg: ERConfig = DEFAULT) -> str:
     """Blocking-quality metrics (mirrors stages/cluster.blocking_eval):

@@ -248,6 +248,81 @@ def cluster_eval(clusters, truth, *, truth_ref_col: str = "conv_id",
     })
 
 
+def cluster_eval_bcubed(clusters, truth, *, truth_ref_col: str = "conv_id",
+                        truth_col: str = "entity_id", n_parts: int = 64):
+    """Distributed B-cubed evaluation (Bagga & Baldwin 1998) — the
+    second standard ER metric beside pairwise F1, item-weighted instead
+    of pair-weighted (a 1000-member cluster error no longer drowns out
+    fifty 2-member ones):
+
+      B³ precision = (1/N) Σ_i |C(i) ∩ L(i)| / |C(i)|
+      B³ recall    = (1/N) Σ_i |C(i) ∩ L(i)| / |L(i)|
+
+    Via the contingency cells: each (cluster, entity) cell of size n_ce
+    contributes n_ce²/|cluster| to the precision sum and n_ce²/|entity|
+    to the recall sum. Everything distributes: map-side partial cell
+    counts, then ONE keyed shuffle per side (cluster_id for precision,
+    entity for recall — a cluster's cells land in one partition, so its
+    exact size is in-partition), per-cell exact floor contributions in
+    micro-ints, driver adds ≤ n_parts partials. Returns one row
+    (n_items, bp_micro_sum, br_micro_sum) int64 — divide the sums by
+    n_items for the averages; per-cell ⌊n_ce²·10⁶/size⌋ floors match
+    the SQL oracle's BIGINT division exactly (no float anywhere).
+    Truth rows restrict to refs present in ``clusters`` (inner attach),
+    the same evaluation set as :func:`cluster_eval`."""
+    n_parts = join_partitions_cap(n_parts)
+
+    def attach(c_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+        t = t_df.rename(columns={truth_ref_col: "ref",
+                                 truth_col: "_entity"})
+        return c_df.merge(t, on="ref", how="inner")[["cluster_id",
+                                                     "_entity"]]
+
+    joined = partitioned_map2(
+        clusters.select_columns(["ref", "cluster_id"]),
+        truth.select_columns([truth_ref_col, truth_col]),
+        ["ref"], [truth_ref_col], attach, n_parts=n_parts).materialize()
+    n_items = joined.count()
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(["cluster_id", "_entity"],
+                         sort=False).size().reset_index()
+        out.columns = ["cluster_id", "_entity", "cnt"]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    partials = joined.map_batches(
+        partial, batch_format="pandas").materialize()
+
+    def side_sum(key_col: str) -> int:
+        def per_part(df: pd.DataFrame) -> pd.DataFrame:
+            cells = df.groupby(["cluster_id", "_entity"],
+                               sort=False)["cnt"].sum()
+            level = 0 if key_col == "cluster_id" else 1
+            sizes = cells.groupby(level=level).sum()
+            nv = cells.to_numpy()
+            sv = sizes.loc[cells.index.get_level_values(level)].to_numpy()
+            if len(nv) and int(nv.max()) <= 3_000_000:
+                # n_ce² · 10⁶ < 2⁶³ up to n_ce ≈ 3.03e6; each floor ≤
+                # n_ce·10⁶ so the partial sum caps at 10⁶ · Σn_ce
+                tot = int(((nv * nv * 1_000_000) // sv).sum())
+            else:
+                tot = sum((int(x) ** 2 * 1_000_000) // int(s)
+                          for x, s in zip(nv, sv))
+            return pd.DataFrame({"s": [tot]})
+
+        parts = partitioned_map(partials, [key_col], per_part,
+                                n_parts=n_parts).to_pandas()
+        return int(parts["s"].sum()) if len(parts) else 0
+
+    return pd.DataFrame({
+        "n_items": pd.Series([n_items], dtype=np.int64),
+        "bp_micro_sum": pd.Series([side_sum("cluster_id")],
+                                  dtype=np.int64),
+        "br_micro_sum": pd.Series([side_sum("_entity")], dtype=np.int64),
+    })
+
+
 def _group_pair_sum(ds, key_cols: list[str], n_parts: int) -> int:
     """Σ C(n_g, 2) over the sizes of ``ds``'s ``key_cols`` groups —
     map-side partial counts, one tiny keyed shuffle for the exact sizes,

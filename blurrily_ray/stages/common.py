@@ -183,8 +183,16 @@ def partitioned_map2(ds_left, ds_right, key_cols_left, key_cols_right, fn, *,
         raise ValueError("partitioned_map2: a side has no rows and no "
                          "derivable schema; handle empty sides in the "
                          "calling operator (or pass left_/right_schema)")
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
+    def _arrow_type(t):
+        # a pandas-block dataset reports numpy dtypes / Python classes in
+        # schema().types; null-filling the missing side needs Arrow types
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        return pa.string() if dt == np.dtype("O") else pa.from_numpy_dtype(dt)
+
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     for c in set(ls.names) & set(rs.names):
         if ltypes[c] != rtypes[c]:
             raise ValueError(f"column {c!r} type differs across sides "

@@ -193,8 +193,9 @@ def wjac_pairs(docs, *, min_micro: int = 200_000,
                            pa.int64())).as_py() or 0
         return pa.table({"n": pa.array([int(k)], pa.int64())})
 
-    n_docs = int(docsets.map_batches(
-        nz, batch_format="pyarrow").to_pandas()["n"].sum())
+    ndf = docsets.map_batches(nz, batch_format="pyarrow").to_pandas()
+    # empty input: no block ever reaches nz, so the frame has no columns
+    n_docs = int(ndf["n"].sum()) if "n" in ndf.columns else 0
 
     lut_ref = docsets_bitsets_ref(docsets)
     keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)

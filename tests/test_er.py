@@ -48,6 +48,60 @@ def test_cluster_eval_matches_pairwise_f1(er_result, sf0001_paths):
     assert int(got["truth_pairs"]) == exp["truth_pairs"]
 
 
+def test_cluster_eval_bcubed_hand_counts():
+    """Hand-verifiable B-cubed: clusters x={c1,c2,c3}, y={c4}; truth
+    e1={c1,c2,c4}, e2={c3}.  Cells: (x,e1,n=2) (x,e2,n=1) (y,e1,n=1).
+    precision = (4/3 + 1/3 + 1/1)/4, recall = (4/3 + 1/1 + 1/3)/4 —
+    as per-cell micro-int floors: ⌊4e6/3⌋+⌊1e6/3⌋+1e6 both sides."""
+    from blurrily_ray.stages.cluster import cluster_eval_bcubed
+
+    clusters = ray.data.from_items(
+        [{"ref": "c1", "cluster_id": "x"}, {"ref": "c2", "cluster_id": "x"},
+         {"ref": "c3", "cluster_id": "x"}, {"ref": "c4", "cluster_id": "y"}])
+    truth = ray.data.from_items(
+        [{"conv_id": "c1", "entity_id": "e1"},
+         {"conv_id": "c2", "entity_id": "e1"},
+         {"conv_id": "c3", "entity_id": "e2"},
+         {"conv_id": "c4", "entity_id": "e1"},
+         {"conv_id": "c9", "entity_id": "e1"}])  # unclustered extra
+    got = cluster_eval_bcubed(clusters, truth).iloc[0]
+    exp = (4_000_000 // 3) + (1_000_000 // 3) + 1_000_000
+    assert int(got["n_items"]) == 4
+    assert int(got["bp_micro_sum"]) == exp
+    assert int(got["br_micro_sum"]) == exp
+
+
+def test_cluster_eval_bcubed_matches_driver(er_result, sf0001_paths):
+    """The distributed B-cubed sums must equal a driver-side dict
+    reference on the real ER output (and a perfect clustering of the
+    truth itself must score 10⁶·N on both sides)."""
+    from collections import Counter
+
+    from blurrily_ray.stages.cluster import cluster_eval_bcubed
+
+    res, clusters = er_result
+    truth = truth_map(sf0001_paths)
+    items = [(c, truth[r]) for r, c in clusters.items() if r in truth]
+    csize = Counter(c for c, _ in items)
+    esize = Counter(e for _, e in items)
+    cells = Counter(items)
+    bp = sum((n * n * 1_000_000) // csize[c] for (c, _), n in cells.items())
+    br = sum((n * n * 1_000_000) // esize[e] for (_, e), n in cells.items())
+    tds = ray.data.read_parquet(sf0001_paths["ground_truth"])
+    got = cluster_eval_bcubed(res["clusters"], tds).iloc[0]
+    assert (int(got["n_items"]), int(got["bp_micro_sum"]),
+            int(got["br_micro_sum"])) == (len(items), bp, br)
+
+    perfect = tds.map_batches(
+        lambda df: df.rename(columns={"conv_id": "ref",
+                                      "entity_id": "cluster_id"}),
+        batch_format="pandas")
+    pgot = cluster_eval_bcubed(perfect, tds).iloc[0]
+    n = int(pgot["n_items"])
+    assert int(pgot["bp_micro_sum"]) == n * 1_000_000
+    assert int(pgot["br_micro_sum"]) == n * 1_000_000
+
+
 def test_cluster_eval_truth_subset():
     """Truth rows restrict to refs present in clusters (inner attach) —
     extra labeled refs must not inflate truth_pairs; a perfect 2-cluster
