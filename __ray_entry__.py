@@ -169,6 +169,15 @@ def _q_dl_pairs(sf_dir: str):
     return _i64(dl_verify_pairs(_docs(sf_dir), max_dist=40))
 
 
+def _q_meta_wep(sf_dir: str):
+    """Meta-blocking (Papadakis et al.): CBS-weighted blocking graph +
+    weighted edge pruning — co-blocked pairs whose exact co-key count
+    clears the global mean (integer cross-multiplication, no float)."""
+    from blurrily_ray.stages.metablock import meta_block_wep
+
+    return _i64(meta_block_wep(_docs(sf_dir)))
+
+
 def _q_wjac_pairs(sf_dir: str):
     """IDF-style rescoring of the blocked candidates: rarity-weighted
     trigram Jaccard (w = N·10⁶ // df), exact integer arithmetic end to
@@ -956,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_pairs_docs": _q_edit_pairs,
         "dl_pairs_docs": _q_dl_pairs,
         "wjac_pairs_docs": _q_wjac_pairs,
+        "meta_wep_docs": _q_meta_wep,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1153,6 +1163,7 @@ def _oracle_entries():
         "edit_pairs_docs": lambda: oracles.sql_edit_pairs(),
         "dl_pairs_docs": lambda: oracles.sql_dl_pairs(),
         "wjac_pairs_docs": lambda: oracles.sql_wjac_pairs(),
+        "meta_wep_docs": lambda: oracles.sql_meta_wep(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

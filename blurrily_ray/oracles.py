@@ -204,6 +204,22 @@ def sql_candidate_pairs_docs(cfg: ERConfig = TRIGRAM_MODE) -> str:
     return f"WITH {pairs_cte(DOCS_SRC, cfg)} SELECT a, b, matches FROM edges"
 
 
+def sql_meta_wep() -> str:
+    """Meta-blocking CBS + weighted edge pruning (stages/metablock.py):
+    the blocking GRAPH's exact co-key counts from the keys_kept CTE
+    (the same chain the candidate oracle uses, min_cokeys NOT applied —
+    WEP replaces the fixed floor), pruned by the integer
+    cross-multiplied mean test ``w · n_edges ≥ Σw``."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+cbs AS (SELECT k1.ref AS a, k2.ref AS b, CAST(COUNT(*) AS BIGINT) AS cbs
+        FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+        WHERE k1.ref < k2.ref GROUP BY 1, 2),
+tot AS (SELECT COALESCE(SUM(cbs), 0) AS s, COUNT(*) AS c FROM cbs)
+SELECT a, b, cbs FROM cbs, tot WHERE cbs * c >= s"""
+
+
 def sql_edit_pairs(max_dist: int = 40) -> str:
     """Exact Levenshtein verify over the pair-blocked candidate edges
     (stages/editdist.py): DuckDB's unit-cost levenshtein() on the same
