@@ -178,6 +178,14 @@ def _q_meta_wep(sf_dir: str):
     return _i64(meta_block_wep(_docs(sf_dir)))
 
 
+def _q_meta_cnp(sf_dir: str):
+    """Meta-blocking cardinality node pruning: per-node top-k incident
+    edges by exact CBS weight (RANK tie-keeping), OR-combined endpoints."""
+    from blurrily_ray.stages.metablock import meta_block_cnp
+
+    return _i64(meta_block_cnp(_docs(sf_dir), k=5))
+
+
 def _q_wjac_pairs(sf_dir: str):
     """IDF-style rescoring of the blocked candidates: rarity-weighted
     trigram Jaccard (w = N·10⁶ // df), exact integer arithmetic end to
@@ -966,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dl_pairs_docs": _q_dl_pairs,
         "wjac_pairs_docs": _q_wjac_pairs,
         "meta_wep_docs": _q_meta_wep,
+        "meta_cnp_docs": _q_meta_cnp,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1164,6 +1173,7 @@ def _oracle_entries():
         "dl_pairs_docs": lambda: oracles.sql_dl_pairs(),
         "wjac_pairs_docs": lambda: oracles.sql_wjac_pairs(),
         "meta_wep_docs": lambda: oracles.sql_meta_wep(),
+        "meta_cnp_docs": lambda: oracles.sql_meta_cnp(k=5),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

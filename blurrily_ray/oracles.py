@@ -220,6 +220,28 @@ tot AS (SELECT COALESCE(SUM(cbs), 0) AS s, COUNT(*) AS c FROM cbs)
 SELECT a, b, cbs FROM cbs, tot WHERE cbs * c >= s"""
 
 
+def sql_meta_cnp(k: int = 5, reciprocal: bool = False) -> str:
+    """Meta-blocking CBS + cardinality node pruning
+    (stages/metablock.cnp_prune): per-node top-``k`` incident edges by
+    weight with RANK tie-keeping; an edge survives if ≥1 endpoint
+    retains it (or both, ``reciprocal``)."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    need = 2 if reciprocal else 1
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+cbs AS (SELECT k1.ref AS a, k2.ref AS b, CAST(COUNT(*) AS BIGINT) AS cbs
+        FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+        WHERE k1.ref < k2.ref GROUP BY 1, 2),
+ex AS (SELECT a AS node, a, b, cbs FROM cbs
+       UNION ALL SELECT b AS node, a, b, cbs FROM cbs),
+rk AS (SELECT node, a, b, cbs,
+              RANK() OVER (PARTITION BY node ORDER BY cbs DESC) AS r
+       FROM ex),
+fl AS (SELECT a, b, cbs, COUNT(*) FILTER (WHERE r <= {k}) AS nf
+       FROM rk GROUP BY a, b, cbs)
+SELECT a, b, cbs FROM fl WHERE nf >= {need}"""
+
+
 def sql_edit_pairs(max_dist: int = 40) -> str:
     """Exact Levenshtein verify over the pair-blocked candidate edges
     (stages/editdist.py): DuckDB's unit-cost levenshtein() on the same

@@ -111,6 +111,108 @@ def wep_prune(cbs_edges, lut_ref, *, ref_type: pa.DataType):
     return cbs_edges.map_batches(keep, batch_format="pyarrow")
 
 
+def cnp_prune(cbs_edges, lut_ref, *, k: int, reciprocal: bool = False,
+              ref_type: pa.DataType, n_parts: int | None = None):
+    """Cardinality Node Pruning (Papadakis et al.): each node retains its
+    top-``k`` incident edges by CBS weight (RANK semantics — boundary
+    ties are all kept, so the result is deterministic under any
+    partitioning); an edge survives if retained by EITHER endpoint
+    (redefined CNP, the paper's higher-recall variant) or, with
+    ``reciprocal=True``, only if retained by BOTH (BLAST-style, higher
+    precision). Two edge-sized packed exchanges: node-keyed for the
+    per-node ranks, ab-keyed to combine the two endpoint verdicts."""
+    import ray as _ray
+    import ray.data as rd
+
+    from blurrily_ray.stages.common import partitioned_map
+    from blurrily_ray.stages.pairs import _cached_get
+
+    if cbs_edges.schema() is None:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], type=ref_type),
+            "b": pa.array([], type=ref_type),
+            "cbs": pa.array([], type=pa.int64())}))
+
+    if n_parts is None:
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        n_parts = max(8, 8 * n_cpus)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ab = t["ab"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([(ab >> np.int64(32)),
+                               (ab & np.int64(0xFFFFFFFF))])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "ab": pa.array(np.concatenate([ab, ab]), pa.int64()),
+                         "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    ex = cbs_edges.map_batches(explode, batch_format="pyarrow")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby("node", sort=False)["w"].rank(method="min",
+                                                     ascending=False)
+        return pd.DataFrame({"ab": df["ab"].to_numpy(dtype=np.int64),
+                             "w": df["w"].to_numpy(dtype=np.int64),
+                             "f": (r.to_numpy() <= k).astype(np.int64)})
+
+    flags = partitioned_map(
+        ex, ["node"], flag, n_parts=n_parts,
+        packed_cols={"node": np.int32, "ab": np.int64, "w": np.uint16})
+
+    need = 2 if reciprocal else 1
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ab", sort=False).agg(w=("w", "first"),
+                                             nf=("f", "sum"))
+        g = g[g["nf"] >= need]
+        ref_sorted = _cached_get(lut_ref)[0]
+        ab = g.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "a": ref_sorted[(ab >> np.int64(32)).astype(np.int64)],
+            "b": ref_sorted[(ab & np.int64(0xFFFFFFFF)).astype(np.int64)],
+            "cbs": g["w"].to_numpy(dtype=np.int64)})
+
+    return partitioned_map(
+        flags, ["ab"], combine, n_parts=n_parts,
+        packed_cols={"ab": np.int64, "w": np.uint16, "f": np.uint8})
+
+
+def meta_block_cnp(docs, cfg: ERConfig = PAIR_MODE, *, k: int = 5,
+                   reciprocal: bool = False, ref_col: str = "doc_id",
+                   text_col: str = "text"):
+    """CBS-weighted blocking graph + cardinality node pruning over one
+    document table: (a, b, cbs) for pairs retained in the top-``k``
+    incident edges (by exact co-key weight, boundary ties kept) of at
+    least one endpoint — or both with ``reciprocal=True`` (oracle:
+    oracles.sql_meta_cnp)."""
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           docsets_bitsets_ref,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(docs, ref_col=ref_col,
+                                text_col=text_col).materialize()
+    ref_type = _ref_type_of(docsets, docs, ref_col)
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
+    raw, _ = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
+    cbs = cbs_edge_weights(raw)
+    return cnp_prune(cbs, lut_ref, k=k, reciprocal=reciprocal,
+                     ref_type=ref_type)
+
+
+def _ref_type_of(docsets, docs, ref_col: str) -> pa.DataType:
+    dsch = docsets.schema()
+    if dsch is not None:
+        return dict(zip(dsch.names, dsch.types))["ref"]
+    insch = docs.schema()  # empty corpus: no docset block to infer from
+    t = (dict(zip(insch.names, insch.types)).get(ref_col)
+         if insch is not None else None)
+    return t if isinstance(t, pa.DataType) else pa.string()
+
+
 def meta_block_wep(docs, cfg: ERConfig = PAIR_MODE, *,
                    ref_col: str = "doc_id", text_col: str = "text"):
     """CBS-weighted blocking graph + WEP over one document table:
@@ -126,15 +228,7 @@ def meta_block_wep(docs, cfg: ERConfig = PAIR_MODE, *,
 
     docsets = docsets_from_docs(docs, ref_col=ref_col,
                                 text_col=text_col).materialize()
-    dsch = docsets.schema()
-    if dsch is not None:
-        ref_type = dict(zip(dsch.names, dsch.types))["ref"]
-    else:  # empty corpus: no block to infer from — use the input schema
-        insch = docs.schema()
-        ref_type = (dict(zip(insch.names, insch.types)).get(ref_col)
-                    if insch is not None else None)
-        if not isinstance(ref_type, pa.DataType):
-            ref_type = pa.string()
+    ref_type = _ref_type_of(docsets, docs, ref_col)
     hist = trigram_histogram(docsets)
     lut_ref = docsets_bitsets_ref(docsets)
     keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)

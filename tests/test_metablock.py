@@ -85,6 +85,71 @@ def test_meta_wep_matches_brute(sf0001_docs):
     assert 0 < len(got) < len(full)  # WEP actually prunes something
 
 
+def test_cnp_prune_hand_counts_or_and():
+    """k=1 graph: node0 edges w=3,2,1 (top1=(0,1)); node3 ties at w=1 so
+    RANK keeps BOTH its edges. OR keeps all 4 edges; reciprocal (AND)
+    keeps only (0,1) — retained by both endpoints."""
+    from blurrily_ray.stages.metablock import cnp_prune
+
+    refs = np.array(["r0", "r1", "r2", "r3"], dtype=object)
+    lut_ref = ray.put((refs, None, None, None, None))
+    cbs = rd.from_arrow(pa.table({
+        "ab": pa.array([_pack(0, 1), _pack(0, 2), _pack(0, 3), _pack(2, 3)],
+                       pa.int64()),
+        "w": pa.array([3, 2, 1, 1], pa.int64())}))
+
+    got_or = cnp_prune(cbs, lut_ref, k=1, ref_type=pa.string()).to_pandas()
+    assert set(zip(got_or["a"], got_or["b"], got_or["cbs"])) == {
+        ("r0", "r1", 3), ("r0", "r2", 2), ("r0", "r3", 1), ("r2", "r3", 1)}
+
+    got_and = cnp_prune(cbs, lut_ref, k=1, reciprocal=True,
+                        ref_type=pa.string()).to_pandas()
+    assert set(zip(got_and["a"], got_and["b"], got_and["cbs"])) == {
+        ("r0", "r1", 3)}
+
+
+def test_meta_cnp_matches_brute(sf0001_docs):
+    """End-to-end CNP over real documents == a driver-side brute
+    recomputation (pandas rank method='min' == SQL RANK()), both
+    variants."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+    from blurrily_ray.stages.metablock import cbs_edge_weights, meta_block_cnp
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           docsets_bitsets_ref,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import docsets_from_docs
+
+    docsets = docsets_from_docs(sf0001_docs, ref_col="doc_id",
+                                text_col="text").materialize()
+    hist = trigram_histogram(docsets)
+    lut_ref = docsets_bitsets_ref(docsets)
+    keys = blocking_keys(docsets, hist, PAIR_MODE, lut_ref=lut_ref)
+    raw, _ = candidate_pairs_fused_blocking(keys, PAIR_MODE, int_refs=True)
+    full = cbs_edge_weights(raw).to_pandas()
+    ref_sorted = ray.get(lut_ref)[0]
+
+    k = 3
+    ex = pd.concat([
+        pd.DataFrame({"node": full["ab"] // (1 << 32), "ab": full["ab"],
+                      "w": full["w"]}),
+        pd.DataFrame({"node": full["ab"] % (1 << 32), "ab": full["ab"],
+                      "w": full["w"]})])
+    ex["r"] = ex.groupby("node")["w"].rank(method="min", ascending=False)
+    nf = (ex["r"] <= k).groupby(ex["ab"]).sum()
+
+    def expect(need):
+        kept = full.set_index("ab").loc[nf[nf >= need].index]
+        return {(ref_sorted[int(ab) >> 32], ref_sorted[int(ab) & 0xFFFFFFFF],
+                 int(w)) for ab, w in zip(kept.index, kept["w"])}
+
+    for recip, need in ((False, 1), (True, 2)):
+        got_df = meta_block_cnp(sf0001_docs, k=k,
+                                reciprocal=recip).to_pandas()
+        got = set(zip(got_df["a"], got_df["b"], got_df["cbs"]))
+        assert got == expect(need) and len(got) > 0
+
+
 def test_meta_wep_single_edge_kept():
     """A one-edge graph: the edge equals the mean and must survive."""
     from blurrily_ray.stages.metablock import meta_block_wep
