@@ -178,6 +178,24 @@ def _q_meta_wep(sf_dir: str):
     return _i64(meta_block_wep(_docs(sf_dir)))
 
 
+def _q_link_tables(sf_dir: str):
+    """Two-table record linkage: even-doc_id documents linked against
+    odd-doc_id documents under shared (union) blocking statistics."""
+    import pyarrow.compute as pc
+
+    from blurrily_ray.stages.linkage import link_tables
+
+    docs = _docs(sf_dir)
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)),
+            batch_format="pyarrow")
+
+    return _i64(link_tables(half(0), half(1), ref_col="doc_id"))
+
+
 def _q_meta_cnp(sf_dir: str):
     """Meta-blocking cardinality node pruning: per-node top-k incident
     edges by exact CBS weight (RANK tie-keeping), OR-combined endpoints."""
@@ -975,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wjac_pairs_docs": _q_wjac_pairs,
         "meta_wep_docs": _q_meta_wep,
         "meta_cnp_docs": _q_meta_cnp,
+        "link_tables_docs": _q_link_tables,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1174,6 +1193,7 @@ def _oracle_entries():
         "wjac_pairs_docs": lambda: oracles.sql_wjac_pairs(),
         "meta_wep_docs": lambda: oracles.sql_meta_wep(),
         "meta_cnp_docs": lambda: oracles.sql_meta_cnp(k=5),
+        "link_tables_docs": lambda: oracles.sql_link_tables(),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

@@ -220,6 +220,36 @@ tot AS (SELECT COALESCE(SUM(cbs), 0) AS s, COUNT(*) AS c FROM cbs)
 SELECT a, b, cbs FROM cbs, tot WHERE cbs * c >= s"""
 
 
+def sql_link_tables() -> str:
+    """Two-table record linkage (stages/linkage.link_tables): the
+    candidate CTE chain over the side-tagged UNION of both tables
+    (blocking statistics shared — the same construction the engine
+    uses), cross-side edges only, oriented A→B, refs untagged by
+    position."""
+    from blurrily_ray.stages.editdist import PAIR_MODE
+
+    tagged = ("SELECT CASE WHEN doc_id % 2 = 0 THEN 'A|' ELSE 'B|' END "
+              "|| CAST(doc_id AS VARCHAR) AS ref, COALESCE(text, '') "
+              "AS text FROM documents")
+    return f"""WITH {pairs_cte(tagged, PAIR_MODE)},
+stats AS (SELECT e.a, e.b, e.matches,
+                 na.ntri AS ntri_a, nb.ntri AS ntri_b,
+                 pa.weight AS weight_a, pb.weight AS weight_b
+          FROM edges e
+          JOIN ntri na ON na.ref = e.a JOIN ntri nb ON nb.ref = e.b
+          JOIN (SELECT ref, MIN(weight) AS weight FROM postings GROUP BY ref) pa ON pa.ref = e.a
+          JOIN (SELECT ref, MIN(weight) AS weight FROM postings GROUP BY ref) pb ON pb.ref = e.b
+          WHERE substr(e.a, 1, 1) <> substr(e.b, 1, 1))
+SELECT CAST(substr(CASE WHEN s.a LIKE 'A%' THEN s.a ELSE s.b END, 3) AS BIGINT) AS a_ref,
+       CAST(substr(CASE WHEN s.a LIKE 'A%' THEN s.b ELSE s.a END, 3) AS BIGINT) AS b_ref,
+       s.matches,
+       CAST(CASE WHEN s.a LIKE 'A%' THEN s.ntri_a ELSE s.ntri_b END AS BIGINT) AS ntri_a,
+       CAST(CASE WHEN s.a LIKE 'A%' THEN s.ntri_b ELSE s.ntri_a END AS BIGINT) AS ntri_b,
+       CAST(CASE WHEN s.a LIKE 'A%' THEN s.weight_a ELSE s.weight_b END AS BIGINT) AS weight_a,
+       CAST(CASE WHEN s.a LIKE 'A%' THEN s.weight_b ELSE s.weight_a END AS BIGINT) AS weight_b
+FROM stats s"""
+
+
 def sql_meta_cnp(k: int = 5, reciprocal: bool = False) -> str:
     """Meta-blocking CBS + cardinality node pruning
     (stages/metablock.cnp_prune): per-node top-``k`` incident edges by
