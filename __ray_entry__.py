@@ -285,6 +285,16 @@ def _q_er_eval(sf_dir: str):
     return cluster_eval(clusters, truth)
 
 
+def _q_er_refined(sf_dir: str):
+    """Merge-and-refine second ER pass (Swoosh family): clusters whose
+    MERGED member texts match fuse into superclusters."""
+    from blurrily_ray.pipelines.er import run_er_refined
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    return run_er_refined(paths["transcripts"])["clusters"]
+
+
 def _q_er_eval_bcubed(sf_dir: str):
     """B-cubed precision/recall integer sums of the ER clusters against
     the labeled ground truth — item-weighted evaluation beside er_eval's
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_sharded": _q_er_clusters_sharded,
         "er_eval": _q_er_eval,
         "er_eval_bcubed": _q_er_eval_bcubed,
+        "er_refined": _q_er_refined,
         "blocking_eval": _q_blocking_eval,
         "er_golden": _q_er_golden,
         "dedup_exact_docs": _q_dedup_exact,
@@ -1206,6 +1217,7 @@ def _oracle_entries():
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "er_eval_bcubed": lambda: oracles.sql_er_eval_bcubed(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
+        "er_refined": lambda: oracles.sql_er_refined(tpath()),
         "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "er_golden": lambda: oracles.sql_er_golden(tpath()),

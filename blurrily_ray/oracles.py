@@ -124,70 +124,74 @@ SELECT needle, rank, ref, matches, weight FROM ranked WHERE rank <= {limit}"""
 
 
 def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
-              max_keys: int = MAX_KEYS_PER_DOC) -> str:
+              max_keys: int = MAX_KEYS_PER_DOC, prefix: str = "") -> str:
     """postings → thresholded candidate pair CTE chain (mirrors
     stages/pairs.py: rarest-key blocking + stoplist + exact rescoring).
     Handles all blocking modes (config.py), including deterministic
     key sampling (key_sample_mod): the identical integer predicate
-    ((key * 2654435761) % 2^32) % mod == 0 in HUGEINT math."""
+    ((key * 2654435761) % 2^32) % mod == 0 in HUGEINT math.
+    ``prefix`` namespaces every CTE (src → {prefix}src, edges →
+    {prefix}edges, …) so two chains can share one WITH clause
+    (sql_er_refined's second pass)."""
+    x = prefix
     samp = (f" WHERE (key::HUGEINT * 2654435761) % 4294967296 "
             f"% {cfg.key_sample_mod} = 0"
             if cfg.key_sample_mod > 1 else "")
     if cfg.blocking_mode == "trigram_triple":
-        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.triple_rarest}),
-comp0 AS (SELECT k1.ref,
+        keys_part = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.triple_rarest}),
+{x}comp0 AS (SELECT k1.ref,
                 (k1.trigram * 21952 + k2.trigram) * 21952 + k3.trigram AS key
-         FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
+         FROM {x}keysq k1 JOIN {x}keysq k2 ON k1.ref = k2.ref
                                      AND k1.trigram < k2.trigram
-                       JOIN keysq k3 ON k1.ref = k3.ref
+                       JOIN {x}keysq k3 ON k1.ref = k3.ref
                                      AND k2.trigram < k3.trigram),
-comp AS (SELECT * FROM comp0{samp}),
-khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
-keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
+{x}comp AS (SELECT * FROM {x}comp0{samp}),
+{x}khist AS (SELECT key, COUNT(*) AS n FROM {x}comp GROUP BY key),
+{x}keys_kept AS (SELECT c.ref, c.key FROM {x}comp c JOIN {x}khist h USING (key)
               WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
+         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (key)
          WHERE k1.ref < k2.ref
          GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     elif cfg.blocking_mode == "trigram_pair":
-        keys_part = f"""keysq AS (SELECT ref, trigram FROM ranked WHERE rk <= {cfg.pair_rarest}),
-comp0 AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
-         FROM keysq k1 JOIN keysq k2 ON k1.ref = k2.ref
+        keys_part = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.pair_rarest}),
+{x}comp0 AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
+         FROM {x}keysq k1 JOIN {x}keysq k2 ON k1.ref = k2.ref
                                      AND k1.trigram < k2.trigram),
-comp AS (SELECT * FROM comp0{samp}),
-khist AS (SELECT key, COUNT(*) AS n FROM comp GROUP BY key),
-keys_kept AS (SELECT c.ref, c.key FROM comp c JOIN khist h USING (key)
+{x}comp AS (SELECT * FROM {x}comp0{samp}),
+{x}khist AS (SELECT key, COUNT(*) AS n FROM {x}comp GROUP BY key),
+{x}keys_kept AS (SELECT c.ref, c.key FROM {x}comp c JOIN {x}khist h USING (key)
               WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
+{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
+         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (key)
          WHERE k1.ref < k2.ref
          GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
     else:
         samp1 = (f" WHERE (trigram::HUGEINT * 2654435761) % 4294967296 "
                  f"% {cfg.key_sample_mod} = 0"
                  if cfg.key_sample_mod > 1 else "")
-        keys_part = f"""keysq0 AS (SELECT ref, trigram FROM ranked WHERE rk <= {max_keys}),
-keysq AS (SELECT * FROM keysq0{samp1}),
-khist AS (SELECT trigram, COUNT(*) AS n FROM keysq GROUP BY trigram),
-keys_kept AS (SELECT k.ref, k.trigram FROM keysq k JOIN khist h USING (trigram)
+        keys_part = f"""{x}keysq0 AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {max_keys}),
+{x}keysq AS (SELECT * FROM {x}keysq0{samp1}),
+{x}khist AS (SELECT trigram, COUNT(*) AS n FROM {x}keysq GROUP BY trigram),
+{x}keys_kept AS (SELECT k.ref, k.trigram FROM {x}keysq k JOIN {x}khist h USING (trigram)
               WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM keys_kept k1 JOIN keys_kept k2 USING (trigram)
+{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
+         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (trigram)
          WHERE k1.ref < k2.ref
          GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
-    return f"""{postings_cte(src_sql)},
-ntri AS (SELECT ref, COUNT(*) AS ntri FROM postings GROUP BY ref),
-hist AS (SELECT trigram, COUNT(*) AS n FROM postings GROUP BY trigram),
-ranked AS (SELECT p.ref, p.trigram,
+    return f"""{postings_cte(src_sql, prefix)},
+{x}ntri AS (SELECT ref, COUNT(*) AS ntri FROM {x}postings GROUP BY ref),
+{x}hist AS (SELECT trigram, COUNT(*) AS n FROM {x}postings GROUP BY trigram),
+{x}ranked AS (SELECT p.ref, p.trigram,
            row_number() OVER (PARTITION BY p.ref ORDER BY h.n, p.trigram) AS rk
-           FROM postings p JOIN hist h USING (trigram)),
+           FROM {x}postings p JOIN {x}hist h USING (trigram)),
 {keys_part}
-score AS (SELECT c.a, c.b, COUNT(*) AS matches
-          FROM cand c JOIN postings p1 ON p1.ref = c.a
-                      JOIN postings p2 ON p2.ref = c.b AND p2.trigram = p1.trigram
+{x}score AS (SELECT c.a, c.b, COUNT(*) AS matches
+          FROM {x}cand c JOIN {x}postings p1 ON p1.ref = c.a
+                      JOIN {x}postings p2 ON p2.ref = c.b AND p2.trigram = p1.trigram
           GROUP BY c.a, c.b),
-edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
-          FROM score s JOIN ntri na ON na.ref = s.a JOIN ntri nb ON nb.ref = s.b
+{x}edges AS MATERIALIZED (SELECT s.a, s.b, CAST(s.matches AS BIGINT) AS matches
+          FROM {x}score s JOIN {x}ntri na ON na.ref = s.a JOIN {x}ntri nb ON nb.ref = s.b
           WHERE s.matches >= {cfg.min_matches}
             AND s.matches * {_rel(cfg)[1]} >= {_rel(cfg)[0]} * LEAST(na.ntri, nb.ntri))"""
 
@@ -438,6 +442,40 @@ SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
                    THEN n.ref ELSE MIN(r.d) END AS cluster_id
 FROM nodes n LEFT JOIN reach r ON r.s = n.ref
 GROUP BY n.ref"""
+
+
+def sql_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT,
+                   refine_cfg: ERConfig | None = None) -> str:
+    """Merge-and-refine ER (pipelines/er.run_er_refined): pass-1 closure
+    → per-cluster merged text (string_agg of member texts, ref order) →
+    a SECOND prefixed candidate chain over the merged records → second
+    closure → label composition."""
+    refine_cfg = refine_cfg or cfg
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                  THEN n.ref ELSE MIN(r.d) END AS cluster_id
+             FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+merged AS MATERIALIZED (SELECT c.cluster_id AS ref,
+                  string_agg(s.text, ' ' ORDER BY s.ref) AS text
+           FROM clusters c JOIN src s ON s.ref = c.ref
+           GROUP BY c.cluster_id),
+{pairs_cte("SELECT ref, text FROM merged", refine_cfg, prefix="r")},
+rsym AS MATERIALIZED (SELECT a AS s, b AS d FROM redges
+                      UNION ALL SELECT b, a FROM redges),
+rreach(s, d) AS (SELECT s, d FROM rsym
+                 UNION
+                 SELECT r.s, y.d FROM rreach r JOIN rsym y ON r.d = y.s),
+rnodes AS (SELECT DISTINCT ref FROM rsrc),
+super AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+               THEN n.ref ELSE MIN(r.d) END AS super_id
+          FROM rnodes n LEFT JOIN rreach r ON r.s = n.ref GROUP BY n.ref)
+SELECT c.ref, sp.super_id AS cluster_id
+FROM clusters c JOIN super sp ON sp.ref = c.cluster_id"""
 
 
 def sql_er_golden(transcripts_path: str, cfg: ERConfig = DEFAULT) -> str:

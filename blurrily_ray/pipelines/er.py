@@ -267,3 +267,80 @@ def run_er_grouped(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
     """run_er over a transcript table whose conversations are contiguous in
     file order (the natural write layout) — bulk text never shuffles."""
     return run_er_from_paths(transcripts_path, cfg, assume_grouped=True, **kw)
+
+
+def run_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
+                   refine_cfg: ERConfig | None = None, **kw):
+    """Merge-and-refine second pass (the Swoosh insight — Benjelloun et
+    al. VLDBJ 2009: a MERGED record can match records none of its
+    sources matched alone): after the base ER, each cluster's member
+    texts concatenate (ref order) into one merged record; a second
+    blocking + scoring + closure pass runs over the merged records, and
+    clusters whose merged texts match fuse into superclusters. Returns
+    {'clusters': (ref, cluster_id) with the refined labels, 'edges2':
+    the cluster-level match edges, 'base': the pass-1 result}.
+
+    Scale shape: the second pass is cluster-count-sized (≤ corpus, and
+    each merged text is bounded by entity multiplicity); the only new
+    corpus-sized exchanges are the ref-keyed label attach and the
+    cluster-keyed text merge. Refine with ``refine_cfg`` (defaults to
+    ``cfg``): even at identical thresholds the pass is NOT vacuous —
+    merged texts have more trigrams, different rare-key selections and
+    a different corpus histogram, so cluster pairs can match where no
+    member pair did (oracle: oracles.sql_er_refined)."""
+    import pandas as pd
+
+    from blurrily_ray.stages.cluster import connected_components
+    from blurrily_ray.stages.common import partitioned_map, partitioned_map2
+    from blurrily_ray.stages.pairs import (blocking_keys,
+                                           candidate_pairs_fused_blocking,
+                                           docsets_bitsets_ref,
+                                           score_pairs_fused,
+                                           trigram_histogram)
+    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
+
+    refine_cfg = refine_cfg or cfg
+    res = run_er_grouped(transcripts_path, cfg, **kw)
+    clusters = res["clusters"].materialize()
+
+    ts = ray.data.read_parquet(transcripts_path,
+                               columns=["conv_id", "turn_idx", "text"])
+    docs = assemble_docs(ts, assume_grouped=True)
+
+    def attach(d_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+        return d_df.merge(c_df, on="ref",
+                          how="inner")[["cluster_id", "ref", "text"]]
+
+    tagged = partitioned_map2(docs, clusters, ["ref"], ["ref"], attach,
+                              n_parts=cfg.join_partitions)
+
+    def merge_text(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cluster_id", "ref"], kind="stable")
+        g = df.groupby("cluster_id", sort=False)["text"].agg(" ".join)
+        return pd.DataFrame({"ref": g.index.to_numpy(),
+                             "text": g.to_numpy()})
+
+    merged = partitioned_map(tagged, ["cluster_id"], merge_text,
+                             n_parts=cfg.join_partitions).materialize()
+
+    docsets2 = docsets_from_docs(merged).materialize()
+    hist2 = trigram_histogram(docsets2)
+    lut2 = docsets_bitsets_ref(docsets2)
+    keys2 = blocking_keys(docsets2, hist2, refine_cfg, lut_ref=lut2)
+    raw2, _ = candidate_pairs_fused_blocking(keys2, refine_cfg,
+                                             int_refs=True)
+    edges2 = score_pairs_fused(raw2, cfg=refine_cfg, lut_ref=lut2,
+                               surrogate=True, packed=True).materialize()
+    label2 = connected_components(edges2, merged.select_columns(["ref"]),
+                                  refine_cfg)
+
+    def compose(c_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
+        lmap = l_df.rename(columns={"ref": "cluster_id",
+                                    "cluster_id": "_super"})
+        out = c_df.merge(lmap, on="cluster_id", how="inner")
+        return pd.DataFrame({"ref": out["ref"],
+                             "cluster_id": out["_super"]})
+
+    final = partitioned_map2(clusters, label2, ["cluster_id"], ["ref"],
+                             compose, n_parts=cfg.join_partitions)
+    return {"clusters": final, "edges2": edges2, "base": res}

@@ -238,6 +238,40 @@ def test_candidate_pairs_restored_is_prethreshold_cand(sf0001_paths):
     assert got == exp
 
 
+def test_er_refined_composes_and_keeps_f1(sf0001_paths):
+    """Merge-and-refine (run_er_refined): refinement only FUSES pass-1
+    clusters (never splits — every pass-1 cluster maps to exactly one
+    refined label), labels stay min-member refs, and the pairwise F1
+    gate still clears on the synth corpus."""
+    from blurrily_ray.pipelines.er import run_er_grouped, run_er_refined
+
+    tpath = sf0001_paths["transcripts"]
+    base = {r["ref"]: r["cluster_id"]
+            for r in run_er_grouped(tpath)["clusters"].take_all()}
+    ref = {r["ref"]: r["cluster_id"]
+           for r in run_er_refined(tpath)["clusters"].take_all()}
+    assert set(ref) == set(base)
+    mapping = {}
+    for r, c in base.items():
+        mapping.setdefault(c, set()).add(ref[r])
+    assert all(len(v) == 1 for v in mapping.values())  # never splits
+    f1 = pairwise_f1(ref, truth_map(sf0001_paths))
+    assert f1["f1"] >= 0.99, f1
+
+
+def test_er_refined_identity_under_impossible_threshold(sf0001_paths):
+    """With a refine threshold no merged pair can clear, the second pass
+    is a no-op: refined labels == base labels exactly."""
+    from blurrily_ray.pipelines.er import run_er_grouped, run_er_refined
+
+    tpath = sf0001_paths["transcripts"]
+    base = {r["ref"]: r["cluster_id"]
+            for r in run_er_grouped(tpath)["clusters"].take_all()}
+    res = run_er_refined(tpath, refine_cfg=ERConfig(min_matches=10**6))
+    got = {r["ref"]: r["cluster_id"] for r in res["clusters"].take_all()}
+    assert got == base
+
+
 def test_every_conv_labeled(er_result, sf0001_paths):
     _, clusters = er_result
     assert set(clusters) == set(truth_map(sf0001_paths))
