@@ -295,6 +295,16 @@ def _q_er_refined(sf_dir: str):
     return run_er_refined(paths["transcripts"])["clusters"]
 
 
+def _q_er_tiered(sf_dir: str):
+    """Two-resolution single-linkage: strict auto-merge tier nested
+    inside the loose review tier, one edge computation."""
+    from blurrily_ray.pipelines.er import run_er_tiered
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    return run_er_tiered(paths["transcripts"])["clusters"]
+
+
 def _q_er_eval_bcubed(sf_dir: str):
     """B-cubed precision/recall integer sums of the ER clusters against
     the labeled ground truth — item-weighted evaluation beside er_eval's
@@ -1014,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_eval": _q_er_eval,
         "er_eval_bcubed": _q_er_eval_bcubed,
         "er_refined": _q_er_refined,
+        "er_tiered": _q_er_tiered,
         "blocking_eval": _q_blocking_eval,
         "er_golden": _q_er_golden,
         "dedup_exact_docs": _q_dedup_exact,
@@ -1218,6 +1229,7 @@ def _oracle_entries():
         "er_eval_bcubed": lambda: oracles.sql_er_eval_bcubed(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "er_refined": lambda: oracles.sql_er_refined(tpath()),
+        "er_tiered": lambda: oracles.sql_er_tiered(tpath()),
         "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "er_golden": lambda: oracles.sql_er_golden(tpath()),

@@ -416,6 +416,30 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
     queries["fs_scores"] = round(
         best_of(lambda: fs_score_pairs(docs)[0].count()), 3)
 
+    from blurrily_ray.stages.editdist import dl_verify_pairs
+    from blurrily_ray.stages.linkage import link_tables
+    from blurrily_ray.stages.metablock import meta_block_cnp, meta_block_wep
+    from blurrily_ray.stages.wjaccard import wjac_pairs
+
+    queries["dl_pairs"] = round(
+        best_of(lambda: dl_verify_pairs(docs, max_dist=40).count()), 3)
+    queries["wjac_pairs"] = round(
+        best_of(lambda: wjac_pairs(docs).count()), 3)
+    queries["meta_wep"] = round(
+        best_of(lambda: meta_block_wep(docs).count()), 3)
+    queries["meta_cnp"] = round(
+        best_of(lambda: meta_block_cnp(docs, k=5).count()), 3)
+
+    def _link():
+        def half(p):
+            return docs.map_batches(
+                lambda t, q=p: t.filter(
+                    _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), q)),
+                batch_format="pyarrow")
+        link_tables(half(0), half(1), ref_col="doc_id").count()
+
+    queries["link_tables"] = round(best_of(_link), 3)
+
     ray.shutdown()
     return {"queries": queries, "sf": sf, "num_cpus": num_cpus}
 

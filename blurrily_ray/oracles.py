@@ -444,6 +444,42 @@ FROM nodes n LEFT JOIN reach r ON r.s = n.ref
 GROUP BY n.ref"""
 
 
+def sql_er_tiered(transcripts_path: str, cfg: ERConfig = DEFAULT,
+                  tight_cfg: ERConfig | None = None) -> str:
+    """Two-resolution single-linkage (pipelines/er.run_er_tiered): one
+    candidate chain at the loose thresholds, the tight tier as a pure
+    re-threshold of the SAME edges (ntri re-join), two closures,
+    nested labels."""
+    if tight_cfg is None:
+        from dataclasses import replace
+
+        tight_cfg = replace(cfg, min_matches=max(8, cfg.min_matches),
+                            min_matches_rel=0.75)
+    num2, den2 = _rel(tight_cfg)
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+tedges AS MATERIALIZED (SELECT e.a, e.b FROM edges e
+        JOIN ntri na ON na.ref = e.a JOIN ntri nb ON nb.ref = e.b
+        WHERE e.matches >= {tight_cfg.min_matches}
+          AND e.matches * {den2} >= {num2} * LEAST(na.ntri, nb.ntri)),
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+tsym AS MATERIALIZED (SELECT a AS s, b AS d FROM tedges UNION ALL SELECT b, a FROM tedges),
+treach(s, d) AS (SELECT s, d FROM tsym
+                 UNION
+                 SELECT r.s, y.d FROM treach r JOIN tsym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+loose AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+               THEN n.ref ELSE MIN(r.d) END AS cluster_loose
+          FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+tight AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+               THEN n.ref ELSE MIN(r.d) END AS cluster_tight
+          FROM nodes n LEFT JOIN treach r ON r.s = n.ref GROUP BY n.ref)
+SELECT l.ref, t.cluster_tight, l.cluster_loose
+FROM loose l JOIN tight t USING (ref)"""
+
+
 def sql_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT,
                    refine_cfg: ERConfig | None = None) -> str:
     """Merge-and-refine ER (pipelines/er.run_er_refined): pass-1 closure

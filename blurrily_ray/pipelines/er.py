@@ -269,6 +269,45 @@ def run_er_grouped(transcripts_path: str, cfg: ERConfig = DEFAULT, **kw):
     return run_er_from_paths(transcripts_path, cfg, assume_grouped=True, **kw)
 
 
+def run_er_tiered(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
+                  tight_cfg: ERConfig | None = None, **kw):
+    """Two-resolution single-linkage ER (the dendrogram cut at two
+    heights — hierarchical dedup practice: a strict tier for auto-merge,
+    a loose tier for review queues): candidate edges are computed ONCE
+    at the loose thresholds; the tight tier is a pure RE-THRESHOLD of
+    the carried (matches, ntri) stats (stages/pairs.threshold_edges —
+    no second blocking or scoring pass), followed by its own closure.
+    Tight edges ⊆ loose edges, so tight clusters NEST inside loose ones
+    (pinned by test). Returns {'clusters': (ref, cluster_tight,
+    cluster_loose), 'base': the loose-pass result}."""
+    import pandas as pd
+
+    from blurrily_ray.stages.cluster import connected_components
+    from blurrily_ray.stages.common import partitioned_map2
+    from blurrily_ray.stages.pairs import threshold_edges
+
+    if tight_cfg is None:
+        from dataclasses import replace
+
+        tight_cfg = replace(cfg, min_matches=max(8, cfg.min_matches),
+                            min_matches_rel=0.75)
+    res = run_er_grouped(transcripts_path, cfg, **kw)
+    clusters = res["clusters"].materialize()
+    tedges = threshold_edges(res["edges"], tight_cfg)
+    lab_t = connected_components(tedges, clusters.select_columns(["ref"]),
+                                 tight_cfg)
+
+    def combine(l_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
+        t = t_df.rename(columns={"cluster_id": "cluster_tight"})
+        lo = l_df.rename(columns={"cluster_id": "cluster_loose"})
+        return lo.merge(t, on="ref", how="inner")[
+            ["ref", "cluster_tight", "cluster_loose"]]
+
+    out = partitioned_map2(clusters, lab_t, ["ref"], ["ref"], combine,
+                           n_parts=cfg.join_partitions)
+    return {"clusters": out, "base": res}
+
+
 def run_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
                    refine_cfg: ERConfig | None = None, **kw):
     """Merge-and-refine second pass (the Swoosh insight — Benjelloun et

@@ -259,6 +259,28 @@ def test_er_refined_composes_and_keeps_f1(sf0001_paths):
     assert f1["f1"] >= 0.99, f1
 
 
+def test_er_tiered_nesting(sf0001_paths):
+    """Two-resolution single-linkage: tight clusters NEST inside loose
+    ones (tight edges ⊆ loose edges ⇒ finer partition), the loose tier
+    equals the plain er_clusters labels, and an impossible tight
+    threshold degrades to all-singletons."""
+    from blurrily_ray.pipelines.er import run_er_grouped, run_er_tiered
+
+    tpath = sf0001_paths["transcripts"]
+    out = run_er_tiered(tpath)["clusters"].to_pandas()
+    base = {r["ref"]: r["cluster_id"]
+            for r in run_er_grouped(tpath)["clusters"].take_all()}
+    assert {r: c for r, c in zip(out["ref"], out["cluster_loose"])} == base
+    # nesting: each tight cluster lives inside exactly one loose cluster
+    g = out.groupby("cluster_tight")["cluster_loose"].nunique()
+    assert (g == 1).all()
+    assert out["cluster_tight"].nunique() >= out["cluster_loose"].nunique()
+
+    strict = run_er_tiered(
+        tpath, tight_cfg=ERConfig(min_matches=10**6))["clusters"].to_pandas()
+    assert (strict["cluster_tight"] == strict["ref"]).all()  # singletons
+
+
 def test_er_refined_identity_under_impossible_threshold(sf0001_paths):
     """With a refine threshold no merged pair can clear, the second pass
     is a no-op: refined labels == base labels exactly."""
