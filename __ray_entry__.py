@@ -181,19 +181,10 @@ def _q_meta_wep(sf_dir: str):
 def _q_link_tables(sf_dir: str):
     """Two-table record linkage: even-doc_id documents linked against
     odd-doc_id documents under shared (union) blocking statistics."""
-    import pyarrow.compute as pc
+    from blurrily_ray.stages.linkage import link_tables, parity_halves
 
-    from blurrily_ray.stages.linkage import link_tables
-
-    docs = _docs(sf_dir)
-
-    def half(parity: int):
-        return docs.map_batches(
-            lambda t, p=parity: t.filter(
-                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)),
-            batch_format="pyarrow")
-
-    return _i64(link_tables(half(0), half(1), ref_col="doc_id"))
+    a, b = parity_halves(_docs(sf_dir), "doc_id")
+    return _i64(link_tables(a, b, ref_col="doc_id"))
 
 
 def _q_meta_cnp(sf_dir: str):

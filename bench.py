@@ -417,7 +417,7 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         best_of(lambda: fs_score_pairs(docs)[0].count()), 3)
 
     from blurrily_ray.stages.editdist import dl_verify_pairs
-    from blurrily_ray.stages.linkage import link_tables
+    from blurrily_ray.stages.linkage import link_tables, parity_halves
     from blurrily_ray.stages.metablock import meta_block_cnp, meta_block_wep
     from blurrily_ray.stages.wjaccard import wjac_pairs
 
@@ -431,12 +431,8 @@ def run_micro_phase(sf_dir: str, num_cpus: int) -> dict:
         best_of(lambda: meta_block_cnp(docs, k=5).count()), 3)
 
     def _link():
-        def half(p):
-            return docs.map_batches(
-                lambda t, q=p: t.filter(
-                    _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), q)),
-                batch_format="pyarrow")
-        link_tables(half(0), half(1), ref_col="doc_id").count()
+        a, b = parity_halves(docs, "doc_id")
+        link_tables(a, b, ref_col="doc_id").count()
 
     queries["link_tables"] = round(best_of(_link), 3)
 

@@ -124,7 +124,8 @@ SELECT needle, rank, ref, matches, weight FROM ranked WHERE rank <= {limit}"""
 
 
 def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
-              max_keys: int = MAX_KEYS_PER_DOC, prefix: str = "") -> str:
+              max_keys: int = MAX_KEYS_PER_DOC, prefix: str = "",
+              upto: str = "edges") -> str:
     """postings → thresholded candidate pair CTE chain (mirrors
     stages/pairs.py: rarest-key blocking + stoplist + exact rescoring).
     Handles all blocking modes (config.py), including deterministic
@@ -132,13 +133,17 @@ def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
     ((key * 2654435761) % 2^32) % mod == 0 in HUGEINT math.
     ``prefix`` namespaces every CTE (src → {prefix}src, edges →
     {prefix}edges, …) so two chains can share one WITH clause
-    (sql_er_refined's second pass)."""
+    (sql_er_refined's second pass). ``upto='keys'`` stops the chain at
+    keys_kept — DuckDB executes even UNREFERENCED materialized CTEs, so
+    oracles that only read the blocking keys (meta_wep/meta_cnp) must
+    not carry the cand×postings scoring tail."""
     x = prefix
     samp = (f" WHERE (key::HUGEINT * 2654435761) % 4294967296 "
             f"% {cfg.key_sample_mod} = 0"
             if cfg.key_sample_mod > 1 else "")
     if cfg.blocking_mode == "trigram_triple":
-        keys_part = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.triple_rarest}),
+        join_col = "key"
+        keys_core = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.triple_rarest}),
 {x}comp0 AS (SELECT k1.ref,
                 (k1.trigram * 21952 + k2.trigram) * 21952 + k3.trigram AS key
          FROM {x}keysq k1 JOIN {x}keysq k2 ON k1.ref = k2.ref
@@ -148,44 +153,42 @@ def pairs_cte(src_sql: str, cfg: ERConfig = DEFAULT,
 {x}comp AS (SELECT * FROM {x}comp0{samp}),
 {x}khist AS (SELECT key, COUNT(*) AS n FROM {x}comp GROUP BY key),
 {x}keys_kept AS (SELECT c.ref, c.key FROM {x}comp c JOIN {x}khist h USING (key)
-              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (key)
-         WHERE k1.ref < k2.ref
-         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max})"""
     elif cfg.blocking_mode == "trigram_pair":
-        keys_part = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.pair_rarest}),
+        join_col = "key"
+        keys_core = f"""{x}keysq AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {cfg.pair_rarest}),
 {x}comp0 AS (SELECT k1.ref, k1.trigram * 21952 + k2.trigram AS key
          FROM {x}keysq k1 JOIN {x}keysq k2 ON k1.ref = k2.ref
                                      AND k1.trigram < k2.trigram),
 {x}comp AS (SELECT * FROM {x}comp0{samp}),
 {x}khist AS (SELECT key, COUNT(*) AS n FROM {x}comp GROUP BY key),
 {x}keys_kept AS (SELECT c.ref, c.key FROM {x}comp c JOIN {x}khist h USING (key)
-              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (key)
-         WHERE k1.ref < k2.ref
-         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max})"""
     else:
+        join_col = "trigram"
         samp1 = (f" WHERE (trigram::HUGEINT * 2654435761) % 4294967296 "
                  f"% {cfg.key_sample_mod} = 0"
                  if cfg.key_sample_mod > 1 else "")
-        keys_part = f"""{x}keysq0 AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {max_keys}),
+        keys_core = f"""{x}keysq0 AS (SELECT ref, trigram FROM {x}ranked WHERE rk <= {max_keys}),
 {x}keysq AS (SELECT * FROM {x}keysq0{samp1}),
 {x}khist AS (SELECT trigram, COUNT(*) AS n FROM {x}keysq GROUP BY trigram),
 {x}keys_kept AS (SELECT k.ref, k.trigram FROM {x}keysq k JOIN {x}khist h USING (trigram)
-              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max}),
-{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
-         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING (trigram)
-         WHERE k1.ref < k2.ref
-         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
-    return f"""{postings_cte(src_sql, prefix)},
+              WHERE h.n <= {cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max})"""
+    head = f"""{postings_cte(src_sql, prefix)},
 {x}ntri AS (SELECT ref, COUNT(*) AS ntri FROM {x}postings GROUP BY ref),
 {x}hist AS (SELECT trigram, COUNT(*) AS n FROM {x}postings GROUP BY trigram),
 {x}ranked AS (SELECT p.ref, p.trigram,
            row_number() OVER (PARTITION BY p.ref ORDER BY h.n, p.trigram) AS rk
            FROM {x}postings p JOIN {x}hist h USING (trigram)),
-{keys_part}
+"""
+    if upto == "keys":
+        return head + keys_core
+    cand = f""",
+{x}cand AS (SELECT k1.ref AS a, k2.ref AS b
+         FROM {x}keys_kept k1 JOIN {x}keys_kept k2 USING ({join_col})
+         WHERE k1.ref < k2.ref
+         GROUP BY k1.ref, k2.ref HAVING COUNT(*) >= {cfg.min_cokeys}),"""
+    return head + keys_core + cand + f"""
 {x}score AS (SELECT c.a, c.b, COUNT(*) AS matches
           FROM {x}cand c JOIN {x}postings p1 ON p1.ref = c.a
                       JOIN {x}postings p2 ON p2.ref = c.b AND p2.trigram = p1.trigram
@@ -216,7 +219,7 @@ def sql_meta_wep() -> str:
     cross-multiplied mean test ``w · n_edges ≥ Σw``."""
     from blurrily_ray.stages.editdist import PAIR_MODE
 
-    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE, upto="keys")},
 cbs AS (SELECT k1.ref AS a, k2.ref AS b, CAST(COUNT(*) AS BIGINT) AS cbs
         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
         WHERE k1.ref < k2.ref GROUP BY 1, 2),
@@ -262,7 +265,7 @@ def sql_meta_cnp(k: int = 5, reciprocal: bool = False) -> str:
     from blurrily_ray.stages.editdist import PAIR_MODE
 
     need = 2 if reciprocal else 1
-    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE)},
+    return f"""WITH {pairs_cte(DOCS_SRC, PAIR_MODE, upto="keys")},
 cbs AS (SELECT k1.ref AS a, k2.ref AS b, CAST(COUNT(*) AS BIGINT) AS cbs
         FROM keys_kept k1 JOIN keys_kept k2 USING (key)
         WHERE k1.ref < k2.ref GROUP BY 1, 2),
@@ -555,7 +558,8 @@ clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
                   THEN n.ref ELSE MIN(r.d) END AS cluster_id
              FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
 j AS (SELECT c.cluster_id, g.entity_id
-      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref),
+      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref
+      WHERE g.entity_id IS NOT NULL),
 bs AS (SELECT COUNT(*) AS n FROM j GROUP BY cluster_id, entity_id),
 ps AS (SELECT COUNT(*) AS n FROM j GROUP BY cluster_id),
 ts AS (SELECT COUNT(*) AS n FROM j GROUP BY entity_id)
@@ -581,7 +585,8 @@ clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
                   THEN n.ref ELSE MIN(r.d) END AS cluster_id
              FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
 j AS (SELECT c.cluster_id, g.entity_id
-      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref),
+      FROM clusters c JOIN read_parquet('{truth_path}') g ON g.conv_id = c.ref
+      WHERE g.entity_id IS NOT NULL),
 cells AS (SELECT cluster_id, entity_id, COUNT(*) AS n FROM j GROUP BY 1, 2),
 cs AS (SELECT cluster_id, SUM(n) AS nc FROM cells GROUP BY 1),
 es AS (SELECT entity_id, SUM(n) AS ne FROM cells GROUP BY 1)
@@ -605,7 +610,8 @@ def sql_blocking_eval(transcripts_path: str, truth_path: str,
     return f"""WITH {pairs_cte(transcripts_src(transcripts_path), cfg)},
 lab AS (SELECT conv_id AS ref, entity_id FROM read_parquet('{truth_path}')),
 nodes AS (SELECT DISTINCT ref FROM src),
-nlab AS (SELECT l.ref, l.entity_id FROM lab l JOIN nodes n USING (ref)),
+nlab AS (SELECT l.ref, l.entity_id FROM lab l JOIN nodes n USING (ref)
+         WHERE l.entity_id IS NOT NULL),
 m AS (SELECT
     (SELECT COUNT(*) FROM nodes) AS n_refs,
     (SELECT COUNT(*) FROM cand) AS cand_pairs,

@@ -291,6 +291,16 @@ def run_er_tiered(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
 
         tight_cfg = replace(cfg, min_matches=max(8, cfg.min_matches),
                             min_matches_rel=0.75)
+    if (tight_cfg.min_matches < cfg.min_matches
+            or tight_cfg.min_matches_rel < cfg.min_matches_rel):
+        # the tight tier re-filters edges ALREADY cut at the loose
+        # thresholds — a looser tight_cfg would silently return the
+        # loose labels under the tight name
+        raise ValueError(
+            "tight_cfg must be at least as strict as cfg on both "
+            f"thresholds (min_matches {tight_cfg.min_matches} vs "
+            f"{cfg.min_matches}, rel {tight_cfg.min_matches_rel} vs "
+            f"{cfg.min_matches_rel}); swap the configs or relax cfg")
     res = run_er_grouped(transcripts_path, cfg, **kw)
     clusters = res["clusters"].materialize()
     tedges = threshold_edges(res["edges"], tight_cfg)
@@ -322,23 +332,30 @@ def run_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
     Scale shape: the second pass is cluster-count-sized (≤ corpus, and
     each merged text is bounded by entity multiplicity); the only new
     corpus-sized exchanges are the ref-keyed label attach and the
-    cluster-keyed text merge. Refine with ``refine_cfg`` (defaults to
-    ``cfg``): even at identical thresholds the pass is NOT vacuous —
-    merged texts have more trigrams, different rare-key selections and
-    a different corpus histogram, so cluster pairs can match where no
-    member pair did (oracle: oracles.sql_er_refined)."""
+    cluster-keyed text merge. The pass itself runs through
+    :func:`run_er` (merged records reshaped as single-turn transcripts
+    — contiguous by construction, each cluster merges in exactly one
+    partition), so it inherits the full broadcast/sharded score
+    dispatch: a mostly-singleton corpus, where merged-record count ≈
+    corpus size, takes the sharded path instead of overflowing the
+    bitset broadcast. Refine with ``refine_cfg`` (defaults to ``cfg``):
+    even at identical thresholds the pass is NOT vacuous — merged texts
+    have more trigrams, different rare-key selections and a different
+    corpus histogram, so cluster pairs can match where no member pair
+    did (oracle: oracles.sql_er_refined)."""
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    from blurrily_ray.stages.cluster import connected_components
     from blurrily_ray.stages.common import partitioned_map, partitioned_map2
-    from blurrily_ray.stages.pairs import (blocking_keys,
-                                           candidate_pairs_fused_blocking,
-                                           docsets_bitsets_ref,
-                                           score_pairs_fused,
-                                           trigram_histogram)
-    from blurrily_ray.stages.tokenize import assemble_docs, docsets_from_docs
 
     refine_cfg = refine_cfg or cfg
+    kw2 = dict(kw)
+    kw2.pop("assume_grouped", None)  # pass 2's layout is ours, not the
+    # caller's; checkpoints get a sub-directory so stage names don't
+    # collide with pass 1's
+    if kw.get("checkpoint_dir"):
+        kw2["checkpoint_dir"] = os.path.join(kw["checkpoint_dir"], "refine")
     res = run_er_grouped(transcripts_path, cfg, **kw)
     clusters = res["clusters"].materialize()
 
@@ -362,16 +379,17 @@ def run_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT, *,
     merged = partitioned_map(tagged, ["cluster_id"], merge_text,
                              n_parts=cfg.join_partitions).materialize()
 
-    docsets2 = docsets_from_docs(merged).materialize()
-    hist2 = trigram_histogram(docsets2)
-    lut2 = docsets_bitsets_ref(docsets2)
-    keys2 = blocking_keys(docsets2, hist2, refine_cfg, lut_ref=lut2)
-    raw2, _ = candidate_pairs_fused_blocking(keys2, refine_cfg,
-                                             int_refs=True)
-    edges2 = score_pairs_fused(raw2, cfg=refine_cfg, lut_ref=lut2,
-                               surrogate=True, packed=True).materialize()
-    label2 = connected_components(edges2, merged.select_columns(["ref"]),
-                                  refine_cfg)
+    def as_transcripts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["ref"],
+            "turn_idx": pa.array(np.zeros(len(t), dtype=np.int32)),
+            "text": t["text"]})
+
+    res2 = run_er(merged.map_batches(as_transcripts,
+                                     batch_format="pyarrow"),
+                  refine_cfg, assume_grouped=True, **kw2)
+    edges2 = res2["edges"]
+    label2 = res2["clusters"]
 
     def compose(c_df: pd.DataFrame, l_df: pd.DataFrame) -> pd.DataFrame:
         lmap = l_df.rename(columns={"ref": "cluster_id",

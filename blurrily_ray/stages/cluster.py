@@ -220,13 +220,19 @@ def cluster_eval(clusters, truth, *, truth_ref_col: str = "conv_id",
     counts → one tiny keyed shuffle → exact sizes → per-partition
     partial pair-sums; the driver adds ≤ n_parts rows per grouping.
     Truth rows are restricted to refs present in ``clusters`` (inner
-    attach), matching pairwise_f1's evaluation set. Returns a one-row
-    pandas DataFrame (int64), ready for the caller's F1 arithmetic."""
+    attach) and NULL-labeled rows are excluded, matching pairwise_f1's
+    evaluation set. Returns a one-row pandas DataFrame (int64), ready
+    for the caller's F1 arithmetic."""
     n_parts = join_partitions_cap(n_parts)
 
     def attach(c_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
         t = t_df.rename(columns={truth_ref_col: "ref",
                                  truth_col: "_entity"})
+        # NULL labels are excluded from the evaluation set (an unlabeled
+        # item contributes to neither side; the SQL mirror filters
+        # identically — and pandas groupby silently DROPS NaN keys, which
+        # would otherwise diverge from SQL's NULLs-form-a-group rule)
+        t = t[t["_entity"].notna()]
         return c_df.merge(t, on="ref", how="inner")[["cluster_id",
                                                      "_entity"]]
 
@@ -268,13 +274,19 @@ def cluster_eval_bcubed(clusters, truth, *, truth_ref_col: str = "conv_id",
     (n_items, bp_micro_sum, br_micro_sum) int64 — divide the sums by
     n_items for the averages; per-cell ⌊n_ce²·10⁶/size⌋ floors match
     the SQL oracle's BIGINT division exactly (no float anywhere).
-    Truth rows restrict to refs present in ``clusters`` (inner attach),
-    the same evaluation set as :func:`cluster_eval`."""
+    Truth rows restrict to refs present in ``clusters`` (inner attach)
+    and NULL-labeled rows are excluded — the same evaluation set as
+    :func:`cluster_eval`."""
     n_parts = join_partitions_cap(n_parts)
 
     def attach(c_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
         t = t_df.rename(columns={truth_ref_col: "ref",
                                  truth_col: "_entity"})
+        # NULL labels are excluded from the evaluation set (an unlabeled
+        # item contributes to neither side; the SQL mirror filters
+        # identically — and pandas groupby silently DROPS NaN keys, which
+        # would otherwise diverge from SQL's NULLs-form-a-group rule)
+        t = t[t["_entity"].notna()]
         return c_df.merge(t, on="ref", how="inner")[["cluster_id",
                                                      "_entity"]]
 
@@ -379,6 +391,9 @@ def blocking_eval(cand_pairs, truth, nodes, *,
     # truth-pair denominator)
     def keep_labeled(n_df: pd.DataFrame, t_df: pd.DataFrame) -> pd.DataFrame:
         t = t_df.rename(columns={truth_ref_col: "ref", truth_col: "_entity"})
+        # NULL labels excluded (cluster_eval convention: keeps pandas
+        # groupby's NaN-drop from diverging vs SQL's NULL-group rule)
+        t = t[t["_entity"].notna()]
         return n_df.merge(t, on="ref", how="inner")[["ref", "_entity"]]
 
     nlab = partitioned_map2(nodes.select_columns(["ref"]),

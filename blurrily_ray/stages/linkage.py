@@ -52,6 +52,20 @@ def _tag_side(ds, side: str, ref_col: str, text_col: str):
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def parity_halves(docs, col: str):
+    """Deterministic even/odd split on an integer id column — the
+    harness/bench recipe for exercising :func:`link_tables` on a single
+    table (must stay in sync with the oracle's ``CASE {col} % 2``
+    tagging — this is the one shared implementation)."""
+    def half(p: int):
+        return docs.map_batches(
+            lambda t, q=p: t.filter(
+                pc.equal(pc.bit_wise_and(t[col], 1), q)),
+            batch_format="pyarrow")
+
+    return half(0), half(1)
+
+
 def link_tables(docs_a, docs_b, cfg: ERConfig = PAIR_MODE, *,
                 ref_col: str = "ref", text_col: str = "text",
                 ref_col_b: str | None = None, text_col_b: str | None = None):

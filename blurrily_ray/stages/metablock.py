@@ -177,14 +177,10 @@ def cnp_prune(cbs_edges, lut_ref, *, k: int, reciprocal: bool = False,
         packed_cols={"ab": np.int64, "w": np.uint16, "f": np.uint8})
 
 
-def meta_block_cnp(docs, cfg: ERConfig = PAIR_MODE, *, k: int = 5,
-                   reciprocal: bool = False, ref_col: str = "doc_id",
-                   text_col: str = "text"):
-    """CBS-weighted blocking graph + cardinality node pruning over one
-    document table: (a, b, cbs) for pairs retained in the top-``k``
-    incident edges (by exact co-key weight, boundary ties kept) of at
-    least one endpoint — or both with ``reciprocal=True`` (oracle:
-    oracles.sql_meta_cnp)."""
+def _cbs_graph(docs, cfg: ERConfig, ref_col: str, text_col: str):
+    """Shared prelude of both pruning schemes: docsets → blocking keys →
+    fused pair generation → CBS edge weights. Returns (cbs_edges
+    Dataset, lut_ref, output ref type)."""
     from blurrily_ray.stages.pairs import (blocking_keys,
                                            candidate_pairs_fused_blocking,
                                            docsets_bitsets_ref,
@@ -198,7 +194,18 @@ def meta_block_cnp(docs, cfg: ERConfig = PAIR_MODE, *, k: int = 5,
     lut_ref = docsets_bitsets_ref(docsets)
     keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
     raw, _ = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
-    cbs = cbs_edge_weights(raw)
+    return cbs_edge_weights(raw), lut_ref, ref_type
+
+
+def meta_block_cnp(docs, cfg: ERConfig = PAIR_MODE, *, k: int = 5,
+                   reciprocal: bool = False, ref_col: str = "doc_id",
+                   text_col: str = "text"):
+    """CBS-weighted blocking graph + cardinality node pruning over one
+    document table: (a, b, cbs) for pairs retained in the top-``k``
+    incident edges (by exact co-key weight, boundary ties kept) of at
+    least one endpoint — or both with ``reciprocal=True`` (oracle:
+    oracles.sql_meta_cnp)."""
+    cbs, lut_ref, ref_type = _cbs_graph(docs, cfg, ref_col, text_col)
     return cnp_prune(cbs, lut_ref, k=k, reciprocal=reciprocal,
                      ref_type=ref_type)
 
@@ -220,18 +227,5 @@ def meta_block_wep(docs, cfg: ERConfig = PAIR_MODE, *,
     the global mean — the meta-blocking pre-filter a downstream verify
     (editdist / jw / wjaccard) would consume in place of the full
     candidate set (oracle: oracles.sql_meta_wep)."""
-    from blurrily_ray.stages.pairs import (blocking_keys,
-                                           candidate_pairs_fused_blocking,
-                                           docsets_bitsets_ref,
-                                           trigram_histogram)
-    from blurrily_ray.stages.tokenize import docsets_from_docs
-
-    docsets = docsets_from_docs(docs, ref_col=ref_col,
-                                text_col=text_col).materialize()
-    ref_type = _ref_type_of(docsets, docs, ref_col)
-    hist = trigram_histogram(docsets)
-    lut_ref = docsets_bitsets_ref(docsets)
-    keys = blocking_keys(docsets, hist, cfg, lut_ref=lut_ref)
-    raw, _ = candidate_pairs_fused_blocking(keys, cfg, int_refs=True)
-    cbs = cbs_edge_weights(raw).materialize()
-    return wep_prune(cbs, lut_ref, ref_type=ref_type)
+    cbs, lut_ref, ref_type = _cbs_graph(docs, cfg, ref_col, text_col)
+    return wep_prune(cbs.materialize(), lut_ref, ref_type=ref_type)

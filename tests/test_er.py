@@ -102,6 +102,31 @@ def test_cluster_eval_bcubed_matches_driver(er_result, sf0001_paths):
     assert int(pgot["br_micro_sum"]) == n * 1_000_000
 
 
+def test_eval_null_labels_excluded():
+    """NULL-labeled truth rows are outside the evaluation set for BOTH
+    eval operators (and the SQL oracles filter identically): pandas
+    groupby silently drops NaN keys, so without the explicit filter the
+    engine would diverge from SQL's NULLs-form-a-group rule."""
+    import pyarrow as pa  # noqa: F811
+
+    from blurrily_ray.stages.cluster import cluster_eval, cluster_eval_bcubed
+
+    clusters = ray.data.from_items(
+        [{"ref": "c1", "cluster_id": "x"}, {"ref": "c2", "cluster_id": "x"},
+         {"ref": "c3", "cluster_id": "x"}])
+    truth = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c2", "c3"],
+        "entity_id": pa.array(["e1", "e1", None], pa.string())}))
+    got = cluster_eval(clusters, truth).iloc[0]
+    # evaluation set = {c1, c2}: tp=1, pred=C(2,2)=1, truth=1
+    assert (int(got["tp_pairs"]), int(got["pred_pairs"]),
+            int(got["truth_pairs"])) == (1, 1, 1)
+    b = cluster_eval_bcubed(clusters, truth).iloc[0]
+    assert int(b["n_items"]) == 2
+    assert int(b["bp_micro_sum"]) == 2_000_000  # both in their own cells
+    assert int(b["br_micro_sum"]) == 2_000_000
+
+
 def test_cluster_eval_truth_subset():
     """Truth rows restrict to refs present in clusters (inner attach) —
     extra labeled refs must not inflate truth_pairs; a perfect 2-cluster
