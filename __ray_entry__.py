@@ -187,6 +187,36 @@ def _q_link_tables(sf_dir: str):
     return _i64(link_tables(a, b, ref_col="doc_id"))
 
 
+def _turn_docs(sf_dir: str):
+    """Assembled transcript conversations as (ref, text) docs — the
+    name/entity-rich corpus word-level blocking is built for."""
+    import ray.data
+
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.tokenize import assemble_docs
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    ts = ray.data.read_parquet(paths["transcripts"],
+                               columns=["conv_id", "turn_idx", "text"])
+    return assemble_docs(ts, assume_grouped=True)
+
+
+def _q_token_pairs(sf_dir: str):
+    """Schema-agnostic token blocking (block purging + salting): the
+    candidate edge list with exact common-token weights."""
+    from blurrily_ray.stages.tokenblock import token_blocking_pairs
+
+    return _i64(token_blocking_pairs(_turn_docs(sf_dir), ref_col="ref"))
+
+
+def _q_token_wep(sf_dir: str):
+    """The published meta-blocking workflow on its canonical input:
+    token blocking → CBS weights → weighted edge pruning."""
+    from blurrily_ray.stages.tokenblock import token_meta_wep
+
+    return _i64(token_meta_wep(_turn_docs(sf_dir), ref_col="ref"))
+
+
 def _q_meta_cnp(sf_dir: str):
     """Meta-blocking cardinality node pruning: per-node top-k incident
     edges by exact CBS weight (RANK tie-keeping), OR-combined endpoints."""
@@ -1005,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_wep_docs": _q_meta_wep,
         "meta_cnp_docs": _q_meta_cnp,
         "link_tables_docs": _q_link_tables,
+        "token_pairs_turns": _q_token_pairs,
+        "token_wep_turns": _q_token_wep,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1207,6 +1239,8 @@ def _oracle_entries():
         "meta_wep_docs": lambda: oracles.sql_meta_wep(),
         "meta_cnp_docs": lambda: oracles.sql_meta_cnp(k=5),
         "link_tables_docs": lambda: oracles.sql_link_tables(),
+        "token_pairs_turns": lambda: oracles.sql_token_pairs(tpath()),
+        "token_wep_turns": lambda: oracles.sql_token_meta_wep(tpath()),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

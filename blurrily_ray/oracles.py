@@ -257,6 +257,52 @@ SELECT CAST(substr(CASE WHEN s.a LIKE 'A%' THEN s.a ELSE s.b END, 3) AS BIGINT) 
 FROM stats s"""
 
 
+def _token_blocking_cte(src_sql: str, cap: int) -> str:
+    """Token-blocking graph CTEs (stages/tokenblock.py): distinct
+    md5_number-mod-p token hashes per doc (the shingle-hash signedness
+    correction), block purging at ``cap``, exact common-token weights."""
+    toks = TOKS.format(col="lower(COALESCE(text, ''))")
+    h = (f"CAST(CASE WHEN md5_number(t) < 0 "
+         f"THEN ((md5_number(t) % {MERSENNE61}) + {MERSENNE61} + 64) "
+         f"% {MERSENNE61} "
+         f"ELSE md5_number(t) % {MERSENNE61} END AS BIGINT)")
+    return f"""w AS (SELECT ref, {toks} AS ws FROM ({src_sql})),
+tk0 AS (SELECT ref, unnest(ws) AS t FROM w),
+tk AS (SELECT DISTINCT ref, {h} AS key FROM tk0),
+kh AS (SELECT key, COUNT(*) AS n FROM tk GROUP BY key),
+kept AS (SELECT tk.ref, tk.key FROM tk JOIN kh USING (key)
+         WHERE kh.n <= {cap}),
+cbs AS (SELECT k1.ref AS a, k2.ref AS b, CAST(COUNT(*) AS BIGINT) AS cbs
+        FROM kept k1 JOIN kept k2 USING (key)
+        WHERE k1.ref < k2.ref GROUP BY 1, 2)"""
+
+
+def sql_token_pairs(transcripts_path: str,
+                    cfg: ERConfig | None = None) -> str:
+    """Token-blocking candidate edges with common-token weights over the
+    assembled transcript corpus — the name/entity-rich input word-level
+    blocking is built for (stages/tokenblock.token_blocking_pairs)."""
+    from blurrily_ray.stages.tokenblock import TOKEN_MODE
+
+    cfg = cfg or TOKEN_MODE
+    cap = cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max
+    return f"""WITH {_token_blocking_cte(transcripts_src(transcripts_path), cap)}
+SELECT a, b, cbs FROM cbs"""
+
+
+def sql_token_meta_wep(transcripts_path: str,
+                       cfg: ERConfig | None = None) -> str:
+    """The full published meta-blocking workflow: token blocking → CBS
+    → weighted edge pruning (stages/tokenblock.token_meta_wep)."""
+    from blurrily_ray.stages.tokenblock import TOKEN_MODE
+
+    cfg = cfg or TOKEN_MODE
+    cap = cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max
+    return f"""WITH {_token_blocking_cte(transcripts_src(transcripts_path), cap)},
+tot AS (SELECT COALESCE(SUM(cbs), 0) AS s, COUNT(*) AS c FROM cbs)
+SELECT a, b, cbs FROM cbs, tot WHERE cbs * c >= s"""
+
+
 def sql_meta_cnp(k: int = 5, reciprocal: bool = False) -> str:
     """Meta-blocking CBS + cardinality node pruning
     (stages/metablock.cnp_prune): per-node top-``k`` incident edges by
