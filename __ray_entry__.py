@@ -217,6 +217,24 @@ def _q_token_wep(sf_dir: str):
     return _i64(token_meta_wep(_turn_docs(sf_dir), ref_col="ref"))
 
 
+def _q_token_blocking_eval(sf_dir: str):
+    """Blocking-quality audit (RR / PC / PQ) of the token-blocking
+    scheme against the labeled ground truth — the comparative number
+    beside `blocking_eval`'s trigram audit."""
+    import ray.data
+
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.cluster import blocking_eval
+    from blurrily_ray.stages.tokenblock import token_blocking_pairs
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    docs = _turn_docs(sf_dir).materialize()
+    pairs = token_blocking_pairs(docs, ref_col="ref") \
+        .select_columns(["a", "b"])
+    truth = ray.data.read_parquet(paths["ground_truth"])
+    return blocking_eval(pairs, truth, docs.select_columns(["ref"]))
+
+
 def _q_meta_cnp(sf_dir: str):
     """Meta-blocking cardinality node pruning: per-node top-k incident
     edges by exact CBS weight (RANK tie-keeping), OR-combined endpoints."""
@@ -1037,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_tables_docs": _q_link_tables,
         "token_pairs_turns": _q_token_pairs,
         "token_wep_turns": _q_token_wep,
+        "token_blocking_eval": _q_token_blocking_eval,
         "jw_pairs_docs": _q_jw_pairs,
         "snm_pairs_docs": _q_snm_pairs,
         "snm_multi_pairs_docs": _q_snm_multi,
@@ -1241,6 +1260,8 @@ def _oracle_entries():
         "link_tables_docs": lambda: oracles.sql_link_tables(),
         "token_pairs_turns": lambda: oracles.sql_token_pairs(tpath()),
         "token_wep_turns": lambda: oracles.sql_token_meta_wep(tpath()),
+        "token_blocking_eval": lambda: oracles.sql_token_blocking_eval(
+            tpath(), ensure_transcripts(sf)["ground_truth"]),
         "jw_pairs_docs": lambda: oracles.sql_jw_pairs(),
         "snm_pairs_docs": lambda: oracles.sql_snm_pairs(),
         "snm_multi_pairs_docs": lambda: oracles.sql_snm_pairs_multi(),

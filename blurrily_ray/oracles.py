@@ -686,6 +686,50 @@ SELECT CAST(n_refs AS BIGINT) AS n_refs,
 FROM m"""
 
 
+def sql_token_blocking_eval(transcripts_path: str, truth_path: str,
+                            cfg: ERConfig | None = None) -> str:
+    """Christen blocking-quality metrics over the TOKEN-blocking
+    candidates (same metric tail as sql_blocking_eval, cand := the
+    token-blocking graph's edges) — the comparative audit of the
+    word-granularity scheme against the trigram pipeline's."""
+    from blurrily_ray.stages.tokenblock import TOKEN_MODE
+
+    cfg = cfg or TOKEN_MODE
+    cap = cfg.stoplist_cap or cfg.block_cap * cfg.salt_factor_max
+    return f"""WITH {_token_blocking_cte(transcripts_src(transcripts_path), cap)},
+cand AS (SELECT a, b FROM cbs),
+lab AS (SELECT conv_id AS ref, entity_id FROM read_parquet('{truth_path}')),
+nodes AS (SELECT DISTINCT ref FROM w),
+nlab AS (SELECT l.ref, l.entity_id FROM lab l JOIN nodes n USING (ref)
+         WHERE l.entity_id IS NOT NULL),
+m AS (SELECT
+    (SELECT COUNT(*) FROM nodes) AS n_refs,
+    (SELECT COUNT(*) FROM cand) AS cand_pairs,
+    (SELECT COUNT(*) FROM cand p
+        JOIN nlab la ON la.ref = p.a
+        JOIN nlab lb ON lb.ref = p.b AND la.entity_id = lb.entity_id)
+        AS tp_pairs,
+    (SELECT CAST(COALESCE(SUM((n*(n-1))//2), 0) AS BIGINT)
+     FROM (SELECT COUNT(*) AS n FROM nlab GROUP BY entity_id))
+        AS truth_pairs)
+SELECT CAST(n_refs AS BIGINT) AS n_refs,
+       CAST(n_refs*(n_refs-1)//2 AS BIGINT) AS total_pairs,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(tp_pairs AS BIGINT) AS tp_pairs,
+       CAST(truth_pairs AS BIGINT) AS truth_pairs,
+       CAST(CASE WHEN n_refs >= 2
+            THEN (n_refs*(n_refs-1)//2 - cand_pairs) * 1000000
+                 // (n_refs*(n_refs-1)//2)
+            ELSE 1000000 END AS BIGINT) AS rr_micro,
+       CAST(CASE WHEN truth_pairs > 0
+            THEN tp_pairs * 1000000 // truth_pairs
+            ELSE 1000000 END AS BIGINT) AS pc_micro,
+       CAST(CASE WHEN cand_pairs > 0
+            THEN tp_pairs * 1000000 // cand_pairs
+            ELSE 1000000 END AS BIGINT) AS pq_micro
+FROM m"""
+
+
 def sql_exact_dedup_docs() -> str:
     return ("SELECT MIN(doc_id) AS doc_id FROM documents "
         "GROUP BY COALESCE(text, '')")  # NULL text == ''
