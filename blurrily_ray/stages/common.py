@@ -117,7 +117,12 @@ def partitioned_map(ds, key_cols: list[str], fn, *, n_parts: int = 64,
                     h = h * np.uint64(31) + _col_hash(
                         pd.Series(np.asarray(col), dtype=object))
             part = (h % np.uint64(n_parts)).astype(np.int64)
-        return batch.append_column("_part", pa.array(part))
+        # strip schema metadata: a pandas-origin block carries dict-valued
+        # metadata that defeats Ray's schema-dedup cache in the shuffle's
+        # reduce stage (the 'Failed to hash the schemas' warning) and
+        # bloats every shuffled block's schema
+        return batch.append_column("_part", pa.array(part)) \
+            .replace_schema_metadata(None)
 
     def run(df):
         # pandas groups: strip the partition column with pandas; pyarrow
