@@ -324,6 +324,18 @@ def _q_er_eval(sf_dir: str):
     return cluster_eval(clusters, truth)
 
 
+def _q_er_cluster_stats(sf_dir: str):
+    """Per-cluster linkage-confidence stats: member/edge counts +
+    min/max/sum intra-edge scores (over-merge triage signal)."""
+    from blurrily_ray.pipelines.er import run_er_grouped
+    from blurrily_ray.sources.synth import ensure_transcripts, sf_from_dir
+    from blurrily_ray.stages.cluster import cluster_edge_stats
+
+    paths = ensure_transcripts(sf_from_dir(sf_dir))
+    res = run_er_grouped(paths["transcripts"])
+    return cluster_edge_stats(res["clusters"], res["edges"])
+
+
 def _q_er_refined(sf_dir: str):
     """Merge-and-refine second ER pass (Swoosh family): clusters whose
     MERGED member texts match fuse into superclusters."""
@@ -1066,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_eval": _q_er_eval,
         "er_eval_bcubed": _q_er_eval_bcubed,
         "er_refined": _q_er_refined,
+        "er_cluster_stats": _q_er_cluster_stats,
         "er_tiered": _q_er_tiered,
         "blocking_eval": _q_blocking_eval,
         "er_golden": _q_er_golden,
@@ -1275,6 +1288,7 @@ def _oracle_entries():
         "er_eval_bcubed": lambda: oracles.sql_er_eval_bcubed(
             tpath(), ensure_transcripts(sf)["ground_truth"]),
         "er_refined": lambda: oracles.sql_er_refined(tpath()),
+        "er_cluster_stats": lambda: oracles.sql_er_cluster_stats(tpath()),
         "er_tiered": lambda: oracles.sql_er_tiered(tpath()),
         "blocking_eval": lambda: oracles.sql_blocking_eval(
             tpath(), ensure_transcripts(sf)["ground_truth"]),

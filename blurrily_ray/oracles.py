@@ -529,6 +529,34 @@ SELECT l.ref, t.cluster_tight, l.cluster_loose
 FROM loose l JOIN tight t USING (ref)"""
 
 
+def sql_er_cluster_stats(transcripts_path: str,
+                         cfg: ERConfig = DEFAULT) -> str:
+    """Per-cluster linkage-confidence statistics (mirrors
+    stages/cluster.cluster_edge_stats): member counts + intra-cluster
+    edge count / min / max / sum of matches; singletons report zeros."""
+    return f"""WITH RECURSIVE {pairs_cte(transcripts_src(transcripts_path), cfg)},
+sym AS MATERIALIZED (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+reach(s, d) AS (SELECT s, d FROM sym
+                UNION
+                SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s),
+nodes AS (SELECT DISTINCT ref FROM src),
+clusters AS (SELECT n.ref, CASE WHEN MIN(r.d) IS NULL OR n.ref <= MIN(r.d)
+                  THEN n.ref ELSE MIN(r.d) END AS cluster_id
+             FROM nodes n LEFT JOIN reach r ON r.s = n.ref GROUP BY n.ref),
+ec AS (SELECT c.cluster_id, e.matches FROM edges e
+       JOIN clusters c ON c.ref = e.a),
+es AS (SELECT cluster_id, COUNT(*) AS n_edges, MIN(matches) AS mn,
+              MAX(matches) AS mx, SUM(matches) AS sm FROM ec GROUP BY 1),
+mc AS (SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY 1)
+SELECT m.cluster_id,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(es.mn, 0) AS BIGINT) AS min_matches,
+       CAST(COALESCE(es.mx, 0) AS BIGINT) AS max_matches,
+       CAST(COALESCE(es.sm, 0) AS BIGINT) AS sum_matches
+FROM mc m LEFT JOIN es ON es.cluster_id = m.cluster_id"""
+
+
 def sql_er_refined(transcripts_path: str, cfg: ERConfig = DEFAULT,
                    refine_cfg: ERConfig | None = None) -> str:
     """Merge-and-refine ER (pipelines/er.run_er_refined): pass-1 closure

@@ -335,6 +335,98 @@ def cluster_eval_bcubed(clusters, truth, *, truth_ref_col: str = "conv_id",
     })
 
 
+def cluster_edge_stats(clusters, edges, *, n_parts: int = 64):
+    """Per-cluster linkage-confidence statistics — the post-resolution
+    review-queue signal (a large cluster held together by one weak
+    minimum-score edge is the classic over-merge candidate; Christen
+    2012's manual-review practice): (cluster_id, n_members, n_edges,
+    min_matches, max_matches, sum_matches), all int64.
+
+    Distribution: every edge's endpoints share a cluster by
+    construction, so ONE a-side co-partition attaches the label; edge
+    aggregates map-side combine (per-batch groupby partials → one tiny
+    keyed shuffle), member counts likewise, and a final cluster-keyed
+    co-partition LEFT-joins the two (singleton clusters report
+    n_edges = 0 and zero min/max/sum). Nothing corpus-sized leaves the
+    stream. Oracle: oracles.sql_er_cluster_stats."""
+    n_parts = join_partitions_cap(n_parts)
+
+    def attach(e_df: pd.DataFrame, c_df: pd.DataFrame) -> pd.DataFrame:
+        c = c_df.rename(columns={"ref": "a"})
+        return e_df.merge(c, on="a", how="inner")[["cluster_id", "matches"]]
+
+    tagged = partitioned_map2(
+        edges.select_columns(["a", "matches"]),
+        clusters.select_columns(["ref", "cluster_id"]),
+        ["a"], ["ref"], attach, n_parts=n_parts)
+
+    def epartial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("cluster_id", sort=False)["matches"] \
+            .agg(["size", "min", "max", "sum"]).reset_index()
+        g.columns = ["cluster_id", "n", "mn", "mx", "sm"]
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def efinal(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_id", sort=False).agg(
+            n_edges=("n", "sum"), min_matches=("mn", "min"),
+            max_matches=("mx", "max"), sum_matches=("sm", "sum"))
+        return g.reset_index()
+
+    estats = partitioned_map(
+        tagged.map_batches(epartial, batch_format="pandas"),
+        ["cluster_id"], efinal, n_parts=n_parts)
+
+    def mpartial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("cluster_id", sort=False).size().reset_index()
+        g.columns = ["cluster_id", "m"]
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    members = partitioned_map(
+        clusters.select_columns(["cluster_id"]).map_batches(
+            mpartial, batch_format="pandas"),
+        ["cluster_id"],
+        lambda df: df.groupby("cluster_id", sort=False)["m"].sum()
+        .reset_index(), n_parts=n_parts)
+
+    stat_cols = ["n_edges", "min_matches", "max_matches", "sum_matches"]
+
+    def combine(m_df: pd.DataFrame, e_df: pd.DataFrame) -> pd.DataFrame:
+        out = m_df.rename(columns={"m": "n_members"}).merge(
+            e_df, on="cluster_id", how="left")
+        for c in stat_cols:
+            out[c] = out[c].fillna(0).astype(np.int64)
+        out["n_members"] = out["n_members"].astype(np.int64)
+        return out[["cluster_id", "n_members", *stat_cols]]
+
+    # members' schema can vanish on an empty corpus — no clusters means
+    # an empty one-row-free stream; surface the typed contract
+    msch = members.schema()
+    if msch is None:
+        import ray.data as rd
+
+        ctype = pa.string()
+        csch = clusters.schema()
+        if csch is not None:
+            t = dict(zip(csch.names, csch.types)).get("cluster_id")
+            if isinstance(t, pa.DataType):
+                ctype = t
+        return rd.from_arrow(pa.table({
+            "cluster_id": pa.array([], type=ctype),
+            "n_members": pa.array([], type=pa.int64()),
+            **{c: pa.array([], type=pa.int64()) for c in stat_cols}}))
+    etypes = dict(zip(msch.names, msch.types))
+    right_schema = pa.schema([
+        ("cluster_id", etypes["cluster_id"]
+         if isinstance(etypes["cluster_id"], pa.DataType) else pa.string()),
+        ("n_edges", pa.int64()), ("min_matches", pa.int64()),
+        ("max_matches", pa.int64()), ("sum_matches", pa.int64())])
+    return partitioned_map2(members, estats, ["cluster_id"],
+                            ["cluster_id"], combine, n_parts=n_parts,
+                            right_schema=right_schema)
+
+
 def _group_pair_sum(ds, key_cols: list[str], n_parts: int) -> int:
     """Σ C(n_g, 2) over the sizes of ``ds``'s ``key_cols`` groups —
     map-side partial counts, one tiny keyed shuffle for the exact sizes,

@@ -102,6 +102,25 @@ def test_cluster_eval_bcubed_matches_driver(er_result, sf0001_paths):
     assert int(pgot["br_micro_sum"]) == n * 1_000_000
 
 
+def test_cluster_edge_stats_hand_counts():
+    """Cluster x = {c1,c2,c3} with edges (c1,c2,m=9) and (c2,c3,m=4);
+    y = {c4} singleton → zeros. min_matches=4 is the over-merge triage
+    signal."""
+    from blurrily_ray.stages.cluster import cluster_edge_stats
+
+    clusters = ray.data.from_items(
+        [{"ref": "c1", "cluster_id": "x"}, {"ref": "c2", "cluster_id": "x"},
+         {"ref": "c3", "cluster_id": "x"}, {"ref": "c4", "cluster_id": "y"}])
+    edges = ray.data.from_items(
+        [{"a": "c1", "b": "c2", "matches": 9},
+         {"a": "c2", "b": "c3", "matches": 4}])
+    got = cluster_edge_stats(clusters, edges).to_pandas() \
+        .set_index("cluster_id").sort_index()
+    assert list(got.index) == ["x", "y"]
+    assert got.loc["x"].tolist() == [3, 2, 4, 9, 13]
+    assert got.loc["y"].tolist() == [1, 0, 0, 0, 0]
+
+
 def test_eval_null_labels_excluded():
     """NULL-labeled truth rows are outside the evaluation set for BOTH
     eval operators (and the SQL oracles filter identically): pandas
